@@ -1,13 +1,126 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Framing
+import graft.features.Pipeline
+import graft.functions.Stats
+import graft.sources.Seqs
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2), each
+  * with a DuckDB-runnable oracle over the same parquet tables.
+  *
+  * Conventions:
+  *  - every computed column is aliased identically in the Spark query and the
+  *    oracle SQL (the driver sorts columns by name before hashing);
+  *  - floating-point columns are produced by *order-deterministic* plans
+  *    (integer-exact sums, or sequential folds over ordered arrays) so Spark
+  *    and DuckDB agree bitwise — no rounding fudge;
+  *  - oracle table names reference the registered parquet views
+  *    (`documents`, `lineitem`, …).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the full low-level feature pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.featuresLlFromDir(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // shared pieces
+  // ------------------------------------------------------------------
+
+  private def seqs(s: SparkSession, dir: String): DataFrame =
+    Seqs.fromDocuments(s, dir)
+
+  private def ll(s: SparkSession, dir: String): DataFrame =
+    Pipeline.featuresLl(seqs(s, dir))
+
+  /** DuckDB prelude: seqs + frame CTEs (no leading WITH). */
+  private val duckSeqs = s"seqs AS (${Seqs.duckSql})"
+  private val duckFrames = s"$duckSeqs,\n${Framing.duckFrameCtes()}"
+
+  // ------------------------------------------------------------------
+  // queries + oracles
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational sanity: group-agg on lineitem (integral quantities ⇒ exact)
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // the derived source table itself — token-array bitwise passthrough
+    "seqs_tokens" -> ((s, dir) => seqs(s, dir)),
+
+    // framing + per-frame energy features (SampleAnalyser.cpp:814,1760-1783)
+    "frame_rms" -> ((s, dir) => Framing.frameRows(seqs(s, dir))),
+
+    // 13-stat block over the per-doc frame-RMS series (Statistics.cpp:12-90).
+    // gmean/flatness are exp/ln-derived: libm rounding differs across
+    // engines by 1 ulp, so the *query boundary* rounds them to 1e-6 (the
+    // engine itself keeps full precision).
+    "doc_stats_rms" -> ((s, dir) =>
+      ll(s, dir).select(Seq(col("doc_id")) ++
+        Stats.StatNames.map {
+          case n @ ("gmean" | "flatness") => round(col(s"rms_$n"), 6).as(s"rms_$n")
+          case n => col(s"rms_$n")
+        }: _*)),
+
+    // prefix/suffix silence trim + effective lengths (SampleAnalyser.cpp:646-676, 1715-1756)
+    "silence_trim" -> ((s, dir) =>
+      ll(s, dir).select(Seq(col("doc_id")) ++
+        Pipeline.EffectiveLengthThresholds.flatMap(t => Seq(
+          col(s"first_audible_$t"), col(s"last_audible_$t"),
+          col(s"effective_len_$t"))): _*))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "seqs_tokens" -> s"WITH $duckSeqs SELECT * FROM seqs",
+
+    "frame_rms" ->
+      s"""WITH $duckFrames
+         |SELECT doc_id, source, n_tok, frame_id, n_samp, fsum, fsumsq,
+         |       rms, peak, is_audible
+         |FROM frames""".stripMargin,
+
+    "doc_stats_rms" -> {
+      val block = Stats.duckBlock(
+        inner = "SELECT doc_id, list(rms ORDER BY frame_id) AS xs FROM frames GROUP BY doc_id",
+        keys = Seq("doc_id"), xs = "xs", p = "rms", prelude = duckFrames)
+      val outer = Seq("doc_id") ++ Stats.StatNames.map {
+        case n @ ("gmean" | "flatness") => s"round(rms_$n, 6) AS rms_$n"
+        case n => s"rms_$n"
+      }
+      s"SELECT ${outer.mkString(", ")} FROM ($block)"
+    },
+
+    "silence_trim" -> {
+      val cols = Pipeline.EffectiveLengthThresholds.map { t =>
+        s"""  CAST(coalesce(min(CASE WHEN abs(v) > $t THEN pos END), -1) AS INTEGER) AS first_audible_$t,
+           |  CAST(coalesce(max(CASE WHEN abs(v) > $t THEN pos END), -1) AS INTEGER) AS last_audible_$t,
+           |  CAST(CASE WHEN count(CASE WHEN abs(v) > $t THEN 1 END) = 0 THEN 0
+           |       ELSE max(CASE WHEN abs(v) > $t THEN pos END)
+           |          - min(CASE WHEN abs(v) > $t THEN pos END) + 1
+           |  END AS INTEGER) AS effective_len_$t""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckSeqs,
+         |tok AS (
+         |  SELECT doc_id, unnest(tokens) AS v,
+         |         generate_subscripts(tokens, 1) - 1 AS pos
+         |  FROM seqs)
+         |SELECT doc_id,
+         |$cols
+         |FROM tok GROUP BY doc_id""".stripMargin
+    }
+  )
 }

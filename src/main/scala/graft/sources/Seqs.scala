@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical source table of pre-tokenized training sequences:
+  *
+  * {{{ (doc_id: string, tokens: array<int32>, n_tok: int32, source: string) }}}
+  *
+  * This is the Spark analog of AFEC's per-file normalized sample buffer
+  * (reference: `Source/Crawler/FeatureExtraction/Export/SampleAnalyser.h:83-106`,
+  * one entity = one file keyed by `filename` —
+  * `SqliteSampleDescriptorPool.cpp:1316`). In production this is an Iceberg
+  * table partitioned by `source`; in this sandbox we derive it
+  * **deterministically** from the driver-generated `documents` parquet so the
+  * DuckDB oracle can reproduce it bit-for-bit from the same inputs
+  * (pure int64 arithmetic — no float, no hashing, no RNG).
+  *
+  * Token model (mirrors the reference corpus design — audible core with
+  * leading/trailing silence runs and periodic bursts, cf. the silence-trim
+  * path `SampleAnalyser.cpp:646-676` and the onset path
+  * `RhythmTracker.cpp:99-134`):
+  *
+  *   - `n_tok  = least(n_chars * 16, 8192)`
+  *   - `lead   = doc_id % 97`             (leading silence run)
+  *   - `trail  = (doc_id * 7) % 61`        (trailing silence run)
+  *   - `base(i) = (doc_id*1103515245 + i*12345 + 12345) % 2048 - 1024`
+  *   - `burst(i) = 2` when `(i div 128) % 8 == 0` else `1`
+  *   - `tok(i) = 0` in the silence runs, else `base(i) * burst(i)`
+  *
+  * All operands stay positive before `%` so Spark and DuckDB agree; all
+  * magnitudes stay far below 2^53 so later sums over squares are exact.
+  *
+  * Scale note: the derivation is a pure per-row projection (one `transform`
+  * over a generated `sequence`) — no shuffle, no skew sensitivity; at 100 TB
+  * it parallelizes as a narrow map over the source scan.
+  */
+object Seqs {
+
+  /** Spectral frame clock analog — frame 2048 / hop 1024
+    * (`Source/Crawler/XCrawler/Source/Crawler.cpp:42-43`). */
+  val FrameSize = 2048
+  val Hop       = 1024
+
+  /** Rhythm frame clock analog — frame 512 / hop 128
+    * (`SampleAnalyser.cpp:985-986`). */
+  val RFrameSize = 512
+  val RHop       = 128
+
+  /** Silence threshold on |token| — analog of the -48 dB silence floor
+    * (`SampleAnalyser.cpp:646-676`, aubio silence gate `:864-868`). */
+  val SilenceThreshold = 32
+
+  /** Analysis cap — analog of the 20 s / 882k-sample cap
+    * (`SampleAnalyser.cpp:37, 760-764`); here the token cap. */
+  val MaxTokens = 8192
+
+  /** Derive the seqs table from `dir`/documents.parquet. The token loop runs
+    * as the native [[graft.functions.expressions.TokenGen]] expression (the
+    * HOF `transform(sequence(...))` form it replaces spent µs/token in
+    * interpreted lambda dispatch). */
+  def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.expressions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0")).as("doc_id"),
+        expr(s"graft_gen_tokens(doc_id, CAST(least(n_chars * 16, $MaxTokens) AS INT))")
+          .as("tokens"),
+        least(col("n_chars") * 16, lit(MaxTokens)).cast("int").as("n_tok"),
+        col("source"))
+  }
+
+  /** DuckDB CTE body producing the identical table from `documents`
+    * (the driver registers each parquet as a view named after the table). */
+  val duckSql: String =
+    s"""SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+       |  list_transform(
+       |    range(CAST(least(n_chars * 16, $MaxTokens) AS BIGINT)),
+       |    i -> CAST(CASE
+       |      WHEN i < (doc_id % 97)
+       |        OR i >= least(n_chars * 16, $MaxTokens) - ((doc_id * 7) % 61)
+       |      THEN 0
+       |      ELSE ((doc_id * 1103515245 + i * 12345 + 12345) % 2048 - 1024)
+       |           * (CASE WHEN ((i // 128) % 8) = 0 THEN 2 ELSE 1 END)
+       |    END AS INTEGER)) AS tokens,
+       |  CAST(least(n_chars * 16, $MaxTokens) AS INTEGER) AS n_tok,
+       |  source
+       |FROM documents""".stripMargin
+}
