@@ -44,7 +44,17 @@ object SparkEntry {
   // queries + oracles
   // ------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++
+      graft.queries.TokenQueries.defs ++
+      graft.queries.EventQueries.defs
+
+  def oracleSql: Map[String, String] =
+    baseOracles ++
+      graft.queries.TokenQueries.oracles ++
+      graft.queries.EventQueries.oracles
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational sanity: group-agg on lineitem (integral quantities ⇒ exact)
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -78,7 +88,7 @@ object SparkEntry {
           col(s"effective_len_$t"))): _*))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

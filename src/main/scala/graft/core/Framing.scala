@@ -94,36 +94,40 @@ object Framing {
     * fold. Yields CTEs `tok`, `nf`, `frames`. */
   def duckFrameCtes(frameSize: Int = Seqs.FrameSize,
                     hop: Int = Seqs.Hop,
-                    silenceThreshold: Int = Seqs.SilenceThreshold): String = {
-    require(frameSize == 2 * hop, "duck mirror assumes F = 2H")
-    s"""tok AS (
+                    silenceThreshold: Int = Seqs.SilenceThreshold,
+                    p: String = ""): String = {
+    require(frameSize % hop == 0, "duck mirror assumes F = k*H")
+    val nCand = frameSize / hop
+    val candVals = (0 until nCand).map(d => s"($d)").mkString(", ")
+    val (tok, nf, cand, frames) = (s"${p}tok", s"${p}nf", s"${p}cand", s"${p}frames")
+    s"""$tok AS (
        |  SELECT doc_id, source, n_tok,
        |         unnest(tokens) AS v,
        |         generate_subscripts(tokens, 1) - 1 AS pos
        |  FROM seqs),
-       |nf AS (
+       |$nf AS (
        |  SELECT doc_id,
        |         CASE WHEN n_tok >= $frameSize
        |              THEN ((n_tok - $frameSize) // $hop) + 1
        |              ELSE 1 END AS n_frames
        |  FROM seqs),
-       |cand AS (
+       |$cand AS (
        |  SELECT doc_id, source, n_tok, v, pos,
        |         (pos // $hop) - dd.d AS frame_id
-       |  FROM tok, (VALUES (0), (1)) AS dd(d)),
-       |frames AS (
+       |  FROM $tok, (VALUES $candVals) AS dd(d)),
+       |$frames AS (
        |  SELECT c.doc_id,
        |         any_value(c.source) AS source,
        |         any_value(c.n_tok) AS n_tok,
-       |         c.frame_id,
+       |         CAST(c.frame_id AS INTEGER) AS frame_id,
        |         CAST(count(*) AS INTEGER) AS n_samp,
        |         CAST(sum(CAST(c.v AS BIGINT)) AS BIGINT) AS fsum,
        |         CAST(sum(CAST(c.v AS BIGINT) * c.v) AS BIGINT) AS fsumsq,
        |         CAST(max(abs(c.v)) AS INTEGER) AS peak,
        |         sqrt(CAST(sum(CAST(c.v AS BIGINT) * c.v) AS DOUBLE) / count(*)) AS rms,
        |         max(abs(c.v)) > $silenceThreshold AS is_audible
-       |  FROM cand c JOIN nf USING (doc_id)
-       |  WHERE c.frame_id >= 0 AND c.frame_id < nf.n_frames
+       |  FROM $cand c JOIN $nf USING (doc_id)
+       |  WHERE c.frame_id >= 0 AND c.frame_id < n_frames
        |    AND c.pos < c.frame_id * $hop + $frameSize
        |  GROUP BY c.doc_id, c.frame_id)""".stripMargin
   }

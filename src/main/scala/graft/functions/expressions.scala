@@ -40,6 +40,10 @@ object expressions {
       es => EnvelopeScan(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_effective_bounds",
       es => EffectiveBounds(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHash(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      es => CosineSim(es(0), es(1)), "built-in")
   }
 
   private def litInt(e: Expression): Int =
@@ -208,6 +212,118 @@ object expressions {
   }
 
   // ------------------------------------------------------------------
+
+  /** MinHash parameters — shared with the DuckDB oracle mirror
+    * (`graft.ops.Dedup.duckMinhashSql`). Shingle hash: 5-token rolling
+    * polynomial `acc = (acc*31 + (t+2048)) % ShingleMod`; permutation k:
+    * `(A_k * h + B_k) % HashMod`; band j over `BandSize` consecutive sig
+    * entries: `acc = (acc*31 + s) % HashMod`. All int64, no overflow. */
+  object MinHashParams {
+    val Shingle = 5
+    val ShingleMod = 1000003L
+    val HashMod = 2147483647L
+    val NumHashes = 16
+    val BandSize = 4
+    def a(k: Int): Long = k.toLong * 40503L + 1L
+    def b(k: Int): Long = k.toLong * 9973L + 7L
+  }
+
+  val MinHashStructType: StructType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("bands", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** graft_minhash(tokens ARRAY<INT>, numHashes, bandSize)
+    * → STRUCT<sig ARRAY<LONG>, bands ARRAY<LONG>>
+    * MinHash signature over 5-token shingles + LSH band hashes (the
+    * scale path for near-duplicate detection: join on band hash buckets
+    * instead of all-pairs). Docs shorter than one shingle get sig = HashMod
+    * sentinel values. */
+  case class MinHash(tokens: Expression, numHashesE: Expression, bandSizeE: Expression)
+      extends Expression with CodegenFallback {
+    import MinHashParams._
+    private val numHashes = litInt(numHashesE)
+    private val bandSize = litInt(bandSizeE)
+    override def children: Seq[Expression] = Seq(tokens, numHashesE, bandSizeE)
+    override def dataType: DataType = MinHashStructType
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val nSh = arr.length - Shingle + 1
+      val sig = Array.fill(numHashes)(HashMod)
+      var i = 0
+      while (i < nSh) {
+        var h = 0L
+        var j = 0
+        while (j < Shingle) {
+          h = (h * 31L + (arr(i + j) + 2048L)) % ShingleMod
+          j += 1
+        }
+        var k = 0
+        while (k < numHashes) {
+          val v = (a(k) * h + b(k)) % HashMod
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
+        i += 1
+      }
+      val nBands = numHashes / bandSize
+      val bands = new Array[Long](nBands)
+      var bj = 0
+      while (bj < nBands) {
+        var acc = 0L
+        var r = 0
+        while (r < bandSize) {
+          acc = (acc * 31L + sig(bj * bandSize + r)) % HashMod
+          r += 1
+        }
+        bands(bj) = acc
+        bj += 1
+      }
+      new GenericInternalRow(Array[Any](
+        new GenericArrayData(sig), new GenericArrayData(bands)))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), numHashesE = c(1), bandSizeE = c(2))
+  }
+
+  /** graft_cosine(a ARRAY<FLOAT|DOUBLE>, b same) → DOUBLE
+    * Cosine similarity `dot / sqrt(na * nb)`; ascending sequential folds
+    * (bitwise-mirrored in DuckDB by index-ordered list folds). 0.0 when a
+    * norm is zero. */
+  case class CosineSim(a: Expression, b: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(a, b)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = a.nullable || b.nullable
+    private def toDoubles(any: Any, dt: DataType): Array[Double] = {
+      val ad = any.asInstanceOf[ArrayData]
+      dt.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => ad.toFloatArray().map(_.toDouble)
+        case DoubleType => ad.toDoubleArray()
+        case other => throw new IllegalArgumentException(s"cosine over $other")
+      }
+    }
+    override def eval(input: InternalRow): Any = {
+      val aAny = a.eval(input); val bAny = b.eval(input)
+      if (aAny == null || bAny == null) return null
+      val xs = toDoubles(aAny, a.dataType)
+      val ys = toDoubles(bAny, b.dataType)
+      val n = math.min(xs.length, ys.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        dot += xs(i) * ys(i)
+        na += xs(i) * xs(i)
+        nb += ys(i) * ys(i)
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(a = c(0), b = c(1))
+  }
 
   val BoundsStructType: StructType = StructType(Seq(
     StructField("first", IntegerType, nullable = false),

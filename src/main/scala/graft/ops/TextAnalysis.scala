@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over the `documents`
+  * table: token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All per-row projections (no shuffle) built from
+  * deterministic integer/string primitives so the DuckDB oracle matches
+  * bitwise; ratios are single divisions of exact integers.
+  *
+  * Scale: narrow map over the scan; at 100 TB these run at I/O speed and
+  * feed the dedup/curation joins downstream.
+  */
+object TextAnalysis {
+
+  /** Shared stopword list for the language/quality heuristics. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Words = whitespace split, empties dropped (parity-safe in both
+    * dialects). */
+  val wordsExpr = "filter(split(text, ' '), w -> w <> '')"
+  val duckWordsExpr = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  /** 32-bit word hash from the first 8 hex chars of md5 — identical in
+    * Spark (`conv`) and DuckDB (hex-literal cast). */
+  val wordHashExpr = "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+  val duckWordHashExpr = "CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)"
+
+  /** Per-doc analysis columns. */
+  def analyze(documents: DataFrame): DataFrame = {
+    documents
+      .withColumn("words", expr(wordsExpr))
+      .withColumn("n_words", expr("CAST(size(words) AS INT)"))
+      .withColumn("n_alnum_tokens",
+        expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS INT)"))
+      .withColumn("n_stopwords", expr(
+        s"CAST(size(filter(words, w -> array_contains(array(${
+          Stopwords.map(s => s"'$s'").mkString(", ")}), w))) AS INT)"))
+      .withColumn("stopword_ratio",
+        expr("CAST(n_stopwords AS DOUBLE) / n_words"))
+      .withColumn("mean_word_len", expr(
+        "CAST(aggregate(words, 0, (a, w) -> a + length(w)) AS DOUBLE) / n_words"))
+      .withColumn("quality_score", expr(
+        """0.4 * least(CAST(n_words AS DOUBLE) / 64.0, CAST(1.0 AS DOUBLE))
+          | + 0.4 * stopword_ratio
+          | + 0.2 * least(mean_word_len / 8.0, CAST(1.0 AS DOUBLE))""".stripMargin))
+      .withColumn("lang_guess",
+        expr("IF(stopword_ratio > 0.05, 'en', 'unk')"))
+      .withColumn("fingerprint", expr(
+        s"""aggregate(transform(words, w -> $wordHashExpr),
+           |  CAST(0 AS BIGINT),
+           |  (acc, h) -> (acc * 31 + h) % 1000000007)""".stripMargin))
+      .drop("words")
+  }
+
+  /** DuckDB mirror of [[analyze]] over the `documents` view. */
+  val duckAnalyzeSql: String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT *, $duckWordsExpr AS words FROM documents),
+       |c AS (
+       |  SELECT *,
+       |    CAST(len(words) AS INTEGER) AS n_words,
+       |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER)
+       |      AS n_alnum_tokens,
+       |    CAST(len(list_filter(words, w -> list_contains([$stop], w)))
+       |      AS INTEGER) AS n_stopwords,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(words, w -> $duckWordHashExpr)),
+       |         (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT)
+       |      AS fingerprint,
+       |    CAST(list_reduce(list_prepend(0,
+       |           list_transform(words, w -> CAST(length(w) AS INTEGER))),
+       |         (a, l) -> a + l) AS DOUBLE) / len(words) AS mean_word_len
+       |  FROM w)
+       |SELECT doc_id, lang, source, n_chars,
+       |  n_words, n_alnum_tokens, n_stopwords,
+       |  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+       |  mean_word_len,
+       |  0.4 * least(CAST(n_words AS DOUBLE) / 64.0, CAST(1.0 AS DOUBLE))
+       |    + 0.4 * (CAST(n_stopwords AS DOUBLE) / n_words)
+       |    + 0.2 * least(mean_word_len / 8.0, CAST(1.0 AS DOUBLE)) AS quality_score,
+       |  CASE WHEN CAST(n_stopwords AS DOUBLE) / n_words > 0.05
+       |       THEN 'en' ELSE 'unk' END AS lang_guess,
+       |  fingerprint
+       |FROM c""".stripMargin
+  }
+}

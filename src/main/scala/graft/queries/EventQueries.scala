@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** Oracle-checked queries over the `events` stream table (event-time
+  * operators on a genuine timestamp column: as-of join, gap sessionization,
+  * lag/lead/rank, running aggregates). Time arithmetic is done on exact
+  * microsecond longs (`unix_micros` / `epoch_us`) so Spark and DuckDB agree
+  * bitwise; money-like running sums use exact integer cents. */
+object EventQueries {
+
+  /** Session gap: 30 minutes, in microseconds. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // gap-based sessionization per user (session_window batch analog)
+    "events_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      ev.withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > SessionGapUs, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("is_new")).as("n_sessions"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"))
+    }),
+
+    // as-of join: each click gets the latest view's value at-or-before it
+    "events_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val series = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"), col("value"))
+      AsOfJoin.asOf(probes, series, "user_id", "ts_us", "v_us", Seq("value"))
+        .withColumnRenamed("value", "last_view_value")
+    }),
+
+    // lag / lead / rank / running exact-integer sum per user
+    "events_window" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      ev.select(col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_cents"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "events_sessionize" ->
+      s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+         |g AS (
+         |  SELECT user_id, ts_us,
+         |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+         |  FROM ev)
+         |SELECT user_id,
+         |  count(*) AS n_events,
+         |  CAST(sum(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_sessions,
+         |  min(ts_us) AS first_us,
+         |  max(ts_us) AS last_us
+         |FROM g GROUP BY user_id""".stripMargin,
+
+    "events_asof" ->
+      """WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+        |ser AS (SELECT user_id, ts_us AS v_us, value FROM ev WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id, p.ts_us, s.value AS last_view_value
+        |FROM probes p ASOF LEFT JOIN ser s
+        |  ON p.user_id = s.user_id AND p.ts_us >= s.v_us""".stripMargin,
+
+    "events_window" ->
+      """WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,
+        |                    CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)""".stripMargin
+  )
+}
