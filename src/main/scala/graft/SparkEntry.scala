@@ -47,12 +47,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++
       graft.queries.TokenQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.CurationQueries.defs ++
+      graft.queries.RelationalQueries.defs ++
+      graft.queries.HlQueries.defs
 
   def oracleSql: Map[String, String] =
     baseOracles ++
       graft.queries.TokenQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.RelationalQueries.oracles ++
+      graft.queries.HlQueries.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational sanity: group-agg on lineitem (integral quantities ⇒ exact)

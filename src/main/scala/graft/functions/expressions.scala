@@ -44,6 +44,10 @@ object expressions {
       es => MinHash(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cubic_resample",
+      es => CubicResample(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_correlation",
+      es => PearsonCorr(es(0), es(1)), "built-in")
   }
 
   private def litInt(e: Expression): Int =
@@ -80,13 +84,15 @@ object expressions {
       val n = nAny.asInstanceOf[Int]
       val lead = (d % 97).toInt
       val trail = ((d * 7) % 61).toInt
+      val seed = if (d % 50 == 49) d - 1 else d // planted near-dup pairs
       val out = new Array[Int](n)
       var i = 0
       while (i < n) {
         out(i) =
           if (i < lead || i >= n - trail) 0
           else {
-            val base = ((d * 1103515245L + i.toLong * 12345L + 12345L) % 2048L - 1024L).toInt
+            val base = ((seed * 1103515245L + i.toLong * i * 747796405L +
+              i.toLong * 12345L + 12345L) % 2048L - 1024L).toInt
             val burst = if (((i / 128) % 8) == 0) 2 else 1
             base * burst
           }
@@ -320,6 +326,115 @@ object expressions {
         i += 1
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(a = c(0), b = c(1))
+  }
+
+  /** graft_cubic_resample(xs ARRAY<DOUBLE>, outLen) → ARRAY<DOUBLE>
+    * Catmull-Rom cubic resampling of an arbitrary-length series to exactly
+    * `outLen` points (spectrum-signature resample,
+    * `SampleAnalyser.cpp:139-156, 1490-1523`). Deviation from the
+    * reference, documented: sample position is `i * step` rather than an
+    * accumulated `pos += step` (ulp-level difference, allclose-safe) so the
+    * DuckDB oracle can mirror it bitwise. Neighbor indices clamp at the
+    * series edges exactly like the reference. */
+  case class CubicResample(xs: Expression, outLenE: Expression)
+      extends Expression with CodegenFallback {
+    private val outLen = litInt(outLenE)
+    override def children: Seq[Expression] = Seq(xs, outLenE)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = xs.nullable
+    override def eval(input: InternalRow): Any = {
+      val aAny = xs.eval(input)
+      if (aAny == null) return null
+      val a = aAny.asInstanceOf[ArrayData].toDoubleArray()
+      val n = a.length
+      if (n == 0) return new GenericArrayData(new Array[Double](outLen))
+      val step = n.toDouble / outLen
+      val out = new Array[Double](outLen)
+      var i = 0
+      while (i < outLen) {
+        val pos = i * step
+        val ipos = pos.toInt // trunc toward zero (TMath::d2i)
+        val im1 = math.max(0, ipos - 1)
+        val i0 = math.min(n - 1, ipos)
+        val i1 = math.min(n - 1, ipos + 1)
+        val i2 = math.min(n - 1, ipos + 2)
+        val x = pos - math.floor(pos)
+        val xx = x * x
+        val xxx = xx * x
+        val ca = -0.5 * xxx + xx - 0.5 * x
+        val cb = 1.5 * xxx - 2.5 * xx + 1.0
+        val cc = -1.5 * xxx + 2.0 * xx + 0.5 * x
+        val cd = 0.5 * xxx - 0.5 * xx
+        out(i) = ca * a(im1) + cb * a(i0) + cc * a(i1) + cd * a(i2)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(xs = c(0), outLenE = c(1))
+  }
+
+  /** DuckDB mirror of [[CubicResample]]: staged CTEs over a series CTE
+    * `seriesCte(doc_id, xs)`; yields `${p}sig(doc_id, sig)`. */
+  def duckCubicResampleCtes(seriesCte: String, outLen: Int, p: String): String =
+    s"""${p}r AS (
+       |  SELECT doc_id, xs, unnest(range($outLen)) AS ri FROM $seriesCte),
+       |${p}c1 AS (
+       |  SELECT doc_id, xs, ri, len(xs) AS n,
+       |         ri * (CAST(len(xs) AS DOUBLE) / $outLen) AS pos
+       |  FROM ${p}r),
+       |${p}c2 AS (
+       |  SELECT *, pos - floor(pos) AS x,
+       |         CAST(trunc(pos) AS BIGINT) AS ipos
+       |  FROM ${p}c1),
+       |${p}c3 AS (
+       |  SELECT *, x * x AS xx, (x * x) * x AS xxx,
+       |         greatest(0, ipos - 1) AS im1,
+       |         least(n - 1, ipos) AS i0,
+       |         least(n - 1, ipos + 1) AS i1,
+       |         least(n - 1, ipos + 2) AS i2
+       |  FROM ${p}c2),
+       |${p}v AS (
+       |  SELECT doc_id, ri,
+       |      (-0.5 * xxx + xx - 0.5 * x) * xs[im1 + 1]
+       |    + (1.5 * xxx - 2.5 * xx + 1.0) * xs[i0 + 1]
+       |    + (-1.5 * xxx + 2.0 * xx + 0.5 * x) * xs[i1 + 1]
+       |    + (0.5 * xxx - 0.5 * xx) * xs[i2 + 1] AS val
+       |  FROM ${p}c3),
+       |${p}sig AS (
+       |  SELECT doc_id, list(val ORDER BY ri) AS sig FROM ${p}v GROUP BY doc_id)""".stripMargin
+
+  /** graft_correlation(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) → DOUBLE
+    * Pearson correlation with AFEC's exact evaluation order
+    * (`Statistics.cpp:604-638`): interleaved sums, means divided first,
+    * `num / sqrt(denom2)`, 0 when |denom2| <= 1e-12. */
+  case class PearsonCorr(a: Expression, b: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(a, b)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = a.nullable || b.nullable
+    override def eval(input: InternalRow): Any = {
+      val aAny = a.eval(input); val bAny = b.eval(input)
+      if (aAny == null || bAny == null) return null
+      val xs = aAny.asInstanceOf[ArrayData].toDoubleArray()
+      val ys = bAny.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(xs.length, ys.length)
+      if (n == 0) return 0.0
+      var ss1 = 0.0; var ss2 = 0.0; var ss11 = 0.0; var ss12 = 0.0; var ss22 = 0.0
+      var i = 0
+      while (i < n) {
+        val x = xs(i); val y = ys(i)
+        ss12 += x * y; ss1 += x; ss11 += x * x; ss2 += y; ss22 += y * y
+        i += 1
+      }
+      val m1 = ss1 / n
+      val m2 = ss2 / n
+      val denom2 = (ss11 - m1 * m1 * n) * (ss22 - m2 * m2 * n)
+      val num = ss12 - m1 * m2 * n
+      if (math.abs(denom2) > 1e-12) num / math.sqrt(denom2) else 0.0
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(a = c(0), b = c(1))

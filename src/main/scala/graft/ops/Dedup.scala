@@ -71,13 +71,14 @@ object Dedup {
        |             + (tokens[i + 2] + 2048)) % $ShingleMod * 31
        |             + (tokens[i + 3] + 2048)) % $ShingleMod * 31
        |             + (tokens[i + 4] + 2048)) % $ShingleMod * 31
-       |             + (tokens[i + 5] + 2048)) % $ShingleMod) AS hs
+       |             + (tokens[i + 5] + 2048)) % $ShingleMod)) AS hs
        |  FROM seqs),
        |sig AS (
        |  SELECT doc_id,
        |    list_transform(range($NumHashes), k ->
        |      coalesce(list_min(list_transform(hs,
-       |        h -> (([$aList][k + 1]) * h + ([$bList][k + 1])) % $HashMod)),
+       |        h -> (CAST([$aList][k + 1] AS BIGINT) * h
+       |              + CAST([$bList][k + 1] AS BIGINT)) % $HashMod)),
        |        $HashMod)) AS sig
        |  FROM sh)
        |SELECT doc_id, sig,

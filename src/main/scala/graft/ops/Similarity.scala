@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`embedding: array<float>`).
+  *
+  * == Scale design ==
+  *  - [[bruteTopK]] is the exact baseline: broadcast the (small) query set
+  *    against the full corpus — one narrow pass, no shuffle of the corpus,
+  *    top-k via per-query window. Right for |queries| ≪ |corpus|.
+  *  - [[lshBuckets]] is the scale path: random-hyperplane signs (seeded,
+  *    deterministic) bucket the corpus; candidates only meet inside a
+  *    bucket — an equi-join instead of a cross product. Recall is tuned by
+  *    bands/bits exactly like MinHash LSH. (An IVF variant — k-means
+  *    centroid assignment — slots into the same bucket-join shape.)
+  *  - cosine runs in the native [[expressions.CosineSim]] kernel
+  *    (primitive-array fold, bitwise-mirrored in the DuckDB oracle).
+  */
+object Similarity {
+
+  /** Exact brute-force top-k cosine neighbors for `vec_id < nQueries`. */
+  def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    expressions.register(embeddings.sparkSession)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = embeddings.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr("graft_cosine(qv, embedding)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+  }
+
+  /** DuckDB mirror of [[bruteTopK]] — identical fold order for dot/norms. */
+  def duckBruteTopKSql(nQueries: Int, k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    (SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+       |            ELSE dot / sqrt(na * nb) END
+       |     FROM (SELECT
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.qv, (x, i) ->
+       |           CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+       |         (a, b) -> a + b) AS dot,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.qv, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS na,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(e.embedding, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS nb)) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Sign-LSH bucket id: sign pattern of dot products against `nPlanes`
+    * deterministic pseudo-random hyperplanes (seeded integer grid —
+    * reproducible across engines). */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int): DataFrame = {
+    expressions.register(embeddings.sparkSession)
+    // plane p component j = ((p*8191 + j*127 + 13) % 17) - 8  (small ints)
+    val dot = (0 until nPlanes).map { p =>
+      val planeExpr =
+        s"""aggregate(zip_with(embedding,
+           |  transform(sequence(0, size(embedding) - 1),
+           |    j -> CAST((($p * 8191 + j * 127 + 13) % 17) - 8 AS DOUBLE)),
+           |  (x, c) -> CAST(x AS DOUBLE) * c),
+           |  CAST(0.0 AS DOUBLE), (a, b) -> a + b)""".stripMargin
+      expr(s"IF($planeExpr > 0.0, CAST(${1L << p} AS BIGINT), CAST(0 AS BIGINT))")
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), col("label"), dot.as("bucket"))
+  }
+
+  def duckLshBucketsSql(nPlanes: Int): String = {
+    val bits = (0 until nPlanes).map { p =>
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(embedding, (x, j) ->
+         |    CAST(x AS DOUBLE) *
+         |    CAST((($p * 8191 + (j - 1) * 127 + 13) % 17) - 8 AS DOUBLE))),
+         |  (a, b) -> a + b) > 0.0 THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"SELECT vec_id, label, CAST($bits AS BIGINT) AS bucket FROM embeddings"
+  }
+}

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Seqs
+
+/** Training-data curation queries: dedup (exact / MinHash+LSH / SimHash /
+  * n-gram Jaccard), similarity search, text analysis. */
+object CurationQueries {
+
+  val NgramMinJaccard = 0.02
+  val TopKQueries = 20
+  val TopK = 3
+  val LshPlanes = 12
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhash(Seqs.fromDocuments(s, dir))),
+
+    "dedup_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidates(Seqs.fromDocuments(s, dir))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"))),
+
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"),
+        NgramMinJaccard)),
+
+    "text_analyze" -> ((s, dir) =>
+      TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "lang", "source", "n_chars", "n_words",
+          "n_alnum_tokens", "n_stopwords", "stopword_ratio", "mean_word_len",
+          "quality_score", "lang_guess", "fingerprint")),
+
+    "embed_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK)),
+
+    "embed_lsh" -> ((s, dir) =>
+      Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"),
+        LshPlanes))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> Dedup.duckExactSql,
+    "dedup_minhash" -> Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})"),
+    "dedup_lsh_pairs" ->
+      s"""WITH mh AS (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")}),
+         |b AS (
+         |  SELECT doc_id, unnest(bands) AS band_hash,
+         |         generate_subscripts(bands, 1) - 1 AS band_id
+         |  FROM mh)
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |FROM b a JOIN b b2
+         |  ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+         |  AND a.doc_id < b2.doc_id""".stripMargin,
+    "dedup_simhash" -> Dedup.duckSimhashSql,
+    "dedup_ngram" -> Dedup.duckNgramSql(NgramMinJaccard),
+    "text_analyze" -> TextAnalysis.duckAnalyzeSql,
+    "embed_topk" -> Similarity.duckBruteTopKSql(TopKQueries, TopK),
+    "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes)
+  )
+}

@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   *   - `n_tok  = least(n_chars * 16, 8192)`
   *   - `lead   = doc_id % 97`             (leading silence run)
   *   - `trail  = (doc_id * 7) % 61`        (trailing silence run)
-  *   - `base(i) = (doc_id*1103515245 + i*12345 + 12345) % 2048 - 1024`
+  *   - `seed   = doc_id - 1` when `doc_id % 50 == 49` else `doc_id`
+  *     (every 50th doc pair shares content → planted near-duplicates for
+  *     the dedup/LSH operators, differing only in silence runs/length)
+  *   - `base(i) = (seed*1103515245 + i*i*747796405 + i*12345 + 12345)
+  *     % 2048 - 1024` — the quadratic term makes different docs produce
+  *     different shingle SETS (a linear-only recurrence mod 2048 would make
+  *     every long doc a phase shift of the same cycle, i.e. accidentally
+  *     identical in shingle space)
   *   - `burst(i) = 2` when `(i div 128) % 8 == 0` else `1`
   *   - `tok(i) = 0` in the silence runs, else `base(i) * burst(i)`
   *
@@ -80,7 +87,9 @@ object Seqs {
        |      WHEN i < (doc_id % 97)
        |        OR i >= least(n_chars * 16, $MaxTokens) - ((doc_id * 7) % 61)
        |      THEN 0
-       |      ELSE ((doc_id * 1103515245 + i * 12345 + 12345) % 2048 - 1024)
+       |      ELSE (((doc_id - (CASE WHEN doc_id % 50 = 49 THEN 1 ELSE 0 END))
+       |              * 1103515245
+       |             + i * i * 747796405 + i * 12345 + 12345) % 2048 - 1024)
        |           * (CASE WHEN ((i // 128) % 8) = 0 THEN 2 ELSE 1 END)
        |    END AS INTEGER)) AS tokens,
        |  CAST(least(n_chars * 16, $MaxTokens) AS INTEGER) AS n_tok,

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sink.KeyedSink
+
+/** Keyed-sink semantics: idempotent upsert, single-row update, delete,
+  * resume via version diff (Crawler.cpp:934-998 +
+  * SqliteSampleDescriptorPool.cpp:1582-1651 analogs). */
+class KeyedSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  test("first upsert creates snapshot 1 with all rows") {
+    val path = freshPath()
+    val df = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x")
+    val st = KeyedSink.upsert(spark, path, df, "doc_id")
+    assert(st.snapshot == 1 && st.totalRows == 2 && st.upsertedRows == 2)
+    assert(KeyedSink.read(spark, path).get.count() == 2)
+  }
+
+  test("re-upserting the same batch is idempotent (same rows, new snapshot)") {
+    val path = freshPath()
+    val df = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x")
+    KeyedSink.upsert(spark, path, df, "doc_id")
+    val st2 = KeyedSink.upsert(spark, path, df, "doc_id")
+    assert(st2.snapshot == 2 && st2.totalRows == 2)
+    val rows = KeyedSink.read(spark, path).get.orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 1, 10.0), ("b", 1, 20.0)))
+  }
+
+  test("updating one key changes exactly that row; deletes drop keys") {
+    val path = freshPath()
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 1, 10.0), ("b", 1, 20.0), ("c", 1, 30.0)).toDF("doc_id", "v", "x"),
+      "doc_id")
+    KeyedSink.upsert(spark, path,
+      Seq(("b", 2, 99.0)).toDF("doc_id", "v", "x"), "doc_id",
+      deletes = Some(Seq("c").toDF("doc_id")))
+    val rows = KeyedSink.read(spark, path).get.orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 1, 10.0), ("b", 2, 99.0)))
+  }
+
+  test("pending: version-diff resume semantics (modtime analog)") {
+    val path = freshPath()
+    val v1 = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x")
+    KeyedSink.upsert(spark, path, v1, "doc_id")
+    // source moved on: b changed version, d is new, a unchanged
+    val src = Seq(("a", 1, 10.0), ("b", 2, 21.0), ("d", 1, 40.0))
+      .toDF("doc_id", "v", "x")
+    val p = KeyedSink.pending(spark, path, src, "doc_id", "v")
+      .select("doc_id").as[String].collect().sorted
+    assert(p.toSeq == Seq("b", "d"))
+    // after upserting pending, nothing is pending (resume converges)
+    KeyedSink.upsert(spark, path,
+      src.join(p.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"), "doc_id")
+    assert(KeyedSink.pending(spark, path, src, "doc_id", "v").count() == 0)
+  }
+
+  test("commit metadata records lineage and metrics") {
+    val path = freshPath()
+    KeyedSink.upsert(spark, path, Seq(("a", 1)).toDF("doc_id", "v"), "doc_id")
+    KeyedSink.upsert(spark, path, Seq(("b", 1)).toDF("doc_id", "v"), "doc_id")
+    val meta = Files.readString(java.nio.file.Paths.get(path, "snap-2.json"))
+    assert(meta.contains("\"snapshot\": 2") && meta.contains("\"parent\": 1"))
+    assert(meta.contains("\"total_rows\": 2"))
+  }
+}

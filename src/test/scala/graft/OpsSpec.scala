@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+import graft.sources.Multimodal
+
+/** Dedup / similarity / multimodal operator semantics. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("minhash: identical token sequences -> identical signatures and bands") {
+    val toks = Seq.tabulate(500)(i => (i * 37) % 911 - 400)
+    val other = Seq.tabulate(500)(i => (i * 53) % 701 - 300)
+    val seqs = Seq(
+      ("a", toks, 500, "s"), ("b", toks, 500, "s"), ("c", other, 500, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val mh = Dedup.minhash(seqs).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(mh("a") == mh("b"))
+    assert(mh("a") != mh("c"))
+    val pairs = Dedup.lshCandidates(seqs).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(("a", "b")))
+  }
+
+  test("minhash: near-duplicate (small edit) still shares bands") {
+    val toks = Seq.tabulate(2000)(i => (i * 37) % 911 - 400)
+    val edited = toks.updated(1000, 999) // one token changed
+    val seqs = Seq(("a", toks, 2000, "s"), ("b", edited, 2000, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val pairs = Dedup.lshCandidates(seqs).count()
+    assert(pairs == 1, "one-token edit must stay an LSH candidate")
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (2L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      (3L, "zq xw vu ts rp on ml kj", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("cosine top-k: duplicated vector is its twin's top neighbor with cos ~ 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),   // duplicate of 0
+      (2L, Array(-4.0f, 3.0f, -2.0f, 1.0f), 1),
+      (3L, Array(0.5f, -1.0f, 2.0f, -3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteTopK(emb, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(math.abs(top(0).getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
+  test("lsh buckets: identical vectors share buckets; bucket join prunes pairs") {
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => (i + 1).toFloat), 0),
+      (1L, Array.tabulate(16)(i => (i + 1).toFloat), 0),
+      (2L, Array.tabulate(16)(i => -(i + 1).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+    val b = Similarity.lshBuckets(vecs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // opposite vector flips every sign bit
+  }
+
+  test("multimodal plumbing: schema, batch shape, deterministic features") {
+    val recs = Multimodal.synth(spark, 9)
+    val out = Multimodal.featureTable(recs).cache()
+    assert(out.count() == 9)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "kind", "n_bytes", "features"))
+    val row = out.filter(col("doc_id") === "m000000").collect()(0)
+    // 16 histogram bins + mean + variance
+    assert(row.getAs[scala.collection.Seq[Double]]("features").length == 18)
+    // deterministic: second run bitwise identical
+    val again = Multimodal.featureTable(Multimodal.synth(spark, 9))
+      .filter(col("doc_id") === "m000000").collect()(0)
+    assert(row.getAs[scala.collection.Seq[Double]]("features") ==
+      again.getAs[scala.collection.Seq[Double]]("features"))
+    assert(Set("image", "audio", "video") ==
+      out.select("kind").distinct().as[String].collect().toSet)
+    out.unpersist()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** Structured-Streaming parity: the streaming sessionizer must produce the
+  * same sessions as the batch gaps-and-islands logic on identical input. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("session_window streaming agg matches batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val minute = 60L * 1000
+    def ts(m: Long) = new Timestamp(1700000000000L + m * minute)
+    // user 1: events at 0,10,20 (one session), 120,125 (second session)
+    // user 2: events at 0, 200 (two sessions)
+    mem.addData(
+      (ts(0), 1L, 100L), (ts(10), 1L, 200L), (ts(20), 1L, 300L),
+      (ts(120), 1L, 400L), (ts(125), 1L, 500L),
+      (ts(0), 2L, 700L), (ts(200), 2L, 800L))
+    val df = mem.toDF().toDF("ts", "user_id", "cents")
+    val q = StreamOps.sessionize(df, "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .select("user_id", "n_events", "sum_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3))
+      assert(out.toSeq == Seq(
+        (1L, 3L, 600L),   // session 1 of user 1
+        (1L, 2L, 900L),   // session 2 of user 1
+        (2L, 1L, 700L), (2L, 1L, 800L)))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling frame agg produces exact integer energies") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Int)]
+    // doc d1: positions 0..2047 value 3, positions 1024.. in window 2
+    mem.addData((0 until 2048).map(i => ("d1", i.toLong, 3)): _*)
+    val df = mem.toDF().toDF("doc_id", "pos", "token")
+    val q = StreamOps.frameAgg(df, 1024L, "0 seconds")
+      .writeStream.format("memory").queryName("fr")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("fr").orderBy("frame_start_s")
+        .collect().map(r => (r.getAs[Long]("n_samp"), r.getAs[Long]("fsumsq"),
+          r.getAs[Int]("peak")))
+      assert(out.length == 2)
+      assert(out.forall(_ == (1024L, 1024L * 9, 3)))
+    } finally q.stop()
+  }
+}
