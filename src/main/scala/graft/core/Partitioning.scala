@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Partitioning utilities — the explicit partition/shuffle/skew decisions
+  * the north rule calls out.
+  *
+  * [[balance]]: CPU-heavy narrow pipelines need at least as many input
+  * splits as cores. The sandbox parquet files are single row groups (one
+  * split), which would serialize per-row kernels onto one core; a real
+  * 10^12-row table has thousands of splits and skips this. The exchange
+  * moves only the small pre-expansion rows.
+  *
+  * [[saltKey]]: composite key for skew-prone aggregations — append a salt
+  * derived from a secondary column so one hot key (e.g. a dominant
+  * `source`) spreads over `buckets` reducers; aggregate per (key, salt)
+  * then re-aggregate per key (two-stage combine). AQE's skew-join split
+  * covers joins; this covers hot groupBy keys.
+  */
+object Partitioning {
+
+  def balance(df: DataFrame, key: String): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts, col(key))
+    else df
+  }
+
+  /** Balanced parquet read of one testdata table. */
+  def readBalanced(spark: SparkSession, dir: String, table: String,
+                   key: String): DataFrame =
+    balance(spark.read.parquet(s"$dir/$table.parquet"), key)
+
+  /** Salt expression: `pmod(hash(saltCol), buckets)`. */
+  def saltKey(saltCol: String, buckets: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(col(saltCol)),
+      org.apache.spark.sql.functions.lit(buckets))
+}

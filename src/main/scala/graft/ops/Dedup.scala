@@ -91,7 +91,8 @@ object Dedup {
   }
 
   /** 32-bit SimHash per doc over word hashes (explode + exact bit votes). */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhash(documents0: DataFrame): DataFrame = {
+    val documents = graft.core.Partitioning.balance(documents0, "doc_id")
     val words = documents
       .select(col("doc_id"), explode(expr(TextAnalysis.wordsExpr)).as("w"))
       .withColumn("h", expr(TextAnalysis.wordHashExpr))
@@ -120,7 +121,8 @@ object Dedup {
 
   /** Word-trigram Jaccard over candidate pairs blocked by `source` (exact
     * verifier; at scale feed it LSH candidates instead of the block join). */
-  def ngramJaccard(documents: DataFrame, minJaccard: Double): DataFrame = {
+  def ngramJaccard(documents0: DataFrame, minJaccard: Double): DataFrame = {
+    val documents = graft.core.Partitioning.balance(documents0, "doc_id")
     val tri = documents
       .withColumn("words", expr(TextAnalysis.wordsExpr))
       .select(col("doc_id"), col("source"), expr(

@@ -23,8 +23,9 @@ import graft.functions.expressions
 object Similarity {
 
   /** Exact brute-force top-k cosine neighbors for `vec_id < nQueries`. */
-  def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    expressions.register(embeddings.sparkSession)
+  def bruteTopK(embeddings0: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = embeddings.join(broadcast(queries),
@@ -73,8 +74,9 @@ object Similarity {
   /** Sign-LSH bucket id: sign pattern of dot products against `nPlanes`
     * deterministic pseudo-random hyperplanes (seeded integer grid —
     * reproducible across engines). */
-  def lshBuckets(embeddings: DataFrame, nPlanes: Int): DataFrame = {
-    expressions.register(embeddings.sparkSession)
+  def lshBuckets(embeddings0: DataFrame, nPlanes: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
     // plane p component j = ((p*8191 + j*127 + 13) % 17) - 8  (small ints)
     val dot = (0 until nPlanes).map { p =>
       val planeExpr =

@@ -29,7 +29,8 @@ object TextAnalysis {
   val duckWordHashExpr = "CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)"
 
   /** Per-doc analysis columns. */
-  def analyze(documents: DataFrame): DataFrame = {
+  def analyze(documents0: DataFrame): DataFrame = {
+    val documents = graft.core.Partitioning.balance(documents0, "doc_id")
     documents
       .withColumn("words", expr(wordsExpr))
       .withColumn("n_words", expr("CAST(size(words) AS INT)"))

@@ -68,10 +68,35 @@ object Seqs {
     * interpreted lambda dispatch). */
   def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.expressions.register(spark)
-    spark.read.parquet(s"$dir/documents.parquet")
+    // Balance the single-row-group sandbox scan before the CPU-heavy token
+    // expansion (see graft.core.Partitioning.balance — skipped when the
+    // scan already has enough splits, as any real-scale table does).
+    graft.core.Partitioning.readBalanced(spark, dir, "documents", "doc_id")
       .select(
         concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0")).as("doc_id"),
         expr(s"graft_gen_tokens(doc_id, CAST(least(n_chars * 16, $MaxTokens) AS INT))")
+          .as("tokens"),
+        least(col("n_chars") * 16, lit(MaxTokens)).cast("int").as("n_tok"),
+        col("source"))
+  }
+
+  /** Bench-scale variant: replicate every document `factor` times with a
+    * distinct derived doc id (so token content differs per replica) — used
+    * by the scaling benchmark so per-core compute dominates fixed job
+    * overhead (5000 docs finish in ~1 s on 8 cores; scaling efficiency is
+    * unmeasurable when setup cost is half the wall time). Content shape is
+    * identical to [[fromDocuments]]. */
+  def scaledFromDocuments(spark: SparkSession, dir: String, factor: Int): DataFrame = {
+    graft.functions.expressions.register(spark)
+    val parts = spark.sparkContext.defaultParallelism
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), col("source"),
+        explode(expr(s"sequence(0, $factor - 1)")).as("rep"))
+      .withColumn("did", col("doc_id") + col("rep").cast("long") * 1000000L)
+      .repartition(parts, col("did"))
+      .select(
+        concat(lit("d"), lpad(col("did").cast("string"), 9, "0")).as("doc_id"),
+        expr(s"graft_gen_tokens(did, CAST(least(n_chars * 16, $MaxTokens) AS INT))")
           .as("tokens"),
         least(col("n_chars") * 16, lit(MaxTokens)).cast("int").as("n_tok"),
         col("source"))
