@@ -82,7 +82,11 @@ object Bench {
       reps.min
     }
 
-    val results = BenchQueries.map(n => n -> runOne(n))
+    // SPARK_GRAFT_BENCH_ONLY_SCALED=1 skips the query battery (scaling
+    // evidence iterations need only the headline pipeline)
+    val onlyScaled = sys.env.get("SPARK_GRAFT_BENCH_ONLY_SCALED").contains("1")
+    val results =
+      if (onlyScaled) Seq.empty else BenchQueries.map(n => n -> runOne(n))
 
     // headline fv throughput on a corpus large enough that per-core compute
     // dominates job-setup overhead (replicated docs, distinct content)

@@ -50,7 +50,8 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.CurationQueries.defs ++
       graft.queries.RelationalQueries.defs ++
-      graft.queries.HlQueries.defs
+      graft.queries.HlQueries.defs ++
+      graft.queries.VectorQueries.defs
 
   def oracleSql: Map[String, String] =
     baseOracles ++
@@ -58,7 +59,8 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
-      graft.queries.HlQueries.oracles
+      graft.queries.HlQueries.oracles ++
+      graft.queries.VectorQueries.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational sanity: group-agg on lineitem (integral quantities ⇒ exact)

@@ -132,6 +132,19 @@ object TokenQueries {
           col("first_onset"), col("n_sessions"))
     }),
 
+    // JSON array encode/decode round-trip (SQLite JSON column analog,
+    // SqliteSampleDescriptorPool.cpp:316-458 / 151-310)
+    "json_roundtrip" -> ((s, dir) => {
+      seqs(s, dir)
+        .withColumn("tokens_json", to_json(col("tokens")))
+        .withColumn("parsed", from_json(col("tokens_json"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)))
+        .select(col("doc_id"),
+          length(col("tokens_json")).as("json_len"),
+          (col("parsed") === col("tokens")).as("roundtrip_ok"))
+    }),
+
     // change-list / incremental-scan semantics (Crawler.cpp:934-998)
     "changelist" -> ((s, dir) => {
       val src = seqs(s, dir).select(col("doc_id"), col("n_tok"))
@@ -278,6 +291,14 @@ object TokenQueries {
          |FROM seqs s
          |LEFT JOIN rawagg USING (doc_id)
          |LEFT JOIN keptagg USING (doc_id)""".stripMargin,
+
+    "json_roundtrip" ->
+      s"""WITH $duckSeqs
+         |SELECT doc_id,
+         |  CAST(length(to_json(tokens)) AS INTEGER) AS json_len,
+         |  CAST(from_json(to_json(tokens), '["INTEGER"]') AS INTEGER[]) = tokens
+         |    AS roundtrip_ok
+         |FROM seqs""".stripMargin,
 
     "changelist" ->
       """WITH seqsrc AS (

@@ -89,11 +89,15 @@ object Seqs {
   def scaledFromDocuments(spark: SparkSession, dir: String, factor: Int): DataFrame = {
     graft.functions.expressions.register(spark)
     val parts = spark.sparkContext.defaultParallelism
+    // shuffle the SMALL pre-fan-out rows, then explode inside each
+    // partition: the replication and token expansion stay narrow and fully
+    // parallel (exploding before the exchange would serialize the fan-out
+    // into the single input split's task)
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"), col("n_chars"), col("source"),
         explode(expr(s"sequence(0, $factor - 1)")).as("rep"))
       .withColumn("did", col("doc_id") + col("rep").cast("long") * 1000000L)
-      .repartition(parts, col("did"))
       .select(
         concat(lit("d"), lpad(col("did").cast("string"), 9, "0")).as("doc_id"),
         expr(s"graft_gen_tokens(did, CAST(least(n_chars * 16, $MaxTokens) AS INT))")

@@ -21,6 +21,23 @@ class AppSpec extends AnyFunSuite {
     assert(KeyedSink.read(spark, out).get.count() == seqs.count())
   }
 
+  test("csv export/import round-trip (ModelTester CSV export analog)") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-csv").toString + "/csv"
+    val hl = Pipeline.featuresLl(
+        Seqs.fromDocuments(spark, "/root/testdata/sf0.001").limit(20))
+      .select("doc_id", "n_tok", "n_frames", "rms_mean", "rms_variance")
+    hl.write.option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    assert(back.count() == 20)
+    val a = hl.orderBy("doc_id").collect().map(_.getDouble(3))
+    val b = back.orderBy("doc_id").collect().map(_.getDouble(3))
+    a.zip(b).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)))
+    }
+  }
+
   test("high-level stage: one row per doc, signature width, strengths sum to 1") {
     val seqs = Seqs.fromDocuments(spark, "/root/testdata/sf0.001").limit(50)
     val hl = FeaturesHl.featuresHl(Pipeline.featuresLl(seqs)).cache()
