@@ -462,19 +462,26 @@ object expressions {
       val tAny = tokens.eval(input)
       if (tAny == null) return null
       val arr = tAny.asInstanceOf[ArrayData].toIntArray()
-      val out = new Array[Any](thrs.length)
-      var t = 0
-      while (t < thrs.length) {
-        val thr = thrs(t)
-        var first = -1; var last = -1
-        var i = 0
-        while (i < arr.length) {
-          val ax = math.abs(arr(i))
-          if (ax > thr) { if (first == -1) first = i; last = i }
-          i += 1
+      // single pass over tokens for ALL thresholds (memory-bandwidth
+      // matters more than the tiny inner loop: one 32 KB read, not |thrs|)
+      val nT = thrs.length
+      val first = Array.fill(nT)(-1)
+      val last = Array.fill(nT)(-1)
+      var i = 0
+      while (i < arr.length) {
+        val ax = math.abs(arr(i))
+        var t = 0
+        while (t < nT) {
+          if (ax > thrs(t)) { if (first(t) == -1) first(t) = i; last(t) = i }
+          t += 1
         }
+        i += 1
+      }
+      val out = new Array[Any](nT)
+      var t = 0
+      while (t < nT) {
         out(t) = new GenericInternalRow(Array[Any](
-          first, last, if (first == -1) 0 else last - first + 1))
+          first(t), last(t), if (first(t) == -1) 0 else last(t) - first(t) + 1))
         t += 1
       }
       new GenericArrayData(out)
