@@ -71,8 +71,16 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
-    // the derived source table itself — token-array bitwise passthrough
-    "seqs_tokens" -> ((s, dir) => seqs(s, dir)),
+    // the derived source table itself — token-array bitwise passthrough.
+    // Driver-checkable form: the driver's pandas hasher can't hash array
+    // cells, so the bitwise invariant is carried by an md5 digest over the
+    // canonical CSV rendering of the tokens (int formatting is identical in
+    // Spark and DuckDB — no float ambiguity), plus the length. The raw
+    // array form stays available as Seqs.fromDocuments for local checks.
+    "seqs_tokens" -> ((s, dir) => seqs(s, dir).select(
+      col("doc_id"), col("source"), col("n_tok"),
+      expr("md5(array_join(transform(tokens, x -> CAST(x AS STRING)), ','))")
+        .as("tok_md5"))),
 
     // framing + per-frame energy features (SampleAnalyser.cpp:814,1760-1783)
     "frame_rms" -> ((s, dir) => Framing.frameRows(seqs(s, dir))),
@@ -103,7 +111,11 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
-    "seqs_tokens" -> s"WITH $duckSeqs SELECT * FROM seqs",
+    "seqs_tokens" ->
+      s"""WITH $duckSeqs
+         |SELECT doc_id, source, n_tok,
+         |       md5(array_to_string(tokens, ',')) AS tok_md5
+         |FROM seqs""".stripMargin,
 
     "frame_rms" ->
       s"""WITH $duckFrames

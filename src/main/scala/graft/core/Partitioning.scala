@@ -22,7 +22,12 @@ object Partitioning {
 
   def balance(df: DataFrame, key: String): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parts) df.repartition(parts, col(key))
+    // Split-count estimate WITHOUT forcing an RDD conversion (df.rdd plans
+    // the whole query per call): file count is a lower bound on scan splits
+    // (Spark splits large files further by maxPartitionBytes, so a table
+    // with >= `parts` files never repartitions here — the real-scale path).
+    val estSplits = df.inputFiles.length
+    if (estSplits < parts) df.repartition(parts, col(key))
     else df
   }
 

@@ -27,8 +27,24 @@ import org.apache.spark.sql.types._
   */
 object expressions {
 
-  /** Register all graft SQL functions on a session (idempotent). */
+  /** Register all graft SQL functions on a session (idempotent).
+    *
+    * Also excludes `InferFiltersFromGenerate`: that rule synthesizes
+    * `size(xs) > 0 AND isnotnull(xs)` above every generator, and predicate
+    * pushdown then inlines the *producing expression* of `xs` into a Filter
+    * below the balance exchange — re-evaluating the expensive per-token
+    * kernels (frame features, token gen) once per inferred predicate, in
+    * the single-split scan stage. Our generators explode arrays that are
+    * provably non-empty for non-null input (framesExpr emits ≥1 frame —
+    * the short-frame contract), so the inferred guard is always redundant
+    * here and the rule is pure cost. */
   def register(spark: SparkSession): Unit = {
+    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val cur = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .filter(_.nonEmpty)
+    if (!cur.exists(_.contains(rule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (cur.toSeq :+ rule).mkString(","))
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_gen_tokens",
       es => TokenGen(es(0), es(1)), "built-in")

@@ -20,8 +20,17 @@ object CurationQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
 
+    // Driver-checkable digest form: md5 over the canonical CSV rendering of
+    // the int64 signature / band arrays (integer formatting is identical in
+    // Spark and DuckDB), plus lengths. Raw-array form stays Dedup.minhash.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhash(Seqs.fromDocuments(s, dir))),
+      Dedup.minhash(Seqs.fromDocuments(s, dir)).select(col("doc_id"),
+        expr("md5(array_join(transform(sig, x -> CAST(x AS STRING)), ','))")
+          .as("sig_md5"),
+        expr("md5(array_join(transform(bands, x -> CAST(x AS STRING)), ','))")
+          .as("bands_md5"),
+        size(col("sig")).as("n_sig"),
+        size(col("bands")).as("n_bands"))),
 
     "dedup_lsh_pairs" -> ((s, dir) =>
       Dedup.lshCandidates(Seqs.fromDocuments(s, dir))),
@@ -50,7 +59,13 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.duckExactSql,
-    "dedup_minhash" -> Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})"),
+    "dedup_minhash" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(sig, ',')) AS sig_md5,
+         |  md5(array_to_string(bands, ',')) AS bands_md5,
+         |  CAST(len(sig) AS INTEGER) AS n_sig,
+         |  CAST(len(bands) AS INTEGER) AS n_bands
+         |FROM (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")})""".stripMargin,
     "dedup_lsh_pairs" ->
       s"""WITH mh AS (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")}),
          |b AS (

@@ -85,15 +85,25 @@ object HlQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // cubic-resampled spectrum-signature analog (SampleAnalyser.cpp:1490-1523)
+    // cubic-resampled spectrum-signature analog (SampleAnalyser.cpp:1490-1523).
+    // Exploded to scalar rows (the driver's pandas hasher can't hash array
+    // cells); -0.0 canonicalized at the boundary in both dialects.
     "hl_signature" -> ((s, dir) =>
-      hl(s, dir).select(col("doc_id"), col("signature"))),
+      hl(s, dir).select(col("doc_id"),
+          posexplode(col("signature")).as(Seq("sig_idx", "sig_val")))
+        .withColumn("sig_val", expr("IF(sig_val = 0.0, 0.0, sig_val)"))),
 
-    // one-shot heuristic chain (ClassificationHeuristics.cpp:12-98)
+    // one-shot heuristic chain (ClassificationHeuristics.cpp:12-98).
+    // Every float column is canonicalized (x = 0.0 → 0.0) in both dialects:
+    // PearsonCorr's numerator can be -0.0 in one engine and +0.0 in the
+    // other (float == treats them equal but the driver hashes canonical
+    // bit patterns).
     "hl_heuristics" -> ((s, dir) =>
-      hl(s, dir).select(col("doc_id"), col("env_correlation"),
-        col("env_confidence"), col("length_confidence"),
-        col("oneshot_confidence"), col("is_oneshot"))),
+      hl(s, dir).select(Seq(col("doc_id")) ++
+        Seq("env_correlation", "env_confidence", "length_confidence",
+          "oneshot_confidence").map(n =>
+          expr(s"IF($n = 0.0, 0.0, $n)").as(n)) :+
+        col("is_oneshot"): _*)),
 
     // characteristics + category strengths (SampleAnalyser.cpp:1354-1444,
     // ClassificationTools.cpp:7-128); flatness-derived values rounded at the
@@ -117,15 +127,22 @@ object HlQueries {
          |ser2 AS (SELECT doc_id, list(rms ORDER BY frame_id) AS xs
          |         FROM frames GROUP BY doc_id),
          |$resample
-         |SELECT doc_id, sig AS signature FROM cssig""".stripMargin
+         |SELECT doc_id,
+         |  CAST(gs - 1 AS INTEGER) AS sig_idx,
+         |  CASE WHEN u = 0.0 THEN 0.0 ELSE u END AS sig_val
+         |FROM (SELECT doc_id, unnest(sig) AS u,
+         |             generate_subscripts(sig, 1) AS gs FROM cssig)""".stripMargin
     },
 
-    "hl_heuristics" ->
+    "hl_heuristics" -> {
+      val canon = Seq("env_correlation", "env_confidence",
+        "length_confidence", "oneshot_confidence").map(n =>
+        s"CASE WHEN $n = 0.0 THEN 0.0 ELSE $n END AS $n").mkString(",\n       ")
       s"""WITH $duckHlCtes
-         |SELECT doc_id, env_correlation, env_confidence, length_confidence,
-         |       oneshot_confidence,
+         |SELECT doc_id, $canon,
          |       oneshot_confidence > 0.7 AS is_oneshot
-         |FROM conf3""".stripMargin,
+         |FROM conf3""".stripMargin
+    },
 
     "hl_characteristics" -> {
       // stats block for min/max/mean/centroid/flatness over xs

@@ -82,11 +82,17 @@ object TokenQueries {
           size(col("env")).as("n_frames"))
     }),
 
-    // 48-offset point-in-time sampling (SampleClassificationDescriptors.cpp:38-102)
+    // 48-offset point-in-time sampling (SampleClassificationDescriptors.cpp:38-102).
+    // Exploded to (doc_id, fv_idx, fv_val) scalar rows so the driver's
+    // pandas hasher can verify every element bitwise (it can't hash array
+    // cells); -0.0 canonicalized to 0.0 at the query boundary in BOTH
+    // dialects (the engines agree on values but may disagree on zero sign).
     "fv_rms" -> ((s, dir) => {
       Framing.withFrames(seqs(s, dir))
         .withColumn("rms_series", expr("transform(frames, fr -> fr.rms)"))
         .select(col("doc_id"), PointInTime.sampleOffsets("rms_series").as("fv"))
+        .select(col("doc_id"), posexplode(col("fv")).as(Seq("fv_idx", "fv_val")))
+        .withColumn("fv_val", expr("IF(fv_val = 0.0, 0.0, fv_val)"))
     }),
 
     // general as-of join: probe grid ⋈ frame series (north-rule operator)
@@ -232,9 +238,14 @@ object TokenQueries {
     "fv_rms" ->
       s"""WITH $duckFrames,
          |ser AS (SELECT doc_id, list(rms ORDER BY frame_id) AS xs
-         |        FROM frames GROUP BY doc_id)
-         |SELECT doc_id, ${PointInTime.duckSampleOffsets("xs")} AS fv
-         |FROM ser""".stripMargin,
+         |        FROM frames GROUP BY doc_id),
+         |fv AS (SELECT doc_id, ${PointInTime.duckSampleOffsets("xs")} AS fv
+         |       FROM ser)
+         |SELECT doc_id,
+         |  CAST(gs - 1 AS INTEGER) AS fv_idx,
+         |  CASE WHEN u = 0.0 THEN 0.0 ELSE u END AS fv_val
+         |FROM (SELECT doc_id, unnest(fv) AS u,
+         |             generate_subscripts(fv, 1) AS gs FROM fv)""".stripMargin,
 
     "pit_asof" ->
       s"""WITH $duckFrames,

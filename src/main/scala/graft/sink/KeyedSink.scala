@@ -1,7 +1,7 @@
 package graft.sink
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Idempotent keyed sink with snapshot metadata — the engine's analog of
@@ -23,11 +23,18 @@ import org.apache.spark.sql.functions._
   * previous snapshot intact (resume = re-run, the upsert is idempotent).
   *
   * == Scale notes ==
-  * The merge is `updates ∪ (existing ⟕anti updates)` — one shuffle-free
-  * union plus one hash anti-join on the key; Iceberg's merge-on-read does
-  * the same with positional deletes. AFEC's single-writer mutex
-  * (`Crawler.cpp:685`) disappears: the atomic pointer flip is the only
-  * serialization point and is O(1).
+  *  - [[upsert]] (copy-on-write) rewrites the table — right when updates
+  *    are a large fraction of it. Counts come from `observe()` metrics on
+  *    the single write job: the update pipeline executes exactly ONCE (a
+  *    separate `count()` would re-run the whole upstream feature pipeline).
+  *  - [[upsertDelta]] (merge-on-read) writes ONLY the update rows as a
+  *    delta snapshot — O(|updates|) IO per incremental run; [[read]] folds
+  *    the delta chain over its base with last-writer-wins anti-joins
+  *    (Iceberg's equality-delete read path). [[compact]] folds the chain
+  *    back into one full snapshot. At 100 TB an incremental run touching
+  *    0.1% of keys writes 0.1% of the bytes, not 100%.
+  *  - AFEC's single-writer mutex (`Crawler.cpp:685`) disappears: the atomic
+  *    pointer flip is the only serialization point and is O(1).
   */
 object KeyedSink {
 
@@ -44,9 +51,37 @@ object KeyedSink {
     else None
   }
 
-  /** Read the latest committed state (empty option when never committed). */
-  def read(spark: SparkSession, path: String): Option[DataFrame] =
-    latestSnapshot(path).map(n => spark.read.parquet(s"$path/snap-$n"))
+  private def snapKind(path: String, n: Int): String = {
+    val meta = Paths.get(path, s"snap-$n.json")
+    if (!Files.exists(meta)) "full"
+    else if (Files.readString(meta).contains("\"kind\": \"delta\"")) "delta"
+    else "full"
+  }
+
+  private def snapParent(path: String, n: Int): Int = {
+    val meta = Paths.get(path, s"snap-$n.json")
+    if (!Files.exists(meta)) 0
+    else "\"parent\": (\\d+)".r.findFirstMatchIn(Files.readString(meta))
+      .map(_.group(1).toInt).getOrElse(0)
+  }
+
+  /** Read snapshot `n` resolved through its delta chain (newest wins). */
+  private def readSnap(spark: SparkSession, path: String, n: Int,
+                       key: String): DataFrame = {
+    val cur = spark.read.parquet(s"$path/snap-$n")
+    if (snapKind(path, n) == "full") cur
+    else {
+      val base = readSnap(spark, path, snapParent(path, n), key)
+      merge(base, cur, key)
+    }
+  }
+
+  /** Read the latest committed state (empty option when never committed).
+    * Delta snapshots are folded over their base at read time (merge-on-read;
+    * `key` is needed to resolve last-writer-wins — defaults to `doc_id`). */
+  def read(spark: SparkSession, path: String,
+           key: String = "doc_id"): Option[DataFrame] =
+    latestSnapshot(path).map(n => readSnap(spark, path, n, key))
 
   /** Logical MERGE: rows from `updates` win by `key`; `existing` rows with
     * no update pass through; keys in `deletes` are dropped. */
@@ -60,39 +95,102 @@ object KeyedSink {
     }
   }
 
-  /** Upsert `updates` (and optional `deletes`) into the sink at `path`.
-    * Commits a new snapshot with lineage/row-count metrics in its metadata
-    * JSON (the Iceberg commit-summary analog). Returns the stats. */
-  def upsert(spark: SparkSession, path: String, updates: DataFrame,
-             key: String, deletes: Option[DataFrame] = None): CommitStats = {
-    Files.createDirectories(Paths.get(path))
-    val next = latestSnapshot(path).getOrElse(0) + 1
-    val merged = read(spark, path) match {
-      case Some(existing) => merge(existing, updates, key, deletes)
-      case None => deletes match {
-        case Some(d) => updates.join(d.select(col(key)), Seq(key), "left_anti")
-        case None => updates
-      }
-    }
-    val snapDir = s"$path/snap-$next"
-    merged.write.mode("overwrite").parquet(snapDir)
-    val total = spark.read.parquet(snapDir).count()
-    val nUp = updates.count()
-    val nDel = deletes.map(_.count()).getOrElse(0L)
-    val nPart = spark.read.parquet(snapDir).rdd.getNumPartitions
-    val stats = CommitStats(next, total, nUp, nDel, nPart)
-    // commit metadata (lineage + metrics), then atomically flip the pointer
+  private def countFiles(snapDir: String): Int = {
+    val f = new java.io.File(snapDir)
+    Option(f.listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+      .getOrElse(0)
+  }
+
+  private def commit(path: String, next: Int, kind: String, total: Long,
+                     nUp: Long, nDel: Long, nPart: Int, key: String): CommitStats = {
+    val parent = latestSnapshot(path).getOrElse(0)
     val meta =
-      s"""{"snapshot": $next, "total_rows": $total, "upserted_rows": $nUp,
-         | "deleted_rows": $nDel, "partitions": $nPart,
-         | "parent": ${latestSnapshot(path).getOrElse(0)},
+      s"""{"snapshot": $next, "kind": "$kind", "total_rows": $total,
+         | "upserted_rows": $nUp, "deleted_rows": $nDel,
+         | "partitions": $nPart, "parent": $parent,
          | "key": "$key"}""".stripMargin.replace("\n", "")
     Files.writeString(Paths.get(path, s"snap-$next.json"), meta)
     val tmp = Paths.get(path, "_latest.tmp")
     Files.writeString(tmp, s"snap-$next")
     Files.move(tmp, latestFile(path), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    stats
+    CommitStats(next, total, nUp, nDel, nPart)
+  }
+
+  /** Copy-on-write upsert of `updates` (and optional `deletes`) at `path`.
+    * Row counts come from `observe()` on the ONE write job — the update
+    * pipeline is never executed twice. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             key: String, deletes: Option[DataFrame] = None): CommitStats = {
+    Files.createDirectories(Paths.get(path))
+    val next = latestSnapshot(path).getOrElse(0) + 1
+    val updTagged = updates.withColumn("__upd", lit(true))
+    val merged = read(spark, path, key) match {
+      case Some(existing) =>
+        val kept = existing.join(updates.select(col(key)), Seq(key), "left_anti")
+          .withColumn("__upd", lit(false))
+        val m = updTagged.unionByName(kept)
+        deletes match {
+          case Some(d) => m.join(d.select(col(key)), Seq(key), "left_anti")
+          case None => m
+        }
+      case None => deletes match {
+        case Some(d) => updTagged.join(d.select(col(key)), Seq(key), "left_anti")
+        case None => updTagged
+      }
+    }
+    val obs = Observation(s"keyed-sink-$next")
+    val snapDir = s"$path/snap-$next"
+    merged.observe(obs,
+        count(lit(1)).as("total"),
+        sum(when(col("__upd"), 1L).otherwise(0L)).as("upserted"))
+      .drop("__upd")
+      .write.mode("overwrite").parquet(snapDir)
+    val row = obs.get
+    val total = row("total").asInstanceOf[Long]
+    val nUp = Option(row("upserted")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nDel = deletes.map(_.count()).getOrElse(0L) // deletes = small changelist
+    commit(path, next, "full", total, nUp, nDel, countFiles(snapDir), key)
+  }
+
+  /** Merge-on-read upsert: writes ONLY `updates` as a delta snapshot.
+    * `totalRows` in the stats is the post-merge logical row count (Iceberg
+    * would read it from the snapshot summary; here it costs one key-column
+    * scan of the chain). */
+  def upsertDelta(spark: SparkSession, path: String, updates: DataFrame,
+                  key: String): CommitStats = {
+    Files.createDirectories(Paths.get(path))
+    val parent = latestSnapshot(path)
+    if (parent.isEmpty) return upsert(spark, path, updates, key)
+    val next = parent.get + 1
+    val obs = Observation(s"keyed-sink-delta-$next")
+    val snapDir = s"$path/snap-$next"
+    updates.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(snapDir)
+    val nUp = obs.get("n").asInstanceOf[Long]
+    val stats = commit(path, next, "delta", -1L, nUp, 0L,
+      countFiles(snapDir), key)
+    val total = readSnap(spark, path, next, key).select(col(key)).count()
+    // refresh metadata with the resolved total (pointer already flipped —
+    // readers were never blocked on this)
+    Files.writeString(Paths.get(path, s"snap-$next.json"),
+      s"""{"snapshot": $next, "kind": "delta", "total_rows": $total, "upserted_rows": $nUp, "deleted_rows": 0, "partitions": ${stats.partitions}, "parent": ${parent.get}, "key": "$key"}""")
+    stats.copy(totalRows = total)
+  }
+
+  /** Fold the delta chain into one full snapshot (Iceberg rewrite-data-files
+    * analog). No-op when the latest snapshot is already full. */
+  def compact(spark: SparkSession, path: String, key: String): Option[CommitStats] = {
+    val cur = latestSnapshot(path)
+    if (cur.isEmpty || snapKind(path, cur.get) == "full") return None
+    val folded = readSnap(spark, path, cur.get, key)
+    val next = cur.get + 1
+    val obs = Observation(s"keyed-sink-compact-$next")
+    val snapDir = s"$path/snap-$next"
+    folded.observe(obs, count(lit(1)).as("total"))
+      .write.mode("overwrite").parquet(snapDir)
+    val total = obs.get("total").asInstanceOf[Long]
+    Some(commit(path, next, "full", total, 0L, 0L, countFiles(snapDir), key))
   }
 
   /** Resume support: the subset of `src` not yet up-to-date in the sink —
@@ -101,7 +199,7 @@ object KeyedSink {
     * upserting is an exact incremental re-run. */
   def pending(spark: SparkSession, path: String, src: DataFrame,
               key: String, version: String): DataFrame =
-    read(spark, path) match {
+    read(spark, path, key) match {
       case None => src
       case Some(dst) =>
         val d = dst.select(col(key), col(version).as("__v"))
