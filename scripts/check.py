@@ -17,6 +17,10 @@ for t in glob.glob(os.path.join(sfdir, '*.parquet')):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
 
 oracle = json.load(open(os.path.join(outdir, 'oracle_sql.json')))
+# optional: restrict to the named queries (fast iteration on new operators)
+only = set(sys.argv[3:])
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])

@@ -51,7 +51,9 @@ object SparkEntry {
       graft.queries.CurationQueries.defs ++
       graft.queries.RelationalQueries.defs ++
       graft.queries.HlQueries.defs ++
-      graft.queries.VectorQueries.defs
+      graft.queries.VectorQueries.defs ++
+      graft.queries.SpectralQueries.defs ++
+      graft.queries.RhythmQueries.defs
 
   def oracleSql: Map[String, String] =
     baseOracles ++
@@ -60,7 +62,9 @@ object SparkEntry {
       graft.queries.CurationQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.HlQueries.oracles ++
-      graft.queries.VectorQueries.oracles
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.SpectralQueries.oracles ++
+      graft.queries.RhythmQueries.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational sanity: group-agg on lineitem (integral quantities ⇒ exact)

@@ -64,7 +64,11 @@ object expressions {
       es => CubicResample(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_correlation",
       es => PearsonCorr(es(0), es(1)), "built-in")
+    spectral.register(spark)
+    rhythm.register(spark)
   }
+
+  private[functions] def litIntPub(e: Expression): Int = litInt(e)
 
   private def litInt(e: Expression): Int =
     if (!e.foldable) throw new IllegalArgumentException(s"expected int literal, got $e")

@@ -1,0 +1,370 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Framing, Windows}
+import graft.functions.rhythm
+import graft.sources.Seqs
+
+/** Oracle-checked queries for the rhythm/whitening battery
+  * ([[graft.functions.rhythm]]): spectral whitening, Canny-sharpened onset
+  * peak metrics, the bounded look-ahead confident-pitch fill, and the
+  * tempo-summary heuristics. */
+object RhythmQueries {
+
+  private def seqs(s: SparkSession, dir: String): DataFrame =
+    Seqs.fromDocuments(s, dir)
+
+  private val F = Seqs.FrameSize
+  private val H = Seqs.Hop
+  private val RF = Seqs.RFrameSize
+  private val RH = Seqs.RHop
+
+  /** Onset-value scale: rhythm post-baseline values mapped to the ~[0,4]
+    * range the reference thresholds (0.1, /4 clip) expect. */
+  val OnsetScale = 650.0
+  private val MedianSpan = TokenQueries.MedianSpan
+
+  /** Confident-pitch params: token analogs of `IsConfidentPitch`
+    * (`SampleAnalyser.cpp:1236-1292`) — the frame "pitch" is its RMS, its
+    * confidence is peak/2048. */
+  val PitchConfidence = 0.6
+
+  private val duckSeqs = s"seqs AS (${Seqs.duckSql})"
+  private val duckBlocks =
+    s"$duckSeqs,\n${Framing.duckFrameCtes(graft.functions.spectral.BlockSize,
+      graft.functions.spectral.BlockSize, Seqs.SilenceThreshold, "b")}"
+  private val duckRFrames =
+    s"$duckSeqs,\n${Framing.duckFrameCtes(RF, RH, Seqs.SilenceThreshold, "r")}"
+  private val duckFrames =
+    s"$duckSeqs,\n${Framing.duckFrameCtes(F, H, Seqs.SilenceThreshold)}"
+
+  private def fold(xs: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $xs), (a, x) -> a + x)"
+
+  private def cz(e: String): String = s"CASE WHEN $e = 0.0 THEN 0.0 ELSE $e END"
+
+  /** Per-(doc, frame) block spectrum (same shape as SpectralQueries). */
+  private val duckSpectrum: String = {
+    val hb = H / graft.functions.spectral.BlockSize
+    val fb = F / graft.functions.spectral.BlockSize
+    s"""sf AS (
+       |  SELECT doc_id, n_tok,
+       |    unnest(range(CASE WHEN n_tok >= $F THEN (n_tok - $F) // $H + 1
+       |                      ELSE 1 END)) AS f
+       |  FROM seqs),
+       |mspec AS (
+       |  SELECT s.doc_id, CAST(s.f AS INTEGER) AS f,
+       |         list(b.rms ORDER BY b.frame_id) AS m
+       |  FROM sf s JOIN bframes b ON b.doc_id = s.doc_id
+       |    AND b.frame_id >= s.f * $hb AND b.frame_id < s.f * $hb + $fb
+       |  GROUP BY s.doc_id, s.f)""".stripMargin
+  }
+
+  /** Rhythm-clock onset values + canny-sharpened series per doc. Yields
+    * CTE `sharp(doc_id, n, ser, sharp, ispk)`. */
+  private val duckSharp: String = {
+    val cwLit = Duck.litArray(rhythm.CannyWeights)
+    val L = rhythm.CannyLength
+    val W = rhythm.PeakWindowLength
+    s"""med AS (
+       |  SELECT doc_id, frame_id, rms,
+       |    (list_sort(list(rms) OVER w))[
+       |      ((len(list(rms) OVER w) - 1) // 2) + 1] AS base
+       |  FROM rframes
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id
+       |               ROWS BETWEEN ${MedianSpan - 1} PRECEDING AND CURRENT ROW)),
+       |ov AS (
+       |  SELECT doc_id, frame_id,
+       |    greatest(rms - base, CAST(0.0 AS DOUBLE)) / $OnsetScale AS v
+       |  FROM med),
+       |ser0 AS (
+       |  SELECT doc_id, list(v ORDER BY frame_id) AS ser,
+       |         CAST(count(*) AS INTEGER) AS n
+       |  FROM ov GROUP BY doc_id),
+       |cw AS (SELECT CAST($cwLit AS DOUBLE[]) AS w),
+       |conv AS (
+       |  SELECT doc_id, n, ser,
+       |    list_transform(range(CAST(n AS BIGINT)), i ->
+       |      ${fold(s"list_transform(range(${2 * L}), k -> CASE WHEN i + k - $L >= 0 AND i + k - $L < n THEN ser[i + k - ${L - 1}] * w[k + 1] ELSE CAST(0.0 AS DOUBLE) END)")})
+       |      AS c0
+       |  FROM ser0, cw),
+       |norm AS (
+       |  SELECT doc_id, n, ser, c0, ${fold("c0")} / n AS mu FROM conv),
+       |norm2 AS (
+       |  SELECT *,
+       |    CASE WHEN n >= 2
+       |         THEN ${fold("list_transform(c0, x -> (x - mu) * (x - mu))")} / n
+       |         ELSE CAST(0.0 AS DOUBLE) END AS var FROM norm),
+       |sharp0 AS (
+       |  SELECT doc_id, n, ser,
+       |    CASE WHEN var > 0.0 THEN
+       |      list_transform(c0, x ->
+       |        greatest(CAST(0.0 AS DOUBLE), (x - mu) / sqrt(var)))
+       |    ELSE c0 END AS sharp
+       |  FROM norm2),
+       |sharp AS (
+       |  SELECT doc_id, n, ser, sharp,
+       |    list_transform(range(CAST(n AS BIGINT)), i ->
+       |      len(list_filter(range(greatest(i - $W, 0), least(i + ${W + 1}, n)),
+       |        j -> sharp[j + 1] > sharp[i + 1])) = 0) AS ispk
+       |  FROM sharp0)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // spectral whitening: per-bin recursive peak decay (awhitening.c:43-51,
+    // SampleAnalyser.cpp:806-858). Pure max/mul/div — bitwise, no rounding.
+    "whiten" -> ((s, dir) =>
+      seqs(s, dir)
+        .select(col("doc_id"),
+          explode(expr(s"graft_whiten(tokens, $F, $H)")).as("w"))
+        .select(col("doc_id"), col("w.frame_id").as("frame_id"),
+          col("w.bin").as("bin"), col("w.white").as("white"))),
+
+    // canny-sharpened onset peak metrics (RhythmTracker.cpp:356-480, 623-659)
+    "rhythm_metrics" -> ((s, dir) => {
+      val fr = Framing.frameRows(seqs(s, dir), RF, RH)
+      val ov = fr
+        .withColumn("base",
+          Windows.rollingMedian(col("rms"), MedianSpan, "doc_id", "frame_id"))
+        .withColumn("v", expr(
+          s"greatest(rms - base, CAST(0.0 AS DOUBLE)) / $OnsetScale"))
+      ov.groupBy(col("doc_id"))
+        .agg(expr("sort_array(collect_list(struct(frame_id, v)))").as("ps"))
+        .withColumn("ser", expr("transform(ps, p -> p.v)"))
+        .withColumn("m", expr("graft_rhythm_metrics(graft_canny(ser))"))
+        .select(col("doc_id"),
+          expr("IF(m.strength = 0.0, 0.0, m.strength)").as("strength"),
+          col("m.n_peaks").as("n_peaks"),
+          expr("IF(m.threshold = 0.0, 0.0, m.threshold)").as("threshold"),
+          col("m.n_cpeaks").as("n_cpeaks"),
+          expr("IF(round(m.contrast, 6) = 0.0, 0.0, round(m.contrast, 6))")
+            .as("contrast"))
+    }),
+
+    // confident-pitch fill with bounded look-ahead seed
+    // (SampleAnalyser.cpp:1557-1596): the seed scan over the first
+    // max(1, n/4) frames is the ONE deliberate forward-looking exception
+    // (leakage property test pins it down); the fill itself is causal.
+    "confident_pitch" -> ((s, dir) => {
+      val fr = Framing.frameRows(seqs(s, dir))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      fr.withColumn("conf", expr("CAST(peak AS DOUBLE) / 2048.0"))
+        .withColumn("confident",
+          expr(s"is_audible AND CAST(peak AS DOUBLE) / 2048.0 > $PitchConfidence"))
+        .withColumn("nf", count(lit(1)).over(wAll))
+        .withColumn("seed", first(
+          when(col("confident") &&
+            col("frame_id") <= greatest(lit(1), expr("CAST(nf div 4 AS INT)")),
+            col("rms")), ignoreNulls = true).over(wAll))
+        .withColumn("lastc", last(
+          when(col("confident"), col("rms")), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("frame_id"), col("confident"),
+          coalesce(col("lastc"), col("seed"), lit(0.0)).as("pitch_filled"))
+    }),
+
+    // tempo summary: range reject + octave fold into [80, 200) + 3-beat
+    // duration gate (RhythmTracker.cpp:203-218, 256-281)
+    "tempo_summary" -> ((s, dir) => {
+      val fr = Framing.frameRows(seqs(s, dir), RF, RH)
+      val ov = fr
+        .withColumn("base",
+          Windows.rollingMedian(col("rms"), MedianSpan, "doc_id", "frame_id"))
+        .withColumn("v", expr(
+          s"greatest(rms - base, CAST(0.0 AS DOUBLE)) / $OnsetScale"))
+        .withColumn("prev_v", lag(col("v"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("frame_id"))))
+        .withColumn("is_onset", col("v") > 0.1 &&
+          (col("prev_v").isNull || col("prev_v") <= 0.1))
+      val perDoc = ov.groupBy(col("doc_id")).agg(
+        sum(when(col("is_onset"), 1).otherwise(0)).cast("int").as("n_onsets"),
+        coalesce(max(when(col("v") >= rhythm.PeakThreshold, col("frame_id"))),
+          lit(0)).as("last_active"),
+        any_value(col("n_tok")).as("n_tok"))
+      perDoc
+        // onsets per minute on the 1024-token/sec clock
+        .withColumn("tempo_raw", expr(
+          "CAST(n_onsets AS DOUBLE) * 61440.0 / n_tok"))
+        .withColumn("t0", expr(
+          "CASE WHEN tempo_raw < 20.0 OR tempo_raw > 300.0 THEN 0.0 ELSE tempo_raw END"))
+        .withColumn("t1", expr("IF(t0 > 0.0 AND t0 < 80.0, t0 * 2.0, t0)"))
+        .withColumn("t2", expr("IF(t1 > 0.0 AND t1 < 80.0, t1 * 2.0, t1)"))
+        .withColumn("tempo", expr("IF(t2 >= 200.0, t2 / 2.0, t2)"))
+        .withColumn("is_loop_candidate", expr(
+          s"""tempo > 0.0 AND
+             |CAST(last_active AS DOUBLE) * $RH >=
+             |  (60.0 / tempo * 1024.0) * 3.0""".stripMargin))
+        .select(col("doc_id"), col("tempo_raw"), col("tempo"),
+          col("is_loop_candidate"))
+    })
+  )
+
+  // ------------------------------------------------------------------
+
+  def oracles: Map[String, String] = Map(
+
+    "whiten" -> {
+      val (decay, floor) = (rhythm.WhitenDecay, rhythm.WhitenFloor)
+      s"""WITH RECURSIVE $duckBlocks,
+         |$duckSpectrum,
+         |rec AS (
+         |  SELECT doc_id, f, m,
+         |    list_transform(m, x -> greatest(x, CAST($floor AS DOUBLE))) AS peaks
+         |  FROM mspec WHERE f = 0
+         |  UNION ALL
+         |  SELECT s.doc_id, s.f, s.m,
+         |    list_transform(range(CAST(len(s.m) AS BIGINT)), i ->
+         |      greatest(s.m[i + 1],
+         |        greatest(CAST($decay AS DOUBLE)
+         |                   * coalesce(r.peaks[i + 1], CAST(0.0 AS DOUBLE)),
+         |                 CAST($floor AS DOUBLE)))) AS peaks
+         |  FROM mspec s JOIN rec r ON s.doc_id = r.doc_id AND s.f = r.f + 1)
+         |SELECT doc_id, f AS frame_id,
+         |  CAST(gs - 1 AS INTEGER) AS bin,
+         |  u / p AS white
+         |FROM (SELECT doc_id, f, unnest(m) AS u, unnest(peaks) AS p,
+         |             generate_subscripts(m, 1) AS gs
+         |      FROM rec)""".stripMargin
+    },
+
+    "rhythm_metrics" -> {
+      val thr = rhythm.PeakThreshold
+      val pct = rhythm.ContrastPercentile
+      s"""WITH RECURSIVE $duckRFrames,
+         |$duckSharp,
+         |pk AS (
+         |  SELECT doc_id, n, sharp, ispk,
+         |    list_filter(range(CAST(n AS BIGINT)),
+         |      i -> sharp[i + 1] > CAST($thr AS DOUBLE) AND ispk[i + 1]) AS pks
+         |  FROM sharp),
+         |strength AS (
+         |  SELECT doc_id, n, sharp, ispk,
+         |    CAST(len(pks) AS INTEGER) AS n_peaks,
+         |    CASE WHEN len(pks) = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+         |           ${fold("list_transform(pks, i -> sharp[i + 1])")}
+         |             / len(pks) / 4.0)) END AS strength,
+         |    (list_sort(sharp))[
+         |      CAST(trunc(CAST($pct AS DOUBLE) * (n - 1)) AS INTEGER) + 1]
+         |      AS threshold
+         |  FROM pk),
+         |walk AS (
+         |  SELECT doc_id, n, sharp, ispk, threshold,
+         |    -1 AS i, 0 AS vpos, threshold AS vval,
+         |    CAST(0.0 AS DOUBLE) AS cpsum, CAST(0.0 AS DOUBLE) AS cvsum,
+         |    0 AS ncp
+         |  FROM strength
+         |  UNION ALL
+         |  SELECT doc_id, n, sharp, ispk, threshold,
+         |    i + 1,
+         |    CASE WHEN sharp[i + 2] < vval THEN i + 1 ELSE vpos END,
+         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+         |           THEN sharp[i + 2]
+         |         WHEN sharp[i + 2] < vval THEN sharp[i + 2]
+         |         ELSE vval END,
+         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+         |         THEN cpsum + sharp[i + 2] ELSE cpsum END,
+         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+         |         THEN cvsum + sharp[
+         |           CASE WHEN sharp[i + 2] < vval THEN i + 2 ELSE vpos + 1 END]
+         |         ELSE cvsum END,
+         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+         |         THEN ncp + 1 ELSE ncp END
+         |  FROM walk WHERE i + 1 < n),
+         |walked AS (
+         |  SELECT doc_id, any_value(n) AS n, any_value(sharp) AS sharp,
+         |    any_value(threshold) AS threshold,
+         |    max(i) AS mi
+         |  FROM walk GROUP BY doc_id),
+         |final AS (
+         |  SELECT w.doc_id, w.n, w.sharp, w.threshold,
+         |    k.cpsum, k.cvsum, k.ncp
+         |  FROM walked w JOIN walk k ON w.doc_id = k.doc_id AND k.i = w.mi),
+         |contrast AS (
+         |  SELECT doc_id, n, threshold, ncp,
+         |    CASE WHEN ncp = 0 THEN CAST(0.0 AS DOUBLE) ELSE cpsum / ncp END
+         |      AS peakmean,
+         |    (CASE WHEN ncp = 0 THEN CAST(0.0 AS DOUBLE) ELSE cvsum / ncp END)
+         |      + 0.0001 AS valleymean,
+         |    ${fold("sharp")} / n AS totalmean
+         |  FROM final)
+         |SELECT s.doc_id,
+         |  ${cz("s.strength")} AS strength,
+         |  s.n_peaks,
+         |  ${cz("c.threshold")} AS threshold,
+         |  c.ncp AS n_cpeaks,
+         |  ${cz("round(CASE WHEN c.peakmean <> 0.0 THEN -1.0 * pow(c.peakmean / c.valleymean, 1.0 / ln(c.totalmean + 0.0001)) ELSE CAST(0.0 AS DOUBLE) END, 6)")}
+         |    AS contrast
+         |FROM strength s JOIN contrast c USING (doc_id)""".stripMargin
+    },
+
+    "confident_pitch" ->
+      s"""WITH $duckFrames,
+         |fx AS (
+         |  SELECT doc_id, frame_id, rms,
+         |    is_audible AND CAST(peak AS DOUBLE) / 2048.0 > $PitchConfidence
+         |      AS confident,
+         |    count(*) OVER (PARTITION BY doc_id) AS nf
+         |  FROM frames)
+         |SELECT doc_id, frame_id, confident,
+         |  coalesce(
+         |    last_value(CASE WHEN confident THEN rms END IGNORE NULLS)
+         |      OVER (PARTITION BY doc_id ORDER BY frame_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    first_value(CASE WHEN confident AND frame_id <=
+         |                       greatest(1, CAST(nf // 4 AS INTEGER))
+         |                     THEN rms END IGNORE NULLS)
+         |      OVER (PARTITION BY doc_id ORDER BY frame_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         |    CAST(0.0 AS DOUBLE)) AS pitch_filled
+         |FROM fx""".stripMargin,
+
+    "tempo_summary" ->
+      s"""WITH $duckRFrames,
+         |med AS (
+         |  SELECT doc_id, frame_id, n_tok, rms,
+         |    (list_sort(list(rms) OVER w))[
+         |      ((len(list(rms) OVER w) - 1) // 2) + 1] AS base
+         |  FROM rframes
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id
+         |               ROWS BETWEEN ${MedianSpan - 1} PRECEDING AND CURRENT ROW)),
+         |ov AS (
+         |  SELECT doc_id, frame_id, n_tok,
+         |    greatest(rms - base, CAST(0.0 AS DOUBLE)) / $OnsetScale AS v,
+         |    lag(greatest(rms - base, CAST(0.0 AS DOUBLE)) / $OnsetScale)
+         |      OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_v
+         |  FROM med),
+         |agg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0.1 AND (prev_v IS NULL OR prev_v <= 0.1)
+         |                  THEN 1 ELSE 0 END) AS INTEGER) AS n_onsets,
+         |    coalesce(max(CASE WHEN v >= ${rhythm.PeakThreshold}
+         |                      THEN frame_id END), 0) AS last_active,
+         |    any_value(n_tok) AS n_tok
+         |  FROM ov GROUP BY doc_id),
+         |t AS (
+         |  SELECT doc_id, last_active,
+         |    CAST(n_onsets AS DOUBLE) * 61440.0 / n_tok AS tempo_raw
+         |  FROM agg),
+         |t0 AS (SELECT *, CASE WHEN tempo_raw < 20.0 OR tempo_raw > 300.0
+         |                      THEN CAST(0.0 AS DOUBLE) ELSE tempo_raw END AS x0
+         |       FROM t),
+         |t1 AS (SELECT *, CASE WHEN x0 > 0.0 AND x0 < 80.0 THEN x0 * 2.0
+         |                      ELSE x0 END AS x1 FROM t0),
+         |t2 AS (SELECT *, CASE WHEN x1 > 0.0 AND x1 < 80.0 THEN x1 * 2.0
+         |                      ELSE x1 END AS x2 FROM t1),
+         |t3 AS (SELECT *, CASE WHEN x2 >= 200.0 THEN x2 / 2.0 ELSE x2 END
+         |                   AS tempo FROM t2)
+         |SELECT doc_id, tempo_raw, tempo,
+         |  tempo > 0.0 AND CAST(last_active AS DOUBLE) * $RH >=
+         |    (60.0 / tempo * 1024.0) * 3.0 AS is_loop_candidate
+         |FROM t3""".stripMargin
+  )
+}
