@@ -12,7 +12,12 @@ ROUNDS="${2:-3}"
 CP="/opt/spark/jars/*:target/scala-2.13/classes"
 OPENS=$(cat scripts/addopens.txt)
 run() {
+  # ONLY_SCALED: the scaling evidence times just the headline pipeline on
+  # the replicated corpus (SCALE sized so the 32-core run takes >= ~20 s —
+  # round 1 measured setup cost, not throughput, at scale 20)
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$1" \
+  SPARK_GRAFT_BENCH_ONLY_SCALED=1 \
+  SPARK_GRAFT_BENCH_SCALE="${SPARK_GRAFT_BENCH_SCALE:-150}" \
   java $OPENS -Xmx${SPARK_DRIVER_MEM:-48g} -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench 2>/dev/null | tail -1

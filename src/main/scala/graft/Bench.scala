@@ -21,6 +21,8 @@ object Bench {
     * per-round bench stays minutes, not hours. */
   val BenchQueries: Seq[String] = Seq(
     "features_ll",        // headline: full per-doc feature pipeline
+    "fv_full",            // full 1680-dim classification feature vector
+    "band_features",      // per-frame sub-band battery
     "frame_rms",          // framing kernel
     "doc_stats_rms",      // stats kernel
     "pit_asof",           // as-of join
@@ -89,7 +91,10 @@ object Bench {
       if (onlyScaled) Seq.empty else BenchQueries.map(n => n -> runOne(n))
 
     // headline fv throughput on a corpus large enough that per-core compute
-    // dominates job-setup overhead (replicated docs, distinct content)
+    // dominates job-setup overhead (replicated docs, distinct content).
+    // Scaling evidence needs the 32-core run >= ~30 s: at ~90k docs/s that
+    // is ~2.5M docs = scale 500 on sf0.1 (round-1's scale 20 ran ~1 s and
+    // measured nothing but setup cost).
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "20").toInt
     val scaledLl = (s: SparkSession, d: String) =>
       graft.features.Pipeline.featuresLl(
@@ -107,10 +112,25 @@ object Bench {
     val fvRows = nDocs * graft.features.PointInTime.TimeOffsets.length
     val fvRate = if (llSec > 0) fvRows / llSec else -1.0
     System.err.println(f"[bench] features_ll_scaled(x$scale) = $llSec%.2f s")
+    // the full 1680-dim classification vector on the same scaled corpus
+    // (the heavyweight honest workload; reported alongside the headline)
+    def timeFvFull(): Double = {
+      val t0 = System.nanoTime()
+      graft.features.FeatureVector.fvFull(
+          graft.sources.Seqs.scaledFromDocuments(spark, sfDir, scale))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // scaling-evidence iterations (ONLY_SCALED) time just the headline
+    val fvFullSec =
+      if (onlyScaled) -1.0
+      else { timeFvFull(); Seq(timeFvFull(), timeFvFull()).min }
+    val fvFullRate = if (fvFullSec > 0) fvRows / fvFullSec else -1.0
+    System.err.println(f"[bench] fv_full_scaled(x$scale) = $fvFullSec%.2f s")
     val total = results.map(_._2).filter(_ > 0).sum
     val qJson = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"feature-vector rows/sec (entity x 48 offsets); per-query wall sec","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","n_docs":$nDocs,"fv_rows":$fvRows,"fv_rows_per_sec":$fvRate,"cpus":$cpus}""")
+      s"""{"metric":"feature-vector rows/sec (entity x 48 offsets); per-query wall sec","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","n_docs":$nDocs,"fv_rows":$fvRows,"fv_rows_per_sec":$fvRate,"fv_full_sec":$fvFullSec,"fv_full_rows_per_sec":$fvFullRate,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.HlQueries.defs ++
       graft.queries.VectorQueries.defs ++
       graft.queries.SpectralQueries.defs ++
-      graft.queries.RhythmQueries.defs
+      graft.queries.RhythmQueries.defs ++
+      graft.queries.FeatureVectorQueries.defs
 
   def oracleSql: Map[String, String] =
     baseOracles ++
@@ -64,7 +65,8 @@ object SparkEntry {
       graft.queries.HlQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.SpectralQueries.oracles ++
-      graft.queries.RhythmQueries.oracles
+      graft.queries.RhythmQueries.oracles ++
+      graft.queries.FeatureVectorQueries.oracles
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational sanity: group-agg on lineitem (integral quantities ⇒ exact)

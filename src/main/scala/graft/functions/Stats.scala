@@ -198,6 +198,21 @@ object Stats {
     * block; returns a full SELECT yielding keys + 13 stats. `prelude` is an
     * optional comma-joined CTE list (no leading WITH) that `inner` may
     * reference (e.g. the seqs/frames CTEs). */
+  /** Like [[duckBlock]] but returns composable CTE text (no leading WITH)
+    * plus the name of the final CTE — for oracles that need many stat
+    * blocks in one statement (the feature-vector assembly). */
+  def duckBlockCtes(inner: String, keys: Seq[String], xs: String,
+                    p: String): (String, String) = {
+    val stages = exprs(xs, p, spark = false)
+    val cte = stages.zipWithIndex.map { case ((name, e), i) =>
+      s"__${p}g${i + 1} AS (SELECT *, $e AS $name FROM __${p}g$i)"
+    }
+    val first = s"__${p}g0 AS ($inner)"
+    val keep = (keys ++ StatNames.map(s => s"${p}_$s")).mkString(", ")
+    val fin = s"__${p}st AS (SELECT $keep FROM __${p}g${stages.length})"
+    ((Seq(first) ++ cte :+ fin).mkString(",\n"), s"__${p}st")
+  }
+
   def duckBlock(inner: String, keys: Seq[String], xs: String, p: String,
                 prelude: String = ""): String = {
     val stages = exprs(xs, p, spark = false)

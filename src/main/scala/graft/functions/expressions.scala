@@ -39,6 +39,11 @@ object expressions {
     * the short-frame contract), so the inferred guard is always redundant
     * here and the rule is pure cost. */
   def register(spark: SparkSession): Unit = {
+    // true idempotence: skip (and silence the registry's replace-WARN spam)
+    // when this session is already set up
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rhythm_metrics")))
+      return
     val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     val cur = spark.conf.getOption("spark.sql.optimizer.excludedRules")
       .filter(_.nonEmpty)

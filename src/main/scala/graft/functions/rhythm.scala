@@ -84,27 +84,141 @@ object rhythm {
       val tAny = tokens.eval(input)
       if (tAny == null) return null
       val arr = tAny.asInstanceOf[ArrayData].toIntArray()
-      val blocks = spectral.blockRms(arr, spectral.BlockSize)
-      val hb = hop / spectral.BlockSize
-      val fb = frameSize / spectral.BlockSize
-      val nf = if (arr.length >= frameSize) (arr.length - frameSize) / hop + 1 else 1
-      val peaks = new Array[Double](fb) // per-bin recursive state, init 0
+      val ws = whitenedFrames(arr, frameSize, hop)
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       var f = 0
-      while (f < nf) {
-        val s0 = f * hb
-        val len = math.min(s0 + fb, blocks.length) - s0
+      while (f < ws.length) {
         var i = 0
-        while (i < len) {
-          val mag = blocks(s0 + i)
-          val tmp = math.max(WhitenDecay * peaks(i), WhitenFloor)
-          peaks(i) = math.max(mag, tmp)
-          out += new GenericInternalRow(Array[Any](f, i, mag / peaks(i)))
+        while (i < ws(f).length) {
+          out += new GenericInternalRow(Array[Any](f, i, ws(f)(i)))
           i += 1
         }
         f += 1
       }
       new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), frameSizeE = c(1), hopE = c(2))
+  }
+
+  /** Shared whitening core: per-frame whitened block spectra (recursive
+    * per-bin peak state, zero-initialized). */
+  private def whitenedFrames(arr: Array[Int], frameSize: Int,
+                             hop: Int): Array[Array[Double]] = {
+    val blocks = spectral.blockRms(arr, spectral.BlockSize)
+    val hb = hop / spectral.BlockSize
+    val fb = frameSize / spectral.BlockSize
+    val nf = if (arr.length >= frameSize) (arr.length - frameSize) / hop + 1 else 1
+    val peaks = new Array[Double](fb) // per-bin recursive state, init 0
+    val out = new Array[Array[Double]](nf)
+    var f = 0
+    while (f < nf) {
+      val s0 = f * hb
+      val len = math.min(s0 + fb, blocks.length) - s0
+      val w = new Array[Double](len)
+      var i = 0
+      while (i < len) {
+        val mag = blocks(s0 + i)
+        val tmp = math.max(WhitenDecay * peaks(i), WhitenFloor)
+        peaks(i) = math.max(mag, tmp)
+        w(i) = mag / peaks(i)
+        i += 1
+      }
+      out(f) = w
+      f += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+
+  /** `MHarmonicThreshold` (`SampleAnalyser.cpp:49`) — note 0.5 keeps every
+    * peak (|round(r)−r| ≤ 0.5 always), faithfully mirroring the reference
+    * default. Peak threshold reuses the 0.25·max band convention. */
+  val HarmonicThreshold = 0.5
+
+  val HarmonicsStructType: StructType = StructType(Seq(
+    StructField("frame_id", IntegerType, nullable = false),
+    StructField("f0_bin", IntegerType, nullable = false),
+    StructField("n_hpeaks", IntegerType, nullable = false),
+    StructField("inharmonicity", DoubleType, nullable = false),
+    StructField("tri1", DoubleType, nullable = false),
+    StructField("tri2", DoubleType, nullable = false),
+    StructField("tri3", DoubleType, nullable = false)))
+
+  /** graft_harmonics(tokens, frameSize, hop) →
+    * ARRAY<STRUCT<frame_id, f0_bin, n_hpeaks, inharmonicity, tri1..3>>
+    *
+    * Per frame over the whitened spectrum (`SampleAnalyser.cpp:860-927,
+    * 1937-2003`): peak spectrum = strict local maxima above 0.25·max
+    * (peak-picking analog of `xtract_peak_spectrum`, bin index stands in
+    * for the interpolated frequency); F0 analog = lowest peak bin;
+    * harmonic filter per `xtract_harmonic_spectrum` (`vector.c:545-579`);
+    * inharmonicity per `scalar.c:638-661`; tristimulus 1/2/3 per
+    * `scalar.c:302-410`. All folds ascending (deviation: the xtract loops
+    * run descending — ulp-level, and here the kernel defines the
+    * semantics); every op is exact (no libm) so results are bitwise
+    * cross-engine with no rounding. */
+  case class Harmonics(tokens: Expression, frameSizeE: Expression,
+      hopE: Expression) extends Expression with CodegenFallback {
+    private val frameSize = expressions.litIntPub(frameSizeE)
+    private val hop = expressions.litIntPub(hopE)
+    override def children: Seq[Expression] = Seq(tokens, frameSizeE, hopE)
+    override def dataType: DataType =
+      ArrayType(HarmonicsStructType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val ws = whitenedFrames(arr, frameSize, hop)
+      val out = new Array[Any](ws.length)
+      var f = 0
+      while (f < ws.length) {
+        val w = ws(f)
+        val len = w.length
+        var wmax = 0.0
+        var i = 0
+        while (i < len) { if (w(i) > wmax) wmax = w(i); i += 1 }
+        val thr = wmax * spectral.PeakThreshold
+        // strict interior local maxima above the threshold
+        val pk = scala.collection.mutable.ArrayBuffer.empty[Int]
+        i = 1
+        while (i < len - 1) {
+          if (w(i) > thr && w(i) > w(i - 1) && w(i) > w(i + 1)) pk += i
+          i += 1
+        }
+        if (pk.isEmpty) {
+          out(f) = new GenericInternalRow(Array[Any](f, 0, 0, 0.0, 0.0, 0.0, 0.0))
+        } else {
+          val f0 = pk.head
+          // harmonic filter (threshold 0.5 keeps all — reference default)
+          val kept = pk.filter { j =>
+            val ratio = j.toDouble / f0
+            math.abs(math.floor(0.5 + ratio) - ratio) <= HarmonicThreshold
+          }
+          var num = 0.0; var den2 = 0.0; var tden = 0.0
+          var p1 = 0.0; var ps = 0.0; var t3 = 0.0
+          kept.foreach { j =>
+            val a = w(j)
+            val h = math.floor(j.toDouble / f0 + 0.5).toInt
+            num += math.abs(j - h * f0).toDouble * (a * a)
+            den2 += a * a
+            tden += a
+            if (h == 1) p1 += a
+            if (h == 2 || h == 3 || h == 4) ps += a
+            if (h >= 5) t3 += a
+          }
+          val inharm =
+            if (den2 == 0.0) 0.0 else (2.0 * num) / (f0.toDouble * den2)
+          def tri(p: Double): Double =
+            if (tden == 0.0 || p == 0.0) 0.0 else p / tden
+          out(f) = new GenericInternalRow(Array[Any](
+            f, f0, kept.length, inharm, tri(p1), tri(ps), tri(t3)))
+        }
+        f += 1
+      }
+      new GenericArrayData(out)
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), frameSizeE = c(1), hopE = c(2))
@@ -253,5 +367,7 @@ object rhythm {
       es => Canny(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_rhythm_metrics",
       es => RhythmMetrics(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_harmonics",
+      es => Harmonics(es(0), es(1), es(2)), "built-in")
   }
 }

@@ -154,6 +154,7 @@ object spectral {
     StructField("frame_id", IntegerType, nullable = false),
     StructField("band", IntegerType, nullable = false),
     StructField("n_bins", IntegerType, nullable = false),
+    StructField("mean", DoubleType, nullable = false),
     StructField("rms", DoubleType, nullable = false),
     StructField("flatness", DoubleType, nullable = false),
     StructField("flux", DoubleType, nullable = false),
@@ -207,7 +208,7 @@ object spectral {
           val nBins = math.min(BandWidths(b), len - cb)
           if (nBins <= 0) {
             out(f * NBands + b) = new GenericInternalRow(Array[Any](
-              f, b, 0, 0.0, 0.0, 0.0, 0, 0.0))
+              f, b, 0, 0.0, 0.0, 0.0, 0.0, 0, 0.0))
           } else {
             // mean + rms (ascending folds)
             var sum = 0.0; var sq = 0.0
@@ -248,7 +249,7 @@ object spectral {
             val contrast = -1.0 * math.pow(peak / valley,
               1.0 / math.log(bandMean + ContrastEpsilon))
             out(f * NBands + b) = new GenericInternalRow(Array[Any](
-              f, b, nBins, rms, flat, flux, cplx, contrast))
+              f, b, nBins, bandMean, rms, flat, flux, cplx, contrast))
           }
         cb += math.max(nBins, 0)
         b += 1
@@ -295,6 +296,10 @@ object spectral {
     StructField("frame_id", IntegerType, nullable = false),
     StructField("rolloff_bins", IntegerType, nullable = false),
     StructField("contrast_avg", DoubleType, nullable = false),
+    StructField("srms", DoubleType, nullable = false),
+    StructField("sflatness", DoubleType, nullable = false),
+    StructField("sflux", DoubleType, nullable = false),
+    StructField("scomplexity", IntegerType, nullable = false),
     StructField("mfcc", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -333,14 +338,29 @@ object spectral {
         var temp = 0.0
         var nro = 0
         while (temp < pivot) { temp += blocks(s0 + nro); nro += 1 }
-        // contrast avg over the 14 bands, band order
+        // contrast avg + complexity sum over the 14 bands, band order
+        // (contrast at struct idx 8, complexity at 7 — see BandStructType)
         var csum = 0.0
+        var cplxSum = 0
         var b = 0
         while (b < NBands) {
-          csum += bands(f * NBands + b)
-            .asInstanceOf[GenericInternalRow].getDouble(7)
+          val row = bands(f * NBands + b).asInstanceOf[GenericInternalRow]
+          csum += row.getDouble(8)
+          cplxSum += row.getInt(7)
           b += 1
         }
+        // whole-spectrum rms / flatness(dB) / flux over all bins of the frame
+        var sq = 0.0
+        i = 0
+        while (i < len) { val x = blocks(s0 + i); sq += x * x; i += 1 }
+        val srms = math.sqrt(sq / len)
+        val sflat = flatnessDb(blocks, s0, len)
+        val lm: Array[Double] =
+          if (f == 0) null
+          else java.util.Arrays.copyOfRange(blocks,
+            (f - 1) * hb, math.min((f - 1) * hb + fb, blocks.length))
+        val m = java.util.Arrays.copyOfRange(blocks, s0, e0)
+        val sflux = fluxCorr(m, lm, 0, len)
         // MFCC: filterbank mat-vec + clamped log + DCT-II
         val loge = new Array[Double](NMfcc)
         var k = 0
@@ -363,7 +383,8 @@ object spectral {
           n += 1
         }
         out(f) = new GenericInternalRow(Array[Any](
-          f, nro, csum / NBands, new GenericArrayData(mfcc)))
+          f, nro, csum / NBands, srms, sflat, sflux, cplxSum,
+          new GenericArrayData(mfcc)))
         f += 1
       }
       new GenericArrayData(out)

@@ -119,6 +119,61 @@ object Dedup {
        |FROM hashed GROUP BY doc_id""".stripMargin
   }
 
+  /** Duplicate-cluster resolution: connected components over candidate
+    * pairs via iterative min-label propagation, then canonical doc =
+    * cluster minimum. Every doc appears (singletons label themselves).
+    *
+    * == Scale design ==
+    * Each iteration is one edge⋈label join + min-aggregate — fully
+    * distributed; the driver loop only checks a convergence count.
+    * Iterations = cluster diameter (near-dup clusters are tiny — LSH
+    * pairs link copies of the same content). At web scale the same loop
+    * runs with `localCheckpoint` lineage truncation (done here) or the
+    * large-star/small-star variant; the shape stays a keyed equi-join,
+    * never all-pairs. */
+  def resolveClusters(allDocs: DataFrame, pairs: DataFrame,
+                      key: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = allDocs.select(col(key).as("doc_id"))
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
+      val updated = labels
+        .join(prop, labels("doc_id") === prop("src"), "left_outer")
+        .select(labels("doc_id"),
+          col("cluster"),
+          least(col("cluster"), coalesce(col("nlabel"), col("cluster")))
+            .as("cluster2"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("cluster2") < col("cluster")).count()
+      labels = updated.select(col("doc_id"), col("cluster2").as("cluster"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** DuckDB mirror of [[resolveClusters]]: transitive min over the
+    * undirected candidate graph (recursive CTE with set semantics). */
+  def duckResolveSql(pairsSql: String): String =
+    s"""WITH RECURSIVE seqs AS (${graft.sources.Seqs.duckSql}),
+       |pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(src, lab) AS (
+       |  SELECT doc_id, doc_id FROM seqs
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.src = e.dst)
+       |SELECT src AS doc_id, min(lab) AS cluster
+       |FROM reach GROUP BY src""".stripMargin
+
   /** Word-trigram Jaccard over candidate pairs blocked by `source` (exact
     * verifier; at scale feed it LSH candidates instead of the block join). */
   def ngramJaccard(documents0: DataFrame, minJaccard: Double): DataFrame = {
@@ -145,6 +200,55 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }
+
+  /** N-gram Jaccard over a GIVEN candidate-pair set (the scale entry point:
+    * feed it LSH candidates — verification cost is O(|pairs|), never
+    * quadratic). `docs` must carry (doc_id, text). */
+  def ngramJaccardPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val tri = docs
+      .withColumn("words", expr(TextAnalysis.wordsExpr))
+      .select(col("doc_id"), expr(
+        """CASE WHEN size(words) >= 3 THEN
+          |  array_distinct(transform(sequence(0, size(words) - 3),
+          |    i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2])))
+          |ELSE array() END""".stripMargin).as("tris"))
+    pairs
+      .join(tri.select(col("doc_id").as("doc_a"), col("tris").as("ta")), Seq("doc_a"))
+      .join(tri.select(col("doc_id").as("doc_b"), col("tris").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(expr("array_intersect(ta, tb)")).as("common"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
+      .withColumn("jaccard", expr(
+        "IF(na + nb - common = 0, CAST(0.0 AS DOUBLE), CAST(common AS DOUBLE) / (na + nb - common))"))
+  }
+
+  /** DuckDB mirror of [[ngramJaccardPairs]] (docs = formatted-id view of
+    * `documents`, pairsSql = a full SELECT yielding (doc_a, doc_b)). */
+  def duckNgramPairsSql(pairsSql: String): String =
+    s"""WITH docs AS (
+       |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id, text
+       |  FROM documents),
+       |w AS (SELECT doc_id, ${TextAnalysis.duckWordsExpr} AS words FROM docs),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(words) >= 3 THEN
+       |      list_distinct(list_transform(range(CAST(len(words) - 2 AS BIGINT)),
+       |        i -> concat(words[i + 1], ' ', words[i + 2], ' ', words[i + 3])))
+       |    ELSE [] END AS tris
+       |  FROM w),
+       |pairs AS ($pairsSql)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(a.tris, b.tris)) AS INTEGER) AS common,
+       |  CAST(len(a.tris) AS INTEGER) AS na,
+       |  CAST(len(b.tris) AS INTEGER) AS nb,
+       |  CASE WHEN len(a.tris) + len(b.tris) - len(list_intersect(a.tris, b.tris)) = 0
+       |       THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+       |            / (len(a.tris) + len(b.tris) - len(list_intersect(a.tris, b.tris)))
+       |  END AS jaccard
+       |FROM pairs p
+       |JOIN t a ON a.doc_id = p.doc_a
+       |JOIN t b ON b.doc_id = p.doc_b""".stripMargin
 
   def duckNgramSql(minJaccard: Double): String =
     s"""WITH w AS (

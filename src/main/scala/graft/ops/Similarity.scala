@@ -90,6 +90,88 @@ object Similarity {
     embeddings.select(col("vec_id"), col("label"), dot.as("bucket"))
   }
 
+  /** Recall@k of the LSH bucket path vs the exact baseline: approximate
+    * neighbors = exact-cosine top-k *within the query's bucket*; recall =
+    * |approx ∩ exact| / k per query (0 when the bucket has no candidates).
+    * The measurement the scale path needs before anyone trusts it. */
+  def annRecall(embeddings0: DataFrame, nQueries: Int, k: Int,
+                nPlanes: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val exact = bruteTopK(embeddings0, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val b = lshBuckets(embeddings0, nPlanes).select(col("vec_id"), col("bucket"))
+    val qb = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val cand = b.join(qb, Seq("bucket")).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val queries = embeddings0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = cand
+      .join(embeddings0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", expr("graft_cosine(qv, embedding)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    qb.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
+  /** DuckDB mirror of [[annRecall]]. */
+  def duckAnnRecallSql(nQueries: Int, k: Int, nPlanes: Int): String =
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${duckBruteTopKSql(nQueries, k)})),
+       |b AS (SELECT vec_id, bucket FROM (${duckLshBucketsSql(nPlanes)})),
+       |qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT qb.query_id, b.vec_id
+       |  FROM b JOIN qb USING (bucket) WHERE b.vec_id <> qb.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    (SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+       |            ELSE dot / sqrt(na * nb) END
+       |     FROM (SELECT
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.embedding, (x, i) ->
+       |           CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+       |         (a, b) -> a + b) AS dot,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.embedding, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS na,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(e.embedding, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS nb)) AS cos
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k),
+       |hits AS (
+       |  SELECT e.query_id, count(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM qb q LEFT JOIN hits h USING (query_id)""".stripMargin
+
   def duckLshBucketsSql(nPlanes: Int): String = {
     val bits = (0 until nPlanes).map { p =>
       s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -15,7 +15,42 @@ object CurationQueries {
   val TopK = 3
   val LshPlanes = 12
 
+  /** LSH candidate pairs as reusable oracle SQL. */
+  private val duckLshPairsSql: String =
+    s"""WITH mh AS (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")}),
+       |b AS (
+       |  SELECT doc_id, unnest(bands) AS band_hash,
+       |         generate_subscripts(bands, 1) - 1 AS band_id
+       |  FROM mh)
+       |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |FROM b a JOIN b b2
+       |  ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
+       |  AND a.doc_id < b2.doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // duplicate-cluster resolution: canonical doc per connected component
+    // of the LSH candidate graph (min-label propagation)
+    "dedup_resolve" -> ((s, dir) => {
+      val sq = Seqs.fromDocuments(s, dir)
+      Dedup.resolveClusters(sq.select("doc_id"), Dedup.lshCandidates(sq))
+    }),
+
+    // exact n-gram Jaccard verification of the LSH candidates — the
+    // candidate-pair entry point (O(|pairs|), never quadratic)
+    "dedup_verify_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+          .as("doc_id"), col("text"))
+      Dedup.ngramJaccardPairs(docs,
+        Dedup.lshCandidates(Seqs.fromDocuments(s, dir)))
+    }),
+
+    // recall@k of the LSH bucket path vs the exact cosine baseline
+    "ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK, LshPlanes)),
+
 
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
@@ -58,6 +93,9 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql),
+    "dedup_verify_pairs" -> Dedup.duckNgramPairsSql(duckLshPairsSql),
+    "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
     "dedup_exact" -> Dedup.duckExactSql,
     "dedup_minhash" ->
       s"""SELECT doc_id,
@@ -66,16 +104,7 @@ object CurationQueries {
          |  CAST(len(sig) AS INTEGER) AS n_sig,
          |  CAST(len(bands) AS INTEGER) AS n_bands
          |FROM (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")})""".stripMargin,
-    "dedup_lsh_pairs" ->
-      s"""WITH mh AS (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")}),
-         |b AS (
-         |  SELECT doc_id, unnest(bands) AS band_hash,
-         |         generate_subscripts(bands, 1) - 1 AS band_id
-         |  FROM mh)
-         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |FROM b a JOIN b b2
-         |  ON a.band_id = b2.band_id AND a.band_hash = b2.band_hash
-         |  AND a.doc_id < b2.doc_id""".stripMargin,
+    "dedup_lsh_pairs" -> duckLshPairsSql,
     "dedup_simhash" -> Dedup.duckSimhashSql,
     "dedup_ngram" -> Dedup.duckNgramSql(NgramMinJaccard),
     "text_analyze" -> TextAnalysis.duckAnalyzeSql,

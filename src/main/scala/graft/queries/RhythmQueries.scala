@@ -65,7 +65,7 @@ object RhythmQueries {
 
   /** Rhythm-clock onset values + canny-sharpened series per doc. Yields
     * CTE `sharp(doc_id, n, ser, sharp, ispk)`. */
-  private val duckSharp: String = {
+  private[queries] val duckSharp: String = {
     val cwLit = Duck.litArray(rhythm.CannyWeights)
     val L = rhythm.CannyLength
     val W = rhythm.PeakWindowLength
@@ -115,7 +115,86 @@ object RhythmQueries {
 
   // ------------------------------------------------------------------
 
+
+  /** Peak/valley-walk CTEs over `sharp` — yields `strength(doc_id,
+    * strength, n_peaks, threshold, ...)` and `contrast(doc_id, ncp,
+    * peakmean, valleymean, totalmean, ...)`. */
+  private[queries] val duckRhythmMetricCtes: String = {
+    val thr = rhythm.PeakThreshold
+    val pct = rhythm.ContrastPercentile
+    s"""pk AS (
+       |  SELECT doc_id, n, sharp, ispk,
+       |    list_filter(range(CAST(n AS BIGINT)),
+       |      i -> sharp[i + 1] > CAST($thr AS DOUBLE) AND ispk[i + 1]) AS pks
+       |  FROM sharp),
+       |strength AS (
+       |  SELECT doc_id, n, sharp, ispk,
+       |    CAST(len(pks) AS INTEGER) AS n_peaks,
+       |    CASE WHEN len(pks) = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+       |           ${fold("list_transform(pks, i -> sharp[i + 1])")}
+       |             / len(pks) / 4.0)) END AS strength,
+       |    (list_sort(sharp))[
+       |      CAST(trunc(CAST($pct AS DOUBLE) * (n - 1)) AS INTEGER) + 1]
+       |      AS threshold
+       |  FROM pk),
+       |walk AS (
+       |  SELECT doc_id, n, sharp, ispk, threshold,
+       |    -1 AS i, 0 AS vpos, threshold AS vval,
+       |    CAST(0.0 AS DOUBLE) AS cpsum, CAST(0.0 AS DOUBLE) AS cvsum,
+       |    0 AS ncp
+       |  FROM strength
+       |  UNION ALL
+       |  SELECT doc_id, n, sharp, ispk, threshold,
+       |    i + 1,
+       |    CASE WHEN sharp[i + 2] < vval THEN i + 1 ELSE vpos END,
+       |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+       |           THEN sharp[i + 2]
+       |         WHEN sharp[i + 2] < vval THEN sharp[i + 2]
+       |         ELSE vval END,
+       |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+       |         THEN cpsum + sharp[i + 2] ELSE cpsum END,
+       |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+       |         THEN cvsum + sharp[
+       |           CASE WHEN sharp[i + 2] < vval THEN i + 2 ELSE vpos + 1 END]
+       |         ELSE cvsum END,
+       |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
+       |         THEN ncp + 1 ELSE ncp END
+       |  FROM walk WHERE i + 1 < n),
+       |walked AS (
+       |  SELECT doc_id, any_value(n) AS n, any_value(sharp) AS sharp,
+       |    any_value(threshold) AS threshold,
+       |    max(i) AS mi
+       |  FROM walk GROUP BY doc_id),
+       |final AS (
+       |  SELECT w.doc_id, w.n, w.sharp, w.threshold,
+       |    k.cpsum, k.cvsum, k.ncp
+       |  FROM walked w JOIN walk k ON w.doc_id = k.doc_id AND k.i = w.mi),
+       |contrast AS (
+       |  SELECT doc_id, n, threshold, ncp,
+       |    CASE WHEN ncp = 0 THEN CAST(0.0 AS DOUBLE) ELSE cpsum / ncp END
+       |      AS peakmean,
+       |    (CASE WHEN ncp = 0 THEN CAST(0.0 AS DOUBLE) ELSE cvsum / ncp END)
+       |      + 0.0001 AS valleymean,
+       |    ${fold("sharp")} / n AS totalmean
+       |  FROM final)""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // harmonic-spectrum family over the whitened spectrum
+    // (SampleAnalyser.cpp:860-927, 1937-2003): F0 analog, inharmonicity,
+    // tristimulus 1/2/3. Exact ops — bitwise, no rounding.
+    "harmonics" -> ((s, dir) =>
+      seqs(s, dir)
+        .select(col("doc_id"),
+          explode(expr(s"graft_harmonics(tokens, $F, $H)")).as("h"))
+        .select(col("doc_id"), col("h.frame_id").as("frame_id"),
+          col("h.f0_bin").as("f0_bin"), col("h.n_hpeaks").as("n_hpeaks"),
+          expr("IF(h.inharmonicity = 0.0, 0.0, h.inharmonicity)").as("inharmonicity"),
+          expr("IF(h.tri1 = 0.0, 0.0, h.tri1)").as("tri1"),
+          expr("IF(h.tri2 = 0.0, 0.0, h.tri2)").as("tri2"),
+          expr("IF(h.tri3 = 0.0, 0.0, h.tri3)").as("tri3"))),
 
     // spectral whitening: per-bin recursive peak decay (awhitening.c:43-51,
     // SampleAnalyser.cpp:806-858). Pure max/mul/div — bitwise, no rounding.
@@ -210,6 +289,61 @@ object RhythmQueries {
 
   def oracles: Map[String, String] = Map(
 
+    "harmonics" -> {
+      val (decay, floor) = (rhythm.WhitenDecay, rhythm.WhitenFloor)
+      val pt = graft.functions.spectral.PeakThreshold
+      val r = "CAST(j AS DOUBLE) / f0"
+      val h = s"CAST(floor($r + 0.5) AS BIGINT)"
+      s"""WITH RECURSIVE $duckBlocks,
+         |$duckSpectrum,
+         |rec AS (
+         |  SELECT doc_id, f, m,
+         |    list_transform(m, x -> greatest(x, CAST($floor AS DOUBLE))) AS peaks
+         |  FROM mspec WHERE f = 0
+         |  UNION ALL
+         |  SELECT s.doc_id, s.f, s.m,
+         |    list_transform(range(CAST(len(s.m) AS BIGINT)), i ->
+         |      greatest(s.m[i + 1],
+         |        greatest(CAST($decay AS DOUBLE)
+         |                   * coalesce(r.peaks[i + 1], CAST(0.0 AS DOUBLE)),
+         |                 CAST($floor AS DOUBLE)))) AS peaks
+         |  FROM mspec s JOIN rec r ON s.doc_id = r.doc_id AND s.f = r.f + 1),
+         |wl AS (
+         |  SELECT doc_id, f, len(m) AS L,
+         |    list_transform(range(CAST(len(m) AS BIGINT)),
+         |      i -> m[i + 1] / peaks[i + 1]) AS w
+         |  FROM rec),
+         |wp AS (SELECT *, list_max(w) * CAST($pt AS DOUBLE) AS thr FROM wl),
+         |pks AS (
+         |  SELECT *,
+         |    list_filter(range(1, CAST(L - 1 AS BIGINT)), j ->
+         |      w[j + 1] > thr AND w[j + 1] > w[j] AND w[j + 1] > w[j + 2]) AS pk
+         |  FROM wp),
+         |h0 AS (SELECT *, pk[1] AS f0 FROM pks WHERE len(pk) > 0),
+         |kept AS (
+         |  SELECT *, list_filter(pk, j ->
+         |    abs(floor(0.5 + $r) - ($r)) <= ${rhythm.HarmonicThreshold}) AS kp
+         |  FROM h0),
+         |sums AS (
+         |  SELECT doc_id, f, f0, CAST(len(kp) AS INTEGER) AS nk,
+         |    ${fold(s"list_transform(kp, j -> abs(j - $h * f0) * (w[j + 1] * w[j + 1]))")} AS num,
+         |    ${fold("list_transform(kp, j -> w[j + 1] * w[j + 1])")} AS den2,
+         |    ${fold("list_transform(kp, j -> w[j + 1])")} AS tden,
+         |    ${fold(s"list_transform(kp, j -> CASE WHEN $h = 1 THEN w[j + 1] ELSE CAST(0.0 AS DOUBLE) END)")} AS p1,
+         |    ${fold(s"list_transform(kp, j -> CASE WHEN $h IN (2, 3, 4) THEN w[j + 1] ELSE CAST(0.0 AS DOUBLE) END)")} AS ps,
+         |    ${fold(s"list_transform(kp, j -> CASE WHEN $h >= 5 THEN w[j + 1] ELSE CAST(0.0 AS DOUBLE) END)")} AS t3
+         |  FROM kept)
+         |SELECT doc_id, f AS frame_id, CAST(f0 AS INTEGER) AS f0_bin, nk AS n_hpeaks,
+         |  ${cz("CASE WHEN den2 = 0.0 THEN 0.0 ELSE (2.0 * num) / (CAST(f0 AS DOUBLE) * den2) END")} AS inharmonicity,
+         |  ${cz("CASE WHEN tden = 0.0 OR p1 = 0.0 THEN 0.0 ELSE p1 / tden END")} AS tri1,
+         |  ${cz("CASE WHEN tden = 0.0 OR ps = 0.0 THEN 0.0 ELSE ps / tden END")} AS tri2,
+         |  ${cz("CASE WHEN tden = 0.0 OR t3 = 0.0 THEN 0.0 ELSE t3 / tden END")} AS tri3
+         |FROM sums
+         |UNION ALL
+         |SELECT doc_id, f AS frame_id, 0, 0, 0.0, 0.0, 0.0, 0.0
+         |FROM pks WHERE len(pk) = 0""".stripMargin
+    },
+
     "whiten" -> {
       val (decay, floor) = (rhythm.WhitenDecay, rhythm.WhitenFloor)
       s"""WITH RECURSIVE $duckBlocks,
@@ -234,67 +368,10 @@ object RhythmQueries {
          |      FROM rec)""".stripMargin
     },
 
-    "rhythm_metrics" -> {
-      val thr = rhythm.PeakThreshold
-      val pct = rhythm.ContrastPercentile
+    "rhythm_metrics" ->
       s"""WITH RECURSIVE $duckRFrames,
          |$duckSharp,
-         |pk AS (
-         |  SELECT doc_id, n, sharp, ispk,
-         |    list_filter(range(CAST(n AS BIGINT)),
-         |      i -> sharp[i + 1] > CAST($thr AS DOUBLE) AND ispk[i + 1]) AS pks
-         |  FROM sharp),
-         |strength AS (
-         |  SELECT doc_id, n, sharp, ispk,
-         |    CAST(len(pks) AS INTEGER) AS n_peaks,
-         |    CASE WHEN len(pks) = 0 THEN CAST(0.0 AS DOUBLE)
-         |         ELSE least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
-         |           ${fold("list_transform(pks, i -> sharp[i + 1])")}
-         |             / len(pks) / 4.0)) END AS strength,
-         |    (list_sort(sharp))[
-         |      CAST(trunc(CAST($pct AS DOUBLE) * (n - 1)) AS INTEGER) + 1]
-         |      AS threshold
-         |  FROM pk),
-         |walk AS (
-         |  SELECT doc_id, n, sharp, ispk, threshold,
-         |    -1 AS i, 0 AS vpos, threshold AS vval,
-         |    CAST(0.0 AS DOUBLE) AS cpsum, CAST(0.0 AS DOUBLE) AS cvsum,
-         |    0 AS ncp
-         |  FROM strength
-         |  UNION ALL
-         |  SELECT doc_id, n, sharp, ispk, threshold,
-         |    i + 1,
-         |    CASE WHEN sharp[i + 2] < vval THEN i + 1 ELSE vpos END,
-         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
-         |           THEN sharp[i + 2]
-         |         WHEN sharp[i + 2] < vval THEN sharp[i + 2]
-         |         ELSE vval END,
-         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
-         |         THEN cpsum + sharp[i + 2] ELSE cpsum END,
-         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
-         |         THEN cvsum + sharp[
-         |           CASE WHEN sharp[i + 2] < vval THEN i + 2 ELSE vpos + 1 END]
-         |         ELSE cvsum END,
-         |    CASE WHEN sharp[i + 2] >= threshold AND ispk[i + 2]
-         |         THEN ncp + 1 ELSE ncp END
-         |  FROM walk WHERE i + 1 < n),
-         |walked AS (
-         |  SELECT doc_id, any_value(n) AS n, any_value(sharp) AS sharp,
-         |    any_value(threshold) AS threshold,
-         |    max(i) AS mi
-         |  FROM walk GROUP BY doc_id),
-         |final AS (
-         |  SELECT w.doc_id, w.n, w.sharp, w.threshold,
-         |    k.cpsum, k.cvsum, k.ncp
-         |  FROM walked w JOIN walk k ON w.doc_id = k.doc_id AND k.i = w.mi),
-         |contrast AS (
-         |  SELECT doc_id, n, threshold, ncp,
-         |    CASE WHEN ncp = 0 THEN CAST(0.0 AS DOUBLE) ELSE cpsum / ncp END
-         |      AS peakmean,
-         |    (CASE WHEN ncp = 0 THEN CAST(0.0 AS DOUBLE) ELSE cvsum / ncp END)
-         |      + 0.0001 AS valleymean,
-         |    ${fold("sharp")} / n AS totalmean
-         |  FROM final)
+         |$duckRhythmMetricCtes
          |SELECT s.doc_id,
          |  ${cz("s.strength")} AS strength,
          |  s.n_peaks,
@@ -302,8 +379,8 @@ object RhythmQueries {
          |  c.ncp AS n_cpeaks,
          |  ${cz("round(CASE WHEN c.peakmean <> 0.0 THEN -1.0 * pow(c.peakmean / c.valleymean, 1.0 / ln(c.totalmean + 0.0001)) ELSE CAST(0.0 AS DOUBLE) END, 6)")}
          |    AS contrast
-         |FROM strength s JOIN contrast c USING (doc_id)""".stripMargin
-    },
+         |FROM strength s JOIN contrast c USING (doc_id)""".stripMargin,
+
 
     "confident_pitch" ->
       s"""WITH $duckFrames,

@@ -27,12 +27,12 @@ object SpectralQueries {
   private val B = spectral.BlockSize
 
   private val duckSeqs = s"seqs AS (${Seqs.duckSql})"
-  private val duckBlocks =
+  private[queries] val duckBlocks =
     s"$duckSeqs,\n${Framing.duckFrameCtes(B, B, Seqs.SilenceThreshold, "b")}"
 
   /** Shared CTEs: per-(doc, spectral frame) block spectrum `m` + previous
     * hop's spectrum `lm` (NULL for frame 0 = silence). */
-  private val duckSpectrum: String = {
+  private[queries] val duckSpectrum: String = {
     val hb = H / B
     val fb = F / B
     s"""sf AS (
@@ -61,7 +61,7 @@ object SpectralQueries {
 
   /** Band-feature CTEs over [[duckSpectrum]] — yields `bfeat(doc_id, f,
     * band, n_bins, rms, flatness, flux, complexity, contrast)`. */
-  private val duckBandFeat: String = {
+  private[queries] val duckBandFeat: String = {
     val eps = spectral.ContrastEpsilon
     s"""bands(band, cb, w) AS (VALUES $duckBandValues),
        |bx AS (
@@ -132,17 +132,17 @@ object SpectralQueries {
        |    ${fold("list_reverse(sorted)[1 : nbr]")} / nbr + $eps AS peak
        |  FROM bcon),
        |bfeat0 AS (
-       |  SELECT doc_id, f, band, nb AS n_bins,
+       |  SELECT doc_id, f, band, nb AS n_bins, bandmean AS mean,
        |    sqrt(sq / nb) AS rms, flatness, flux, complexity,
        |    -1.0 * pow(peak / valley,
        |               1.0 / ln(bandmean + $eps)) AS contrast
        |  FROM bcon2),
        |bfeat AS (
-       |  SELECT doc_id, f, band, n_bins, rms, flatness, flux, complexity,
-       |         contrast
+       |  SELECT doc_id, f, band, n_bins, mean, rms, flatness, flux,
+       |         complexity, contrast
        |  FROM bfeat0
        |  UNION ALL
-       |  SELECT doc_id, f, band, 0, 0.0, 0.0, 0.0, 0, 0.0
+       |  SELECT doc_id, f, band, 0, CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0, 0.0
        |  FROM bx WHERE nb <= 0)""".stripMargin
   }
 

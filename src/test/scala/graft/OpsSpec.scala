@@ -71,6 +71,32 @@ class OpsSpec extends AnyFunSuite {
     assert(b(0L) != b(2L)) // opposite vector flips every sign bit
   }
 
+  test("production normalizer fit (var_pop partials) == ordered fold, allclose") {
+    val xs = Seq.tabulate(400)(i => ((i * 37 % 101) - 50).toDouble / 7.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    val fit = graft.ops.Normalize.fit(df, Seq("x")).collect()(0)
+    val mu = xs.sum / xs.length
+    val sigma = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+    assert(math.abs(fit.getAs[Double]("x_mu") - mu) < 1e-9)
+    assert(math.abs(fit.getAs[Double]("x_sigma") - sigma) < 1e-9)
+    // apply: z-score clamped at +-3 sigma, zero shuffle on the big side
+    val applied = graft.ops.Normalize(df,
+      graft.ops.Normalize.fit(df, Seq("x")), Seq("x"))
+    val zs = applied.select("x_z").as[Double].collect()
+    assert(zs.forall(z => z >= -3.0 && z <= 3.0))
+  }
+
+  test("dedup cluster resolution: planted pairs collapse to min-id clusters") {
+    val pairs = Seq(("d2", "d5"), ("d5", "d9"), ("d3", "d4"))
+      .toDF("doc_a", "doc_b")
+    val docs = (1 to 9).map(i => s"d$i").toDF("doc_id")
+    val labels = graft.ops.Dedup.resolveClusters(docs, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("d2") == "d2" && labels("d5") == "d2" && labels("d9") == "d2")
+    assert(labels("d3") == "d3" && labels("d4") == "d3")
+    assert(labels("d1") == "d1" && labels("d7") == "d7") // singletons
+  }
+
   test("multimodal plumbing: schema, batch shape, deterministic features") {
     val recs = Multimodal.synth(spark, 9)
     val out = Multimodal.featureTable(recs).cache()
