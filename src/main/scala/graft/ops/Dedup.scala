@@ -162,8 +162,8 @@ object Dedup {
     * undirected candidate graph (recursive CTE with set semantics). */
   def duckResolveSql(pairsSql: String): String =
     s"""WITH RECURSIVE seqs AS (${graft.sources.Seqs.duckSql}),
-       |pairs AS ($pairsSql),
-       |edges AS (
+       |pairs AS MATERIALIZED ($pairsSql),
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -229,14 +229,14 @@ object Dedup {
        |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id, text
        |  FROM documents),
        |w AS (SELECT doc_id, ${TextAnalysis.duckWordsExpr} AS words FROM docs),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT doc_id,
        |    CASE WHEN len(words) >= 3 THEN
        |      list_distinct(list_transform(range(CAST(len(words) - 2 AS BIGINT)),
        |        i -> concat(words[i + 1], ' ', words[i + 2], ' ', words[i + 3])))
        |    ELSE [] END AS tris
        |  FROM w),
-       |pairs AS ($pairsSql)
+       |pairs AS MATERIALIZED ($pairsSql)
        |SELECT p.doc_a, p.doc_b,
        |  CAST(len(list_intersect(a.tris, b.tris)) AS INTEGER) AS common,
        |  CAST(len(a.tris) AS INTEGER) AS na,

@@ -16,9 +16,13 @@ object CurationQueries {
   val LshPlanes = 12
 
   /** LSH candidate pairs as reusable oracle SQL. */
+  // AS MATERIALIZED: DuckDB inlines CTEs by default, so the self-joined
+  // band CTE (and every downstream reference to `pairs`) would re-run the
+  // whole interpreted minhash pipeline once per reference — measured 2-4x
+  // oracle wall time at sf0.01 without the hint.
   private val duckLshPairsSql: String =
-    s"""WITH mh AS (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")}),
-       |b AS (
+    s"""WITH mh AS MATERIALIZED (${Dedup.duckMinhashSql(s"seqs AS (${Seqs.duckSql})")}),
+       |b AS MATERIALIZED (
        |  SELECT doc_id, unnest(bands) AS band_hash,
        |         generate_subscripts(bands, 1) - 1 AS band_id
        |  FROM mh)

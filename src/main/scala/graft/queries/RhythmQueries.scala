@@ -249,6 +249,77 @@ object RhythmQueries {
           coalesce(col("lastc"), col("seed"), lit(0.0)).as("pitch_filled"))
     }),
 
+    // pitch summary: lower-middle median of the confident-pitch list with
+    // the base-note variance penalty (SampleAnalyser.cpp:1234-1330):
+    // penalty = 1 - min(1, stddev(|base - p_i|)/6); confidence =
+    // audible-pitch-confidence mean x penalty. Exact ops -> bitwise.
+    "pitch_summary" -> ((s, dir) =>
+      seqs(s, dir)
+        .withColumn("frames", Framing.framesExpr(F, H, Seqs.SilenceThreshold))
+        .withColumn("cp", expr(
+          s"""transform(filter(frames, fr ->
+             |  fr.is_audible AND CAST(fr.peak AS DOUBLE) / 2048.0 > $PitchConfidence),
+             |  fr -> fr.rms)""".stripMargin))
+        .withColumn("confmean", expr(
+          """IF(size(filter(frames, fr -> fr.is_audible)) = 0, CAST(0.0 AS DOUBLE),
+            |  aggregate(filter(frames, fr -> fr.is_audible), CAST(0.0 AS DOUBLE),
+            |    (a, fr) -> a + least(CAST(fr.peak AS DOUBLE) / 2048.0, CAST(1.0 AS DOUBLE)))
+            |  / size(filter(frames, fr -> fr.is_audible)))""".stripMargin))
+        .withColumn("med", expr(
+          "IF(size(cp) = 0, CAST(-1.0 AS DOUBLE), sort_array(cp)[CAST((size(cp) - 1) div 2 AS INT)])"))
+        .withColumn("base_note", expr(
+          "IF(med > 20.0 AND med < 512.0, med, CAST(-1.0 AS DOUBLE))"))
+        .withColumn("stddev", expr(
+          """IF(base_note <= 0.0 OR size(cp) = 0, CAST(0.0 AS DOUBLE), sqrt(
+            |  aggregate(cp, CAST(0.0 AS DOUBLE), (a, p) ->
+            |    a + (abs(base_note - p)
+            |         - aggregate(cp, CAST(0.0 AS DOUBLE), (x, q) -> x + abs(base_note - q)) / size(cp))
+            |      * (abs(base_note - p)
+            |         - aggregate(cp, CAST(0.0 AS DOUBLE), (x, q) -> x + abs(base_note - q)) / size(cp)))
+            |  / size(cp)))""".stripMargin))
+        .withColumn("base_note_confidence", expr(
+          """IF(base_note <= 0.0, CAST(0.0 AS DOUBLE),
+            |   confmean * (1.0 - least(CAST(1.0 AS DOUBLE), stddev / 6.0)))""".stripMargin))
+        .select(col("doc_id"), size(col("cp")).as("n_confident"),
+          expr("IF(base_note = 0.0, 0.0, base_note)").as("base_note"),
+          expr("IF(base_note_confidence = 0.0, 0.0, base_note_confidence)")
+            .as("base_note_confidence"))),
+
+    // reference-shape harmonicity over audible frames
+    // (SampleAnalyser.cpp:1416-1444): 0.4 min(1, 1.5 acMean) +
+    // 0.3 min(1, 2 pitchConfMean) + 0.3 flatnessMean, clamped, squared.
+    // Doc subset keeps the autocorrelation oracle tractable.
+    "hl_harmonicity" -> ((s, dir) =>
+      seqs(s, dir)
+        .filter(expr("CAST(substring(doc_id, 2) AS INT) % 20 = 0"))
+        .withColumn("frames", Framing.framesExpr(F, H, Seqs.SilenceThreshold))
+        .withColumn("fs", expr(s"graft_frame_spectral(tokens, $F, $H)"))
+        .withColumn("ac", expr(s"graft_autocorr(tokens, $F, $H)"))
+        .withColumn("aud", expr(
+          "filter(sequence(0, size(frames) - 1), i -> element_at(frames, i + 1).is_audible)"))
+        .withColumn("n_aud", size(col("aud")))
+        .withColumn("acmean", expr(
+          """IF(n_aud = 0, CAST(0.0 AS DOUBLE),
+            |  aggregate(aud, CAST(0.0 AS DOUBLE),
+            |    (a, i) -> a + element_at(ac, i + 1).autocorr) / n_aud)""".stripMargin))
+        .withColumn("pcmean", expr(
+          """IF(n_aud = 0, CAST(0.0 AS DOUBLE),
+            |  aggregate(aud, CAST(0.0 AS DOUBLE), (a, i) ->
+            |    a + least(CAST(element_at(frames, i + 1).peak AS DOUBLE) / 2048.0,
+            |              CAST(1.0 AS DOUBLE))) / n_aud)""".stripMargin))
+        .withColumn("flmean", expr(
+          """IF(n_aud = 0, CAST(0.0 AS DOUBLE),
+            |  aggregate(aud, CAST(0.0 AS DOUBLE),
+            |    (a, i) -> a + element_at(fs, i + 1).sflatness) / n_aud)""".stripMargin))
+        .withColumn("__h", expr(
+          """greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+            |  least(CAST(1.0 AS DOUBLE), 1.5 * acmean) * 0.4
+            |  + least(CAST(1.0 AS DOUBLE), 2.0 * pcmean) * 0.3
+            |  + flmean * 0.3))""".stripMargin))
+        .select(col("doc_id"), col("n_aud"),
+          expr("IF(round(__h * __h, 6) = 0.0, 0.0, round(__h * __h, 6))")
+            .as("harmonicity"))),
+
     // tempo summary: range reject + octave fold into [80, 200) + 3-beat
     // duration gate (RhythmTracker.cpp:203-218, 256-281)
     "tempo_summary" -> ((s, dir) => {
@@ -276,12 +347,15 @@ object RhythmQueries {
         .withColumn("t1", expr("IF(t0 > 0.0 AND t0 < 80.0, t0 * 2.0, t0)"))
         .withColumn("t2", expr("IF(t1 > 0.0 AND t1 < 80.0, t1 * 2.0, t1)"))
         .withColumn("tempo", expr("IF(t2 >= 200.0, t2 / 2.0, t2)"))
+        // "make pretty": quantize to nearest 0.5 BPM (SampleAnalyser.cpp:1348-1351)
+        .withColumn("tempo_pretty", expr(
+          "floor(tempo / CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.5 AS DOUBLE)"))
         .withColumn("is_loop_candidate", expr(
           s"""tempo > 0.0 AND
              |CAST(last_active AS DOUBLE) * $RH >=
              |  (60.0 / tempo * 1024.0) * 3.0""".stripMargin))
         .select(col("doc_id"), col("tempo_raw"), col("tempo"),
-          col("is_loop_candidate"))
+          col("tempo_pretty"), col("is_loop_candidate"))
     })
   )
 
@@ -403,6 +477,180 @@ object RhythmQueries {
          |    CAST(0.0 AS DOUBLE)) AS pitch_filled
          |FROM fx""".stripMargin,
 
+    "pitch_summary" ->
+      s"""WITH $duckFrames,
+         |cp AS (
+         |  SELECT doc_id,
+         |    list(rms ORDER BY frame_id)
+         |      FILTER (WHERE is_audible
+         |              AND CAST(peak AS DOUBLE) / 2048.0 > $PitchConfidence) AS cps,
+         |    list(least(CAST(peak AS DOUBLE) / 2048.0, CAST(1.0 AS DOUBLE))
+         |         ORDER BY frame_id)
+         |      FILTER (WHERE is_audible) AS pcs
+         |  FROM frames GROUP BY doc_id),
+         |cp2 AS (
+         |  SELECT doc_id,
+         |    coalesce(cps, CAST([] AS DOUBLE[])) AS cps,
+         |    coalesce(pcs, CAST([] AS DOUBLE[])) AS pcs
+         |  FROM cp),
+         |m1 AS (
+         |  SELECT doc_id, cps, len(cps) AS n,
+         |    CASE WHEN len(pcs) = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE ${fold("pcs")} / len(pcs) END AS confmean,
+         |    CASE WHEN len(cps) = 0 THEN CAST(-1.0 AS DOUBLE)
+         |         ELSE (list_sort(cps))[((len(cps) - 1) // 2) + 1] END AS med
+         |  FROM cp2),
+         |m2 AS (
+         |  SELECT *, CASE WHEN med > 20.0 AND med < 512.0 THEN med
+         |                 ELSE CAST(-1.0 AS DOUBLE) END AS base_note
+         |  FROM m1),
+         |m3 AS (
+         |  SELECT *,
+         |    CASE WHEN base_note <= 0.0 OR n = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE ${fold("list_transform(cps, p -> abs(base_note - p))")} / n
+         |    END AS offm
+         |  FROM m2),
+         |m4 AS (
+         |  SELECT *,
+         |    CASE WHEN base_note <= 0.0 OR n = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE sqrt(${fold("list_transform(cps, p -> (abs(base_note - p) - offm) * (abs(base_note - p) - offm))")} / n)
+         |    END AS sd
+         |  FROM m3)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_confident,
+         |  ${cz("base_note")} AS base_note,
+         |  ${cz("CASE WHEN base_note <= 0.0 THEN CAST(0.0 AS DOUBLE) ELSE confmean * (1.0 - least(CAST(1.0 AS DOUBLE), sd / 6.0)) END")}
+         |    AS base_note_confidence
+         |FROM m4""".stripMargin,
+
+    "hl_harmonicity" -> {
+      val maxSeek = F / 2
+      val (minP, seekW) = (graft.functions.spectral.AcMinPeriod,
+        graft.functions.spectral.AcSeekWidth)
+      s"""WITH $duckBlocks,
+         |${Framing.duckFrameCtes(F, H, Seqs.SilenceThreshold)},
+         |$duckSpectrum,
+         |mlag AS (
+         |  SELECT *, lag(m) OVER (PARTITION BY doc_id ORDER BY f) AS lm
+         |  FROM mspec),
+         |fls AS (
+         |  SELECT doc_id, f, m, len(m) AS L,
+         |    list_transform(range(CAST(len(m) AS BIGINT)),
+         |      i -> coalesce(lm[i + 1], CAST(0.0 AS DOUBLE))) AS ls
+         |  FROM mlag),
+         |fsum AS (
+         |  SELECT doc_id, f, L,
+         |    ${fold("m")} AS s1,
+         |    ${fold("list_transform(m, x -> ln(abs(x) + 1e-20))")} AS slog
+         |  FROM fls),
+         |frat AS (
+         |  SELECT *, CASE WHEN s1 / L = 0.0 THEN CAST(0.0 AS DOUBLE)
+         |                 ELSE exp(slog / L) / (s1 / L) END AS ratio
+         |  FROM fsum),
+         |fsc AS (
+         |  SELECT doc_id, f,
+         |    least(CASE WHEN ratio = 1.0 THEN CAST(0.0 AS DOUBLE)
+         |               WHEN ratio > 1e-12
+         |                 THEN ln(ratio) * (20.0 / ln(CAST(10.0 AS DOUBLE)))
+         |               ELSE CAST(-200.0 AS DOUBLE) END / -60.0,
+         |          CAST(1.0 AS DOUBLE)) AS sflat
+         |  FROM frat),
+         |asub AS (
+         |  SELECT doc_id, n_tok,
+         |    list_transform(tokens, t -> CAST(t AS BIGINT)) AS tk
+         |  FROM seqs
+         |  WHERE CAST(substring(doc_id, 2) AS INTEGER) % 20 = 0),
+         |asf AS (
+         |  SELECT doc_id, n_tok, tk,
+         |    unnest(range(CASE WHEN n_tok >= $F THEN (n_tok - $F) // $H + 1
+         |                      ELSE 1 END)) AS f
+         |  FROM asub),
+         |ast AS (
+         |  SELECT doc_id, CAST(f AS INTEGER) AS f, tk,
+         |    CAST(f * $H AS BIGINT) AS fs, n_tok - f * $H AS rem0
+         |  FROM asf),
+         |ast2 AS (
+         |  SELECT *,
+         |    list_filter(range(CAST(least(rem0, $maxSeek) - 1 AS BIGINT)),
+         |      i -> tk[fs + i + 2] > tk[fs + i + 1])[1] AS i1
+         |  FROM ast),
+         |ast3 AS (
+         |  SELECT doc_id, f, tk, fs,
+         |    fs + coalesce(i1, 0) AS start,
+         |    rem0 - coalesce(i1, 0) AS rem
+         |  FROM ast2),
+         |ast4 AS (SELECT *, least(rem, $minP) AS off FROM ast3),
+         |ast5 AS (
+         |  SELECT *,
+         |    list_filter(range(CAST(least(rem - off, $maxSeek) - 1 AS BIGINT)),
+         |      i -> tk[start + off + i + 2] > tk[start + off + i + 1])[1] AS i2
+         |  FROM ast4),
+         |ast6 AS (
+         |  SELECT doc_id, f, tk, start, rem,
+         |    CAST(off + coalesce(i2, 0) AS INTEGER) AS period
+         |  FROM ast5),
+         |ast7 AS (SELECT *, least(rem, $seekW) AS width FROM ast6),
+         |ast8 AS (
+         |  SELECT *,
+         |    CASE WHEN rem = 0 OR period >= rem THEN CAST(0 AS BIGINT)
+         |         ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(CAST(width AS BIGINT)),
+         |             j -> tk[start + j + 1] * tk[start + j + 1])),
+         |           (a, x) -> a + x) END AS r0
+         |  FROM ast7),
+         |aac AS (
+         |  SELECT doc_id, f,
+         |    CASE WHEN rem = 0 OR period >= rem THEN CAST(0.0 AS DOUBLE)
+         |    ELSE list_max(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(CAST(period // 2 AS BIGINT),
+         |                           CAST(width AS BIGINT)), lag ->
+         |        CASE WHEN r0 <> 0
+         |             THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(range(CAST(width - lag AS BIGINT)),
+         |                 j -> tk[start + j + 1] * tk[start + j + lag + 1])),
+         |               (a, x) -> a + x) AS DOUBLE) / CAST(r0 AS DOUBLE)
+         |             ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(range(CAST(width - lag AS BIGINT)),
+         |                 j -> tk[start + j + 1] * tk[start + j + lag + 1])),
+         |               (a, x) -> a + x) AS DOUBLE) END)))
+         |    END AS autocorr
+         |  FROM ast8),
+         |joined AS (
+         |  SELECT fr.doc_id, fr.frame_id, fr.is_audible,
+         |    least(CAST(fr.peak AS DOUBLE) / 2048.0, CAST(1.0 AS DOUBLE)) AS pc,
+         |    c.sflat, a.autocorr
+         |  FROM frames fr
+         |  JOIN fsc c ON c.doc_id = fr.doc_id AND c.f = fr.frame_id
+         |  JOIN aac a ON a.doc_id = fr.doc_id AND a.f = fr.frame_id),
+         |agg AS (
+         |  SELECT doc_id,
+         |    coalesce(list(autocorr ORDER BY frame_id) FILTER (WHERE is_audible),
+         |             CAST([] AS DOUBLE[])) AS acs,
+         |    coalesce(list(pc ORDER BY frame_id) FILTER (WHERE is_audible),
+         |             CAST([] AS DOUBLE[])) AS pcs,
+         |    coalesce(list(sflat ORDER BY frame_id) FILTER (WHERE is_audible),
+         |             CAST([] AS DOUBLE[])) AS fls
+         |  FROM joined GROUP BY doc_id),
+         |means AS (
+         |  SELECT doc_id, CAST(len(acs) AS INTEGER) AS n_aud,
+         |    CASE WHEN len(acs) = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE ${fold("acs")} / len(acs) END AS acmean,
+         |    CASE WHEN len(pcs) = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE ${fold("pcs")} / len(pcs) END AS pcmean,
+         |    CASE WHEN len(fls) = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE ${fold("fls")} / len(fls) END AS flmean
+         |  FROM agg),
+         |harm AS (
+         |  SELECT doc_id, n_aud,
+         |    greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      least(CAST(1.0 AS DOUBLE), 1.5 * acmean) * 0.4
+         |      + least(CAST(1.0 AS DOUBLE), 2.0 * pcmean) * 0.3
+         |      + flmean * 0.3)) AS h
+         |  FROM means)
+         |SELECT doc_id, n_aud,
+         |  ${cz("round(h * h, 6)")} AS harmonicity
+         |FROM harm""".stripMargin
+    },
+
     "tempo_summary" ->
       s"""WITH $duckRFrames,
          |med AS (
@@ -440,6 +688,8 @@ object RhythmQueries {
          |t3 AS (SELECT *, CASE WHEN x2 >= 200.0 THEN x2 / 2.0 ELSE x2 END
          |                   AS tempo FROM t2)
          |SELECT doc_id, tempo_raw, tempo,
+         |  floor(tempo / CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |    * CAST(0.5 AS DOUBLE) AS tempo_pretty,
          |  tempo > 0.0 AND CAST(last_active AS DOUBLE) * $RH >=
          |    (60.0 / tempo * 1024.0) * 3.0 AS is_loop_candidate
          |FROM t3""".stripMargin

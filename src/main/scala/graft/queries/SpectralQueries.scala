@@ -30,6 +30,14 @@ object SpectralQueries {
   private[queries] val duckBlocks =
     s"$duckSeqs,\n${Framing.duckFrameCtes(B, B, Seqs.SilenceThreshold, "b")}"
 
+  /** Same CTE chain with a doc predicate applied at the source — for
+    * oracles whose DuckDB mirror is super-linear in corpus size (the gate
+    * must stay minutes, not hours; the engine side subsamples identically
+    * at the query boundary only). */
+  private[queries] def duckBlocksWhere(pred: String) =
+    s"""seqs AS (SELECT * FROM (${Seqs.duckSql}) WHERE $pred),
+       |${Framing.duckFrameCtes(B, B, Seqs.SilenceThreshold, "b")}""".stripMargin
+
   /** Shared CTEs: per-(doc, spectral frame) block spectrum `m` + previous
     * hop's spectrum `lm` (NULL for frame 0 = silence). */
   private[queries] val duckSpectrum: String = {
@@ -170,6 +178,28 @@ object SpectralQueries {
           expr("IF(round(bf.contrast, 6) = 0.0, 0.0, round(bf.contrast, 6))")
             .as("contrast"))),
 
+    // bin-range predicate: energy of spectrum slice [8, 24) per frame with
+    // an activity gate (the `slice` of SampleDescriptors spectrum access;
+    // integer energies -> bitwise)
+    "bin_slice" -> ((s, dir) =>
+      Framing.withFrames(seqs(s, dir), B, B)
+        .withColumn("nsf", expr(
+          s"CASE WHEN n_tok >= $F THEN ((n_tok - $F) div $H) + 1 ELSE 1 END"))
+        .select(col("doc_id"), col("frames"), col("nsf"),
+          explode(expr("sequence(0, CAST(nsf - 1 AS INT))")).as("f"))
+        .withColumn("slice_e", expr(
+          """aggregate(filter(frames, fr ->
+            |  fr.frame_id >= f * 32 + 8 AND fr.frame_id < f * 32 + 24),
+            |  CAST(0 AS BIGINT), (a, fr) -> a + fr.fsumsq)""".stripMargin))
+        .withColumn("total_e", expr(
+          """aggregate(filter(frames, fr ->
+            |  fr.frame_id >= f * 32 AND fr.frame_id < f * 32 + 64),
+            |  CAST(0 AS BIGINT), (a, fr) -> a + fr.fsumsq)""".stripMargin))
+        .select(col("doc_id"), col("f").as("frame_id"),
+          col("slice_e"), col("total_e"),
+          expr("total_e > 0 AND CAST(slice_e AS DOUBLE) / total_e > 0.25")
+            .as("band_active"))),
+
     // rolloff + band-averaged contrast (SampleAnalyser.cpp:1887-1901, 2253-2262)
     "spectral_frame" -> ((s, dir) =>
       seqs(s, dir)
@@ -220,6 +250,29 @@ object SpectralQueries {
          |  complexity,
          |  ${cz("round(contrast, 6)")} AS contrast
          |FROM bfeat""".stripMargin,
+
+    "bin_slice" ->
+      s"""WITH $duckBlocks,
+         |nsf AS (
+         |  SELECT doc_id,
+         |    unnest(range(CASE WHEN n_tok >= $F THEN (n_tok - $F) // $H + 1
+         |                      ELSE 1 END)) AS f
+         |  FROM seqs),
+         |es AS (
+         |  SELECT n.doc_id, CAST(n.f AS INTEGER) AS frame_id,
+         |    CAST(sum(CASE WHEN b.frame_id >= n.f * 32 + 8
+         |                   AND b.frame_id < n.f * 32 + 24
+         |                  THEN b.fsumsq ELSE 0 END) AS BIGINT) AS slice_e,
+         |    CAST(sum(CASE WHEN b.frame_id >= n.f * 32
+         |                   AND b.frame_id < n.f * 32 + 64
+         |                  THEN b.fsumsq ELSE 0 END) AS BIGINT) AS total_e
+         |  FROM nsf n JOIN bframes b ON b.doc_id = n.doc_id
+         |    AND b.frame_id >= n.f * 32 AND b.frame_id < n.f * 32 + 64
+         |  GROUP BY n.doc_id, n.f)
+         |SELECT doc_id, frame_id, slice_e, total_e,
+         |  total_e > 0 AND CAST(slice_e AS DOUBLE) / total_e > 0.25
+         |    AS band_active
+         |FROM es""".stripMargin,
 
     "spectral_frame" ->
       s"""WITH $duckBlocks,
