@@ -17,7 +17,8 @@ run() {
   # round 1 measured setup cost, not throughput, at scale 20)
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$1" \
   SPARK_GRAFT_BENCH_ONLY_SCALED=1 \
-  SPARK_GRAFT_BENCH_SCALE="${SPARK_GRAFT_BENCH_SCALE:-150}" \
+  SPARK_GRAFT_BENCH_SCALE="${SPARK_GRAFT_BENCH_SCALE:-450}" \
+  SPARK_GRAFT_BENCH_REPS="${SPARK_GRAFT_BENCH_REPS:-3}" \
   java $OPENS -Xmx${SPARK_DRIVER_MEM:-48g} -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench 2>/dev/null | tail -1

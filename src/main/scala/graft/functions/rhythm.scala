@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -237,7 +237,7 @@ object rhythm {
       if (aAny == null) return null
       val a = aAny.asInstanceOf[ArrayData].toDoubleArray()
       val n = a.length
-      if (n == 0) return new GenericArrayData(Array.emptyDoubleArray)
+      if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyDoubleArray)
       val tmp = new Array[Double](n)
       var i = 0
       while (i < n) {
@@ -267,7 +267,7 @@ object rhythm {
         i = 0
         while (i < n) { tmp(i) = math.max(0.0, (tmp(i) - mean) / sd); i += 1 }
       }
-      new GenericArrayData(tmp)
+      UnsafeArrayData.fromPrimitiveArray(tmp)
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(xs = c(0))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -384,7 +384,7 @@ object spectral {
         }
         out(f) = new GenericInternalRow(Array[Any](
           f, nro, csum / NBands, srms, sflat, sflux, cplxSum,
-          new GenericArrayData(mfcc)))
+          UnsafeArrayData.fromPrimitiveArray(mfcc)))
         f += 1
       }
       new GenericArrayData(out)

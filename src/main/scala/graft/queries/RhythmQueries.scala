@@ -320,6 +320,51 @@ object RhythmQueries {
           expr("IF(round(__h * __h, 6) = 0.0, 0.0, round(__h * __h, 6))")
             .as("harmonicity"))),
 
+    // Loop-side heuristic override (ClassificationHeuristics.cpp:102-149):
+    // skip when percussive onsets < 8 or flux mean > 0.9; LengthConfidence
+    // = sqrt(clamp((effLen_sec - 1)/4, 0, 1)); RhythmConfidence =
+    // min(1, 2*strength) when strength > 0.25; combined 0.3/0.7, > 0.7 =
+    // Loop. One narrow per-row pipeline, zero shuffle (sqrt is IEEE-exact
+    // so no rounding needed; strength/flux proven bitwise elsewhere).
+    "hl_loop" -> ((s, dir) => {
+      val span = MedianSpan
+      seqs(s, dir)
+        .withColumn("rfr", Framing.framesExpr(RF, RH, Seqs.SilenceThreshold))
+        .withColumn("rrms", expr("transform(rfr, fr -> fr.rms)"))
+        .withColumn("rv", expr(
+          s"""transform(sequence(0, size(rfr) - 1), i ->
+             |  greatest(element_at(rrms, i + 1) -
+             |    element_at(sort_array(slice(rrms,
+             |        greatest(1, i + 2 - $span), least(i + 1, $span))),
+             |      CAST((least(i + 1, $span) - 1) div 2 AS INT) + 1),
+             |    CAST(0.0 AS DOUBLE)) / $OnsetScale)""".stripMargin))
+        .withColumn("n_onsets", expr(
+          """size(filter(sequence(0, size(rv) - 1), i ->
+            |  element_at(rv, i + 1) > 0.1
+            |  AND (i = 0 OR element_at(rv, i) <= 0.1)))""".stripMargin))
+        .withColumn("m", expr("graft_rhythm_metrics(graft_canny(rv))"))
+        .withColumn("fs", expr(s"graft_frame_spectral(tokens, $F, $H)"))
+        .withColumn("flux_mean", expr(
+          "aggregate(fs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.sflux) / size(fs)"))
+        .withColumn("eff_len_sec", expr(
+          "CAST(element_at(graft_effective_bounds(tokens, array(128)), 1).len AS DOUBLE) / 1024.0"))
+        .withColumn("len_conf", expr(
+          """sqrt(greatest(CAST(0.0 AS DOUBLE),
+            |  least(CAST(4.0 AS DOUBLE), eff_len_sec - 1.0) / 4.0))""".stripMargin))
+        .withColumn("rhythm_conf", expr(
+          "IF(m.strength > 0.25, least(CAST(1.0 AS DOUBLE), m.strength * 2.0), CAST(0.0 AS DOUBLE))"))
+        .withColumn("loop_confidence", expr(
+          """IF(n_onsets < 8 OR flux_mean > 0.9, CAST(0.0 AS DOUBLE),
+            |   len_conf * 0.3 + rhythm_conf * 0.7)""".stripMargin))
+        .select(col("doc_id"), col("n_onsets"),
+          expr("IF(eff_len_sec = 0.0, 0.0, eff_len_sec)").as("eff_len_sec"),
+          expr("IF(m.strength = 0.0, 0.0, m.strength)").as("strength"),
+          expr("IF(flux_mean = 0.0, 0.0, flux_mean)").as("flux_mean"),
+          expr("IF(loop_confidence = 0.0, 0.0, loop_confidence)")
+            .as("loop_confidence"),
+          expr("loop_confidence > 0.7").as("is_loop"))
+    }),
+
     // tempo summary: range reject + octave fold into [80, 200) + 3-beat
     // duration gate (RhythmTracker.cpp:203-218, 256-281)
     "tempo_summary" -> ((s, dir) => {
@@ -476,6 +521,97 @@ object RhythmQueries {
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
          |    CAST(0.0 AS DOUBLE)) AS pitch_filled
          |FROM fx""".stripMargin,
+
+    "hl_loop" ->
+      s"""WITH $duckSeqs,
+         |${Framing.duckFrameCtes(graft.functions.spectral.BlockSize,
+             graft.functions.spectral.BlockSize, Seqs.SilenceThreshold, "b")},
+         |${Framing.duckFrameCtes(RF, RH, Seqs.SilenceThreshold, "r")},
+         |$duckSpectrum,
+         |mlag AS (
+         |  SELECT *, lag(m) OVER (PARTITION BY doc_id ORDER BY f) AS lm
+         |  FROM mspec),
+         |flx0 AS (
+         |  SELECT doc_id, f, m, len(m) AS L,
+         |    list_transform(range(CAST(len(m) AS BIGINT)),
+         |      i -> coalesce(lm[i + 1], CAST(0.0 AS DOUBLE))) AS ls
+         |  FROM mlag),
+         |flx1 AS (
+         |  SELECT doc_id, f, L,
+         |    ${fold("m")} AS s1,
+         |    ${fold("list_transform(m, x -> x * x)")} AS sq,
+         |    ${fold("ls")} AS t1,
+         |    ${fold("list_transform(ls, x -> x * x)")} AS t2,
+         |    ${fold("list_transform(m, (x, i) -> x * ls[i])")} AS s12
+         |  FROM flx0),
+         |flx2 AS (
+         |  SELECT doc_id, f,
+         |    CASE WHEN abs((sq - (s1/L) * (s1/L) * L)
+         |              * (t2 - (t1/L) * (t1/L) * L)) > 1e-12
+         |         THEN (s12 - (s1/L) * (t1/L) * L)
+         |              / sqrt((sq - (s1/L) * (s1/L) * L)
+         |                   * (t2 - (t1/L) * (t1/L) * L))
+         |         ELSE CAST(0.0 AS DOUBLE) END AS sflux
+         |  FROM flx1),
+         |fluxm AS (
+         |  SELECT doc_id,
+         |    ${fold("list(sflux ORDER BY f)")} / count(*) AS flux_mean
+         |  FROM flx2 GROUP BY doc_id),
+         |$duckSharp,
+         |pk AS (
+         |  SELECT doc_id, n, sharp, ispk,
+         |    list_filter(range(CAST(n AS BIGINT)),
+         |      i -> sharp[i + 1] > CAST(${rhythm.PeakThreshold} AS DOUBLE)
+         |           AND ispk[i + 1]) AS pks
+         |  FROM sharp),
+         |str AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(pks) = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+         |           ${fold("list_transform(pks, i -> sharp[i + 1])")}
+         |             / len(pks) / 4.0)) END AS strength
+         |  FROM pk),
+         |ovl AS (
+         |  SELECT doc_id, frame_id, v,
+         |    lag(v) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_v
+         |  FROM ov),
+         |ons AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0.1 AND (prev_v IS NULL OR prev_v <= 0.1)
+         |                  THEN 1 ELSE 0 END) AS INTEGER) AS n_onsets
+         |  FROM ovl GROUP BY doc_id),
+         |eff AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN count(CASE WHEN abs(v) > 128 THEN 1 END) = 0 THEN 0
+         |         ELSE max(CASE WHEN abs(v) > 128 THEN pos END)
+         |            - min(CASE WHEN abs(v) > 128 THEN pos END) + 1
+         |    END AS DOUBLE) / 1024.0 AS eff_len_sec
+         |  FROM rtok GROUP BY doc_id),
+         |comb AS (
+         |  SELECT s.doc_id, o.n_onsets, e.eff_len_sec, st.strength,
+         |    fm.flux_mean,
+         |    sqrt(greatest(CAST(0.0 AS DOUBLE),
+         |      least(CAST(4.0 AS DOUBLE), e.eff_len_sec - 1.0) / 4.0))
+         |      AS len_conf,
+         |    CASE WHEN st.strength > 0.25
+         |         THEN least(CAST(1.0 AS DOUBLE), st.strength * 2.0)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS rhythm_conf
+         |  FROM seqs s
+         |  JOIN ons o USING (doc_id) JOIN eff e USING (doc_id)
+         |  JOIN str st USING (doc_id) JOIN fluxm fm USING (doc_id)),
+         |fin AS (
+         |  SELECT doc_id, n_onsets, eff_len_sec, strength, flux_mean,
+         |    CASE WHEN n_onsets < 8 OR flux_mean > 0.9 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE len_conf * 0.3 + rhythm_conf * 0.7 END
+         |      AS loop_confidence
+         |  FROM comb)
+         |SELECT doc_id, n_onsets,
+         |  ${cz("eff_len_sec")} AS eff_len_sec,
+         |  ${cz("strength")} AS strength,
+         |  ${cz("flux_mean")} AS flux_mean,
+         |  ${cz("loop_confidence")} AS loop_confidence,
+         |  loop_confidence > 0.7 AS is_loop
+         |FROM fin""".stripMargin,
 
     "pitch_summary" ->
       s"""WITH $duckFrames,
