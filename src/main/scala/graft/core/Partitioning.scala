@@ -26,8 +26,12 @@ object Partitioning {
     // the whole query per call): file count is a lower bound on scan splits
     // (Spark splits large files further by maxPartitionBytes, so a table
     // with >= `parts` files never repartitions here — the real-scale path).
+    // inputFiles is EMPTY for non-file-backed plans (in-memory test frames,
+    // frames whose scan the estimator can't trace) — there the heuristic is
+    // uninformative, so leave the frame alone rather than force an exchange
+    // the old getNumPartitions check would have skipped.
     val estSplits = df.inputFiles.length
-    if (estSplits < parts) df.repartition(parts, col(key))
+    if (estSplits > 0 && estSplits < parts) df.repartition(parts, col(key))
     else df
   }
 

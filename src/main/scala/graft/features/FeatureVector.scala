@@ -95,8 +95,25 @@ object FeatureVector {
       case s => s"$st.$s"
     }.mkString("array(", ", ", ")")
 
-  /** seqs → (doc_id, fv array<double> of [[Width]]). */
-  def fvFull(seqs: DataFrame): DataFrame = {
+  /** seqs → (doc_id, fv array<double> of [[Width]]).
+    *
+    * Default = the fused single-pass kernel
+    * ([[graft.functions.fvkernel.FvFullKernel]]); `SPARK_GRAFT_FV_FUSED=0`
+    * selects the composed expression assembly below (kept for A/B — the
+    * FeatureVectorSpec asserts the two are bitwise identical). */
+  def fvFull(seqs: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_FV_FUSED").contains("0")) fvFullComposed(seqs)
+    else fvFullFused(seqs)
+
+  def fvFullFused(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    seqs.select(col("doc_id"), expr("graft_fv_full(tokens, n_tok)").as("fv"))
+  }
+
+  /** The composed (one-expression-per-component) assembly — ran the band
+    * battery twice and ~1700 interpreted HOF expressions per row; kept as
+    * the A/B reference for the fused kernel. */
+  def fvFullComposed(seqs: DataFrame): DataFrame = {
     graft.functions.expressions.register(seqs.sparkSession)
     var df = seqs
       .withColumn("bands", expr(s"graft_band_features(tokens, $F, $H)"))
@@ -177,13 +194,16 @@ object FeatureVector {
     df = df
       .withColumn("__rser", expr(
         s"transform(graft_frame_features(tokens, ${Seqs.RFrameSize}, ${Seqs.RHop}, ${Seqs.SilenceThreshold}), fr -> fr.rms)"))
-      .withColumn("__ov", expr(
-        s"""transform(sequence(0, size(__rser) - 1), i ->
-           |  greatest(element_at(__rser, i + 1) -
-           |    element_at(sort_array(slice(__rser, greatest(i - 4, 0) + 1,
-           |        i - greatest(i - 4, 0) + 1)),
-           |      CAST((i - greatest(i - 4, 0)) div 2 AS INT) + 1),
-           |    CAST(0.0 AS DOUBLE)) / ${graft.queries.RhythmQueries.OnsetScale})""".stripMargin))
+      .withColumn("__ov", {
+        val w = graft.queries.TokenQueries.MedianSpan - 1
+        expr(
+          s"""transform(sequence(0, size(__rser) - 1), i ->
+             |  greatest(element_at(__rser, i + 1) -
+             |    element_at(sort_array(slice(__rser, greatest(i - $w, 0) + 1,
+             |        i - greatest(i - $w, 0) + 1)),
+             |      CAST((i - greatest(i - $w, 0)) div 2 AS INT) + 1),
+             |    CAST(0.0 AS DOUBLE)) / ${graft.queries.RhythmQueries.OnsetScale})""".stripMargin)
+      })
       .withColumn("__rm", expr("graft_rhythm_metrics(graft_canny(__ov))"))
       .withColumn("__n_onsets", expr(
         """CAST(size(filter(sequence(0, size(__ov) - 1), i ->

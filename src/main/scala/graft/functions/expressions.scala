@@ -73,6 +73,7 @@ object expressions {
       es => FeaturesLlKernel(es(0), es(1), es(2), es(3), es(4), es(5)), "built-in")
     spectral.register(spark)
     rhythm.register(spark)
+    fvkernel.register(spark)
   }
 
   private[functions] def litIntPub(e: Expression): Int = litInt(e)

@@ -236,41 +236,47 @@ object rhythm {
       val aAny = xs.eval(input)
       if (aAny == null) return null
       val a = aAny.asInstanceOf[ArrayData].toDoubleArray()
-      val n = a.length
-      if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyDoubleArray)
-      val tmp = new Array[Double](n)
-      var i = 0
-      while (i < n) {
-        var sum = 0.0
-        var shift = -CannyLength
-        while (shift < CannyLength) {
-          val j = i + shift
-          if (j >= 0 && j < n) sum += a(j) * CannyWeights(shift + CannyLength)
-          shift += 1
-        }
-        tmp(i) = sum
-        i += 1
-      }
-      // normalize: z-score clamped at 0 (population variance, 0 for n < 2)
-      var s = 0.0
-      i = 0
-      while (i < n) { s += tmp(i); i += 1 }
-      val mean = s / n
-      var v = 0.0
-      if (n >= 2) {
-        i = 0
-        while (i < n) { val d = tmp(i) - mean; v += d * d; i += 1 }
-        v /= n
-      }
-      if (v > 0.0) {
-        val sd = math.sqrt(v)
-        i = 0
-        while (i < n) { tmp(i) = math.max(0.0, (tmp(i) - mean) / sd); i += 1 }
-      }
-      UnsafeArrayData.fromPrimitiveArray(tmp)
+      UnsafeArrayData.fromPrimitiveArray(cannyCore(a))
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(xs = c(0))
+  }
+
+  /** Shared Canny core (also used by the fused feature-vector kernel —
+    * loop byte-identical to the original [[Canny]] body). */
+  private[functions] def cannyCore(a: Array[Double]): Array[Double] = {
+    val n = a.length
+    if (n == 0) return Array.emptyDoubleArray
+    val tmp = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var sum = 0.0
+      var shift = -CannyLength
+      while (shift < CannyLength) {
+        val j = i + shift
+        if (j >= 0 && j < n) sum += a(j) * CannyWeights(shift + CannyLength)
+        shift += 1
+      }
+      tmp(i) = sum
+      i += 1
+    }
+    // normalize: z-score clamped at 0 (population variance, 0 for n < 2)
+    var s = 0.0
+    i = 0
+    while (i < n) { s += tmp(i); i += 1 }
+    val mean = s / n
+    var v = 0.0
+    if (n >= 2) {
+      i = 0
+      while (i < n) { val d = tmp(i) - mean; v += d * d; i += 1 }
+      v /= n
+    }
+    if (v > 0.0) {
+      val sd = math.sqrt(v)
+      i = 0
+      while (i < n) { tmp(i) = math.max(0.0, (tmp(i) - mean) / sd); i += 1 }
+    }
+    tmp
   }
 
   // ------------------------------------------------------------------
@@ -296,66 +302,77 @@ object rhythm {
     override def children: Seq[Expression] = Seq(xs)
     override def dataType: DataType = RhythmMetricsStructType
     override def nullable: Boolean = xs.nullable
-    private def isPeak(a: Array[Double], i: Int): Boolean = {
-      var j = -PeakWindowLength
-      while (j <= PeakWindowLength) {
-        val k = i + j
-        if (k >= 0 && k < a.length && a(k) > a(i)) return false
-        j += 1
-      }
-      true
-    }
     override def eval(input: InternalRow): Any = {
       val aAny = xs.eval(input)
       if (aAny == null) return null
       val a = aAny.asInstanceOf[ArrayData].toDoubleArray()
-      val n = a.length
-      if (n == 0)
-        return new GenericInternalRow(Array[Any](0.0, 0, 0.0, 0, 0.0))
-      // strength: fixed-threshold peaks
-      var psum = 0.0
-      var np = 0
-      var i = 0
-      while (i < n) {
-        if (a(i) > PeakThreshold && isPeak(a, i)) { psum += a(i); np += 1 }
-        i += 1
-      }
-      val strength =
-        if (np == 0) 0.0
-        else math.min(1.0, math.max(0.0, psum / np / 4.0))
-      // contrast: percentile threshold + valley walk
-      val sorted = a.clone()
-      java.util.Arrays.sort(sorted)
-      val threshold = sorted((ContrastPercentile * (n - 1)).toInt)
-      var vpos = 0
-      var vval = threshold
-      var cpsum = 0.0
-      var cvsum = 0.0
-      var ncp = 0
-      i = 0
-      while (i < n) {
-        if (a(i) < vval) { vpos = i; vval = a(i) }
-        if (a(i) >= threshold && isPeak(a, i)) {
-          cpsum += a(i); cvsum += a(vpos); ncp += 1
-          vval = a(i)
-        }
-        i += 1
-      }
-      var tsum = 0.0
-      i = 0
-      while (i < n) { tsum += a(i); i += 1 }
-      val totalMean = tsum / n
-      val peakMean = if (ncp == 0) 0.0 else cpsum / ncp
-      val valleyMean = (if (ncp == 0) 0.0 else cvsum / ncp) + 0.0001
-      val contrast =
-        if (peakMean != 0.0)
-          -1.0 * math.pow(peakMean / valleyMean,
-            1.0 / math.log(totalMean + 0.0001))
-        else 0.0
-      new GenericInternalRow(Array[Any](strength, np, threshold, ncp, contrast))
+      val m = metricsCore(a)
+      new GenericInternalRow(Array[Any](
+        m.strength, m.nPeaks, m.threshold, m.nCPeaks, m.contrast))
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(xs = c(0))
+  }
+
+  private[functions] final case class Metrics(strength: Double, nPeaks: Int,
+      threshold: Double, nCPeaks: Int, contrast: Double)
+
+  private def isPeak(a: Array[Double], i: Int): Boolean = {
+    var j = -PeakWindowLength
+    while (j <= PeakWindowLength) {
+      val k = i + j
+      if (k >= 0 && k < a.length && a(k) > a(i)) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Shared rhythm-metrics core (also used by the fused feature-vector
+    * kernel — loops byte-identical to the original [[RhythmMetrics]] body). */
+  private[functions] def metricsCore(a: Array[Double]): Metrics = {
+    val n = a.length
+    if (n == 0) return Metrics(0.0, 0, 0.0, 0, 0.0)
+    // strength: fixed-threshold peaks
+    var psum = 0.0
+    var np = 0
+    var i = 0
+    while (i < n) {
+      if (a(i) > PeakThreshold && isPeak(a, i)) { psum += a(i); np += 1 }
+      i += 1
+    }
+    val strength =
+      if (np == 0) 0.0
+      else math.min(1.0, math.max(0.0, psum / np / 4.0))
+    // contrast: percentile threshold + valley walk
+    val sorted = a.clone()
+    java.util.Arrays.sort(sorted)
+    val threshold = sorted((ContrastPercentile * (n - 1)).toInt)
+    var vpos = 0
+    var vval = threshold
+    var cpsum = 0.0
+    var cvsum = 0.0
+    var ncp = 0
+    i = 0
+    while (i < n) {
+      if (a(i) < vval) { vpos = i; vval = a(i) }
+      if (a(i) >= threshold && isPeak(a, i)) {
+        cpsum += a(i); cvsum += a(vpos); ncp += 1
+        vval = a(i)
+      }
+      i += 1
+    }
+    var tsum = 0.0
+    i = 0
+    while (i < n) { tsum += a(i); i += 1 }
+    val totalMean = tsum / n
+    val peakMean = if (ncp == 0) 0.0 else cpsum / ncp
+    val valleyMean = (if (ncp == 0) 0.0 else cvsum / ncp) + 0.0001
+    val contrast =
+      if (peakMean != 0.0)
+        -1.0 * math.pow(peakMean / valleyMean,
+          1.0 / math.log(totalMean + 0.0001))
+      else 0.0
+    Metrics(strength, np, threshold, ncp, contrast)
   }
 
   /** Register (idempotent; called from [[expressions.register]]). */

@@ -102,7 +102,7 @@ object spectral {
     out
   }
 
-  private def nFrames(n: Int, f: Int, h: Int): Int =
+  private[functions] def nFrames(n: Int, f: Int, h: Int): Int =
     if (n >= f) (n - f) / h + 1 else 1
 
   /** LinToDb (`AudioMath.inl:55-70`): exact 0 dB at 1.0, −200 dB floor. */
@@ -113,7 +113,7 @@ object spectral {
 
   /** SFlatnessDb (`SampleAnalyser.cpp:129-133`): dB-scaled flatness limited
     * to −60 dB, mapped to [0, 1]. Log-sum geometric mean (see class doc). */
-  private def flatnessDb(m: Array[Double], s: Int, n: Int): Double = {
+  private[functions] def flatnessDb(m: Array[Double], s: Int, n: Int): Double = {
     var sum = 0.0; var sumLog = 0.0
     var i = 0
     while (i < n) {
@@ -129,7 +129,7 @@ object spectral {
 
   /** Pearson correlation, AFEC op order (`Statistics.cpp:604-638`), with a
     * zero-padded second series (frame 0 correlates against silence). */
-  private def fluxCorr(m: Array[Double], lm: Array[Double],
+  private[functions] def fluxCorr(m: Array[Double], lm: Array[Double],
                        s: Int, n: Int): Double = {
     if (n == 0) return 0.0
     var ss1 = 0.0; var ss2 = 0.0; var ss11 = 0.0; var ss12 = 0.0; var ss22 = 0.0
@@ -188,7 +188,7 @@ object spectral {
   /** Shared band-battery core over a doc's block grid (used by both
     * [[BandFeatures]] and [[FrameSpectral]]). One row struct per
     * (frame, band), frame-major. */
-  private def bandRows(blocks: Array[Double], nf: Int, fb: Int,
+  private[functions] def bandRows(blocks: Array[Double], nf: Int, fb: Int,
                        hb: Int): Array[Any] = {
     val out = new Array[Any](nf * NBands)
     var f = 0

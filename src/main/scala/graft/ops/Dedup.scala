@@ -141,7 +141,8 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    val MaxIters = 50
+    while (changed > 0 && iter < MaxIters) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nlabel"))
       val updated = labels
@@ -155,13 +156,23 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("cluster2").as("cluster"))
       iter += 1
     }
+    // a component with diameter > MaxIters would exit un-converged and be
+    // returned split — fail loudly instead of silently (near-dup clusters
+    // are tiny by construction; a giant chain means the candidate graph is
+    // degenerate and needs the large-star/small-star variant)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge within $MaxIters iterations " +
+        s"($changed labels still propagating) — component diameter exceeds " +
+        "the cap; use large-star/small-star for graphs this deep")
     labels
   }
 
   /** DuckDB mirror of [[resolveClusters]]: transitive min over the
     * undirected candidate graph (recursive CTE with set semantics). */
-  def duckResolveSql(pairsSql: String): String =
-    s"""WITH RECURSIVE seqs AS (${graft.sources.Seqs.duckSql}),
+  def duckResolveSql(pairsSql: String,
+                     seqsSql: String = graft.sources.Seqs.duckSql): String =
+    s"""WITH RECURSIVE seqs AS ($seqsSql),
        |pairs AS MATERIALIZED ($pairsSql),
        |edges AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -224,10 +235,10 @@ object Dedup {
 
   /** DuckDB mirror of [[ngramJaccardPairs]] (docs = formatted-id view of
     * `documents`, pairsSql = a full SELECT yielding (doc_a, doc_b)). */
-  def duckNgramPairsSql(pairsSql: String): String =
+  def duckNgramPairsSql(pairsSql: String, docsWhere: String = ""): String =
     s"""WITH docs AS (
        |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id, text
-       |  FROM documents),
+       |  FROM documents${if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"}),
        |w AS (SELECT doc_id, ${TextAnalysis.duckWordsExpr} AS words FROM docs),
        |t AS MATERIALIZED (
        |  SELECT doc_id,

@@ -125,17 +125,21 @@ object KeyedSink {
     Files.createDirectories(Paths.get(path))
     val next = latestSnapshot(path).getOrElse(0) + 1
     val updTagged = updates.withColumn("__upd", lit(true))
+    // materialize the (small-by-construction) delete changelist ONCE: both
+    // the anti-join and the stats count read the checkpoint, so the
+    // delete-side pipeline never executes twice
+    val delKeys = deletes.map(_.select(col(key)).localCheckpoint(true))
     val merged = read(spark, path, key) match {
       case Some(existing) =>
         val kept = existing.join(updates.select(col(key)), Seq(key), "left_anti")
           .withColumn("__upd", lit(false))
         val m = updTagged.unionByName(kept)
-        deletes match {
-          case Some(d) => m.join(d.select(col(key)), Seq(key), "left_anti")
+        delKeys match {
+          case Some(d) => m.join(d, Seq(key), "left_anti")
           case None => m
         }
-      case None => deletes match {
-        case Some(d) => updTagged.join(d.select(col(key)), Seq(key), "left_anti")
+      case None => delKeys match {
+        case Some(d) => updTagged.join(d, Seq(key), "left_anti")
         case None => updTagged
       }
     }
@@ -149,7 +153,7 @@ object KeyedSink {
     val row = obs.get
     val total = row("total").asInstanceOf[Long]
     val nUp = Option(row("upserted")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val nDel = deletes.map(_.count()).getOrElse(0L) // deletes = small changelist
+    val nDel = delKeys.map(_.count()).getOrElse(0L) // count on the checkpoint
     commit(path, next, "full", total, nUp, nDel, countFiles(snapDir), key)
   }
 
@@ -171,10 +175,16 @@ object KeyedSink {
     val stats = commit(path, next, "delta", -1L, nUp, 0L,
       countFiles(snapDir), key)
     val total = readSnap(spark, path, next, key).select(col(key)).count()
-    // refresh metadata with the resolved total (pointer already flipped —
-    // readers were never blocked on this)
-    Files.writeString(Paths.get(path, s"snap-$next.json"),
+    // refresh metadata with the resolved total — via temp file + ATOMIC_MOVE
+    // (same protocol as the _latest pointer): the pointer already flipped,
+    // so an in-place rewrite could expose mid-truncate metadata to a
+    // concurrent read(), and snapKind() would misread the delta as a full
+    // snapshot, silently dropping every non-updated row
+    val metaTmp = Paths.get(path, s"snap-$next.json.tmp")
+    Files.writeString(metaTmp,
       s"""{"snapshot": $next, "kind": "delta", "total_rows": $total, "upserted_rows": $nUp, "deleted_rows": 0, "partitions": ${stats.partitions}, "parent": ${parent.get}, "key": "$key"}""")
+    Files.move(metaTmp, Paths.get(path, s"snap-$next.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     stats.copy(totalRows = total)
   }
 

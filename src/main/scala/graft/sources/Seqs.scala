@@ -80,6 +80,38 @@ object Seqs {
         col("source"))
   }
 
+  /** Verification-boundary subsample predicate (over the RAW numeric
+    * `doc_id` of `documents`): keeps every planted near-dup pair
+    * (`doc_id % 50 ∈ {48, 49}` — see the token model above) plus a 1-in-7
+    * stride (~18% of docs). Used ONLY by the minhash/LSH oracle family:
+    * their DuckDB mirrors re-run the interpreted minhash pipeline per doc
+    * (~3 min each at the driver's gate scale — measured round 3), which
+    * blew the driver's verification window in round 2. The engine runs the
+    * full corpus everywhere else (Bench, features); both dialects apply
+    * this identical predicate, so the compare stays exact. */
+  val DedupSubPred = "(doc_id % 50) IN (48, 49) OR (doc_id % 7) = 0"
+
+  /** [[fromDocuments]] restricted to [[DedupSubPred]] (filter applied on
+    * the raw ids BEFORE token generation — the predicate prunes ~82% of
+    * the token-expansion work too). */
+  def fromDocumentsSub(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.expressions.register(spark)
+    graft.core.Partitioning.readBalanced(spark, dir, "documents", "doc_id")
+      .filter(expr(DedupSubPred))
+      .select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0")).as("doc_id"),
+        expr(s"graft_gen_tokens(doc_id, CAST(least(n_chars * 16, $MaxTokens) AS INT))")
+          .as("tokens"),
+        least(col("n_chars") * 16, lit(MaxTokens)).cast("int").as("n_tok"),
+        col("source"))
+  }
+
+  /** DuckDB mirror of [[fromDocumentsSub]] (base column qualified —
+    * DuckDB would otherwise let the WHERE see the SELECT's `doc_id`
+    * alias, which is the formatted string). */
+  lazy val duckSqlSub: String = // lazy: duckSql is declared below
+    s"$duckSql\nWHERE ${DedupSubPred.replace("doc_id", "documents.doc_id")}"
+
   /** Bench-scale variant: replicate every document `factor` times with a
     * distinct derived doc id (so token content differs per replica) — used
     * by the scaling benchmark so per-core compute dominates fixed job

@@ -31,6 +31,19 @@ class PipelineSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("fused and unfused featuresLl agree on schema AND values bitwise") {
+    val seqs = mkSeqs(Seq(
+      ("d1", noise, noise.length, "s"),
+      ("d2", noise.take(100), 100, "s")))
+    val fused = Pipeline.featuresLlFused(seqs)
+    val unfused = Pipeline.featuresLlUnfused(seqs)
+    assert(fused.schema == unfused.schema,
+      s"schema drift: fused=${fused.schema.treeString} unfused=${unfused.schema.treeString}")
+    val f = fused.orderBy("doc_id").collect().map(_.toString)
+    val u = unfused.orderBy("doc_id").collect().map(_.toString)
+    assert(f.sameElements(u))
+  }
+
   test("bitwise token-array passthrough on every materialized row") {
     val seqs = mkSeqs(Seq(("d1", noise, noise.length, "s")))
     val out = Pipeline.featuresLl(seqs).select("tokens").as[Seq[Int]].head()
