@@ -21,7 +21,7 @@ object Bench {
     * per-round bench stays minutes, not hours. */
   val BenchQueries: Seq[String] = Seq(
     "features_ll",        // headline: full per-doc feature pipeline
-    "fv_full",            // full 1680-dim classification feature vector
+    "fv_full",            // full 1920-dim classification feature vector
     "band_features",      // per-frame sub-band battery
     "frame_rms",          // framing kernel
     "doc_stats_rms",      // stats kernel
@@ -134,7 +134,7 @@ object Bench {
     val fvRows = nDocs * graft.features.PointInTime.TimeOffsets.length
     val fvRate = if (llSec > 0) fvRows / llSec else -1.0
     System.err.println(f"[bench] features_ll_scaled(x$scale) = $llSec%.2f s")
-    // the full 1680-dim classification vector on the same scaled corpus
+    // the full 1920-dim classification vector on the same scaled corpus
     // (the heavyweight honest workload; reported alongside the headline)
     def timeFvFull(): Double = {
       val t0 = System.nanoTime()

@@ -22,9 +22,10 @@ import graft.sources.Seqs
   *   7. rhythm/onset scalars + effective length (`:530-543`),
   *   8. padding to a multiple of 48 with the spectral-RMS mean (`:546-556`).
   *
-  * Width here is 1680 = 35 × 48 (vs the reference's 1584 = 33 × 48 — same
+  * Width here is 1920 = 40 × 48 (vs the reference's 1584 = 33 × 48 — same
   * composition rule, different row count because the token analog has 14
-  * bands everywhere the reference mixes 14/28 and fewer rhythm scalars).
+  * bands everywhere the reference mixes 14/28 and fewer rhythm scalars;
+  * round 3 added the four per-frame index-moment series).
   *
   * Every component is sampled point-in-time: offset `t` reads only frame
   * `t` (never a later frame) with the reference's silence-descriptor
@@ -56,14 +57,21 @@ object FeatureVector {
     Seq("min", "max", "mean", "variance", "flatness", "dmean", "dvariance")
 
   /** Spectrum series: (name, spark accessor over `fs`/`frames`, silence
-    * fallback). */
+    * fallback). The four index-moment series (centroid/spread/skew/kurt
+    * over each frame's bin spectrum, `SampleAnalyser.cpp:1822-1883`) are
+    * exact +·/ folds — silence fallback 0 (all formulas gate on Σx = 0 /
+    * |spread| ≤ ε). */
   val SeriesDefs: Seq[(String, String, Double)] = Seq(
     ("srms", "x.srms", 0.0),
     ("sflat", "x.sflatness", 1.0),
     ("sflux", "x.sflux", 0.0),
     ("scontrast", "x.contrast_avg", -1.0),
     ("scomplexity", "CAST(x.scomplexity AS DOUBLE)", 0.0),
-    ("f0conf", "least(CAST(x.peak AS DOUBLE) / 2048.0, CAST(1.0 AS DOUBLE))", 0.0))
+    ("f0conf", "least(CAST(x.peak AS DOUBLE) / 2048.0, CAST(1.0 AS DOUBLE))", 0.0),
+    ("scentroid", "x.scentroid", 0.0),
+    ("sspread", "x.sspread", 0.0),
+    ("sskewness", "x.sskewness", 0.0),
+    ("skurtosis", "x.skurtosis", 0.0))
 
   /** Band descriptors entering the per-band stat blocks. */
   val BandDefs: Seq[String] = Seq("rms", "flatness", "flux", "complexity", "contrast")
@@ -71,16 +79,16 @@ object FeatureVector {
   // layout offsets
   val SigBase = 0
   val SeriesBase: Int = SigBase + NB * nOff                   // 672
-  val SpecStatsBase: Int = SeriesBase + SeriesDefs.length * nOff // 960
-  val BandStatsBase: Int = SpecStatsBase + SeriesDefs.length * 7 // 1002
-  val MfccStatsBase: Int = BandStatsBase + BandDefs.length * NB * 7 // 1492
-  val AmpSeriesBase: Int = MfccStatsBase + NM * 7             // 1590
-  val AmpStatsBase: Int = AmpSeriesBase + nOff                // 1638
-  val SilStatsBase: Int = AmpStatsBase + 7                    // 1645
-  val ScalarsBase: Int = SilStatsBase + 7                     // 1652
-  val UnpaddedWidth: Int = ScalarsBase + 4                    // 1656
-  val Width: Int = ((UnpaddedWidth + nOff - 1) / nOff) * nOff // 1680
-  val PadCount: Int = Width - UnpaddedWidth                   // 24
+  val SpecStatsBase: Int = SeriesBase + SeriesDefs.length * nOff // 1152
+  val BandStatsBase: Int = SpecStatsBase + SeriesDefs.length * 7 // 1222
+  val MfccStatsBase: Int = BandStatsBase + BandDefs.length * NB * 7 // 1712
+  val AmpSeriesBase: Int = MfccStatsBase + NM * 7             // 1810
+  val AmpStatsBase: Int = AmpSeriesBase + nOff                // 1858
+  val SilStatsBase: Int = AmpStatsBase + 7                    // 1865
+  val ScalarsBase: Int = SilStatsBase + 7                     // 1872
+  val UnpaddedWidth: Int = ScalarsBase + 4                    // 1876
+  val Width: Int = ((UnpaddedWidth + nOff - 1) / nOff) * nOff // 1920
+  val PadCount: Int = Width - UnpaddedWidth                   // 44
 
   private val offArr = s"array(${offs.mkString(", ")})"
 

@@ -48,7 +48,7 @@ object FeaturesHl {
   def featuresHl(ll: DataFrame): DataFrame = {
     expressions.register(ll.sparkSession)
     val base = ll.select("doc_id", "source", "status", "n_tok", "n_frames",
-      "rms_series", "peak_series", "env_series", "audible_frames",
+      "tokens", "rms_series", "peak_series", "env_series", "audible_frames",
       "rms_min", "rms_max", "rms_mean", "rms_variance", "rms_flatness",
       "rms_centroid", "env_mean", "effective_len_32")
 
@@ -79,14 +79,46 @@ object FeaturesHl {
         expr("IF(size(__env) < 2, 0.0, graft_correlation(__fade, __env))"))
       .withColumn("env_confidence",
         expr("least(1.0, abs(env_correlation))"))
+      // percussive onset count on the rhythm clock (RhythmTracker.cpp:99-134
+      // rising edges over the trailing-median baseline) — feeds the
+      // reference's "< 1 s AND <= 2 onsets" one-shot gate
+      .withColumn("__rser", expr(
+        s"transform(graft_frame_features(tokens, ${graft.sources.Seqs.RFrameSize}, " +
+          s"${graft.sources.Seqs.RHop}, ${graft.sources.Seqs.SilenceThreshold}), fr -> fr.rms)"))
+      .withColumn("__ov", {
+        val w = graft.queries.TokenQueries.MedianSpan - 1
+        expr(
+          s"""transform(sequence(0, size(__rser) - 1), i ->
+             |  greatest(element_at(__rser, i + 1) -
+             |    element_at(sort_array(slice(__rser, greatest(i - $w, 0) + 1,
+             |        i - greatest(i - $w, 0) + 1)),
+             |      CAST((i - greatest(i - $w, 0)) div 2 AS INT) + 1),
+             |    CAST(0.0 AS DOUBLE)) / ${graft.queries.RhythmQueries.OnsetScale})""".stripMargin)
+      })
+      .withColumn("n_onsets", expr(
+        """CAST(size(filter(sequence(0, size(__ov) - 1), i ->
+          |  element_at(__ov, i + 1) > 0.1 AND
+          |  (i = 0 OR element_at(__ov, i) <= 0.1))) AS INT)""".stripMargin))
+      // ClassificationHeuristics.cpp:12-98 structure: two early-return
+      // tiers (< 0.5 s analog -> 0.85; < 1 s analog AND <= 2 percussive
+      // onsets -> 0.75), else the cube-compressed continuous length
+      // confidence blended 0.3/0.7 with the envelope correlation.
+      // Token-scale analog: 1 s <-> 4096 tokens, 4 s cap <-> 16384.
       .withColumn("length_confidence", expr(
         """CASE WHEN n_tok < 2048 THEN 0.85
-          |     WHEN n_tok < 4096 THEN 0.75
-          |     ELSE 0.0 END""".stripMargin))
-      .withColumn("oneshot_confidence",
-        expr("length_confidence * 0.3 + env_confidence * 0.7"))
-      .withColumn("is_oneshot", expr("oneshot_confidence > 0.7"))
-      .drop("__pb", "__env", "__fade")
+          |     WHEN n_tok < 4096 AND n_onsets <= 2 THEN 0.75
+          |     ELSE sqrt(CAST(1.0 AS DOUBLE)
+          |       - least(CAST(16384.0 AS DOUBLE),
+          |           greatest(CAST(0.0 AS DOUBLE),
+          |             CAST(n_tok AS DOUBLE) - 4096.0)) / 16384.0) END""".stripMargin))
+      .withColumn("oneshot_confidence", expr(
+        """CASE WHEN n_tok < 2048 OR (n_tok < 4096 AND n_onsets <= 2)
+          |     THEN length_confidence
+          |     ELSE length_confidence * 0.3 + env_confidence * 0.7 END""".stripMargin))
+      .withColumn("is_oneshot", expr(
+        """n_tok < 2048 OR (n_tok < 4096 AND n_onsets <= 2)
+          |  OR oneshot_confidence > 0.7""".stripMargin))
+      .drop("__pb", "__env", "__fade", "__rser", "__ov")
 
     // characteristics (token-scale normalizations; shapes per reference;
     // powers written as explicit products so both engines agree bitwise)
@@ -127,6 +159,6 @@ object FeaturesHl {
            |  x -> x IS NOT NULL)""".stripMargin))
       .drop("__w", "__wsum")
 
-    withCats.drop("rms_series", "peak_series", "env_series")
+    withCats.drop("tokens", "rms_series", "peak_series", "env_series")
   }
 }

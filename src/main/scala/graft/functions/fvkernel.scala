@@ -144,6 +144,10 @@ object fvkernel {
     val scontrast = new Array[Double](nf)
     val scomplexity = new Array[Double](nf)
     val f0conf = new Array[Double](nf)
+    val scen = new Array[Double](nf)
+    val sspr = new Array[Double](nf)
+    val sskw = new Array[Double](nf)
+    val skur = new Array[Double](nf)
     val mfcc = new Array[Array[Double]](nf)
     f = 0
     while (f < nf) {
@@ -172,6 +176,8 @@ object fvkernel {
       scontrast(f) = csum / NB
       scomplexity(f) = cplxSum.toDouble
       f0conf(f) = math.min(frmPeak(f).toDouble / 2048.0, 1.0)
+      val (c0, s0m, k3, k4) = spectral.indexMoments(blocks, s0, len)
+      scen(f) = c0; sspr(f) = s0m; sskw(f) = k3; skur(f) = k4
       // MFCC (FrameSpectral loop)
       val loge = new Array[Double](NM)
       var k = 0
@@ -216,12 +222,16 @@ object fvkernel {
 
     // --- 2. spectrum series × 48 (order + fallbacks = FeatureVector.SeriesDefs)
     val seriesVals: Array[Array[Double]] =
-      Array(srms, sflat, sflux, scontrast, scomplexity, f0conf)
-    val seriesFb: Array[Double] = Array(0.0, 1.0, 0.0, -1.0, 0.0, 0.0)
+      Array(srms, sflat, sflux, scontrast, scomplexity, f0conf,
+        scen, sspr, sskw, skur)
+    val seriesFb: Array[Double] =
+      Array(0.0, 1.0, 0.0, -1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
     val seriesQuant: Array[Boolean] =
-      Array(false, true, false, true, false, false)
+      Array(false, true, false, true, false, false,
+        false, false, false, false)
+    val nSeries = seriesVals.length
     var k = 0
-    while (k < 6) {
+    while (k < nSeries) {
       var ti = 0
       while (ti < nOff) {
         val t = offs(ti)
@@ -239,7 +249,7 @@ object fvkernel {
     // composed path quantized: sflat, scontrast)
     var stSrmsMean = 0.0
     k = 0
-    while (k < 6) {
+    while (k < nSeries) {
       val src = seriesVals(k)
       val xs =
         if (seriesQuant(k)) {

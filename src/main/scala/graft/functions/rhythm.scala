@@ -137,6 +137,44 @@ object rhythm {
     * default. Peak threshold reuses the 0.25·max band convention. */
   val HarmonicThreshold = 0.5
 
+  /** Plateau-aware peak walk (`Statistics.cpp:140-232`, the
+    * `SCreatePeakSpectrum` peak finder, `SampleAnalyser.cpp:95-124`):
+    * descend on `>=`, climb on `<`, traverse equal-value plateaus as ONE
+    * peak at the middle bin, with the reference's three boundary quirks
+    * (first element, the strict check at N−2, last element). Returns peak
+    * bins ascending. Declaratively (mirrored by the DuckDB oracle): a
+    * maximal equal-run [s..e] with value v is a peak at `(s+e)/2` iff
+    * `s ≥ 1`, `e ≤ N−3`, both neighbors strictly below v, and `v > thr`;
+    * plus `0` iff `a(0) > a(1)`, `N−2` iff strictly above BOTH neighbors,
+    * `N−1` iff `a(N−1) > a(N−2)` (each gated on `> thr`). The walk and the
+    * run-rule are equivalent (PropertySpec cross-checks them on random
+    * plateau-heavy arrays). */
+  private[graft] def peakWalk(a: Array[Double],
+                              thr: Double): scala.collection.mutable.ArrayBuffer[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = a.length
+    if (n <= 2) return out
+    var i = 0
+    if (a(0) > a(1) && a(0) > thr) out += 0
+    var done = false
+    while (!done) {
+      while (i + 1 < n - 1 && a(i) >= a(i + 1)) i += 1
+      while (i + 1 < n - 1 && a(i) < a(i + 1)) i += 1
+      var j = i
+      while (j + 1 < n - 1 && a(j) == a(j + 1)) j += 1
+      if (j + 1 < n - 1 && a(j + 1) < a(j) && a(j) > thr)
+        out += (if (j != i) (i + j) / 2 else j)
+      i = j
+      if (i + 1 >= n - 1) {
+        if (i == n - 2 && a(i - 1) < a(i) && a(i + 1) < a(i) && a(i) > thr)
+          out += i
+        done = true
+      }
+    }
+    if (a(n - 1) > a(n - 2) && a(n - 1) > thr) out += n - 1
+    out
+  }
+
   val HarmonicsStructType: StructType = StructType(Seq(
     StructField("frame_id", IntegerType, nullable = false),
     StructField("f0_bin", IntegerType, nullable = false),
@@ -181,17 +219,15 @@ object rhythm {
         var i = 0
         while (i < len) { if (w(i) > wmax) wmax = w(i); i += 1 }
         val thr = wmax * spectral.PeakThreshold
-        // strict interior local maxima above the threshold
-        val pk = scala.collection.mutable.ArrayBuffer.empty[Int]
-        i = 1
-        while (i < len - 1) {
-          if (w(i) > thr && w(i) > w(i - 1) && w(i) > w(i + 1)) pk += i
-          i += 1
-        }
-        if (pk.isEmpty) {
+        // plateau-aware peak walk (Statistics.cpp:140-232)
+        val pk = peakWalk(w, thr)
+        // F0 analog = lowest NONZERO peak bin (a DC-bin peak cannot anchor
+        // the harmonic ratio j/f0; it still enters the peak mass below)
+        val f0Opt = pk.find(_ >= 1)
+        if (f0Opt.isEmpty) {
           out(f) = new GenericInternalRow(Array[Any](f, 0, 0, 0.0, 0.0, 0.0, 0.0))
         } else {
-          val f0 = pk.head
+          val f0 = f0Opt.get
           // harmonic filter (threshold 0.5 keeps all — reference default)
           val kept = pk.filter { j =>
             val ratio = j.toDouble / f0

@@ -300,8 +300,56 @@ object spectral {
     StructField("sflatness", DoubleType, nullable = false),
     StructField("sflux", DoubleType, nullable = false),
     StructField("scomplexity", IntegerType, nullable = false),
+    StructField("scentroid", DoubleType, nullable = false),
+    StructField("sspread", DoubleType, nullable = false),
+    StructField("sskewness", DoubleType, nullable = false),
+    StructField("skurtosis", DoubleType, nullable = false),
     StructField("mfcc", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
+
+  /** Per-frame index moments over the frame's bin spectrum — centroid /
+    * spread / skewness / kurtosis (`SampleAnalyser.cpp:1822-1883`,
+    * `Statistics.cpp:459-554`): index-weighted centroid `Σ j·x / Σ x`,
+    * spread `Σ (j−c)²·x / Σ x`, then value-domain skew `Σ((x−c)/s)³ / N`
+    * and kurtosis `Σ((x−c)/s)⁴ / N − 3` gated on |spread| > MEpsilon.
+    * Ascending folds (reference loops descend — documented ulp-level
+    * deviation, same as the 13-stat block); pure +·/ — bitwise
+    * cross-engine, no rounding. */
+  private[functions] def indexMoments(m: Array[Double], s: Int,
+                                      n: Int): (Double, Double, Double, Double) = {
+    var ssum = 0.0
+    var i = 0
+    while (i < n) { ssum += m(s + i); i += 1 }
+    var centroid = 0.0
+    var spread = 0.0
+    if (ssum != 0.0) {
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += i.toDouble * m(s + i); i += 1 }
+      centroid = acc / ssum
+      acc = 0.0
+      i = 0
+      while (i < n) { val t = i - centroid; acc += t * t * m(s + i); i += 1 }
+      spread = acc / ssum
+    }
+    var skew = 0.0
+    var kurt = 0.0
+    if (n > 0 && math.abs(spread) > Stats.Eps) {
+      var a3 = 0.0
+      var a4 = 0.0
+      i = 0
+      while (i < n) {
+        val t = (m(s + i) - centroid) / spread
+        a3 += t * t * t
+        val tt = t * t
+        a4 += tt * tt
+        i += 1
+      }
+      skew = a3 / n
+      kurt = a4 / n - 3.0
+    }
+    (centroid, spread, skew, kurt)
+  }
 
   /** graft_frame_spectral(tokens, frameSize, hop) →
     * ARRAY<STRUCT<frame_id, rolloff_bins, contrast_avg, mfcc>>. */
@@ -382,8 +430,10 @@ object spectral {
           mfcc(n) = acc
           n += 1
         }
+        val (scen, sspr, sskw, skur) = indexMoments(blocks, s0, len)
         out(f) = new GenericInternalRow(Array[Any](
           f, nro, csum / NBands, srms, sflat, sflux, cplxSum,
+          scen, sspr, sskw, skur,
           UnsafeArrayData.fromPrimitiveArray(mfcc)))
         f += 1
       }

@@ -26,7 +26,7 @@ object FeatureVectorQueries {
   private val NB = spectral.NBands
   private val NM = spectral.NMfcc
   private val nOff = PointInTime.TimeOffsets.length
-  private val SubMod = 5
+  private val SubMod = 10
 
   private def fold(xs: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $xs), (a, x) -> a + x)"
@@ -60,7 +60,7 @@ object FeatureVectorQueries {
          |      i -> coalesce(lm[i + 1], CAST(0.0 AS DOUBLE))) AS ls
          |  FROM mlag),
          |fsum AS (
-         |  SELECT doc_id, f, L,
+         |  SELECT doc_id, f, m, L,
          |    ${fold("m")} AS s1,
          |    ${fold("list_transform(m, x -> x * x)")} AS sq,
          |    ${fold("list_transform(m, x -> ln(abs(x) + 1e-20))")} AS slog,
@@ -72,8 +72,10 @@ object FeatureVectorQueries {
          |  SELECT *, CASE WHEN s1 / L = 0.0 THEN CAST(0.0 AS DOUBLE)
          |                 ELSE exp(slog / L) / (s1 / L) END AS ratio
          |  FROM fsum),
+         |${SpectralQueries.duckMomentStages("frat", "fvm")},
          |fsc AS (
-         |  SELECT doc_id, f, sqrt(sq / L) AS srms,
+         |  SELECT doc_id, f, scentroid, sspread, sskewness, skurtosis,
+         |    sqrt(sq / L) AS srms,
          |    least(CASE WHEN ratio = 1.0 THEN CAST(0.0 AS DOUBLE)
          |               WHEN ratio > 1e-12
          |                 THEN ln(ratio) * (20.0 / ln(CAST(10.0 AS DOUBLE)))
@@ -85,7 +87,7 @@ object FeatureVectorQueries {
          |              / sqrt((sq - (s1/L) * (s1/L) * L)
          |                   * (t2 - (t1/L) * (t1/L) * L))
          |         ELSE CAST(0.0 AS DOUBLE) END AS sflux
-         |  FROM frat),
+         |  FROM fvm3),
          |fagg AS (
          |  SELECT doc_id, f,
          |    CAST(sum(complexity) AS INTEGER) AS scomplexity,
@@ -97,7 +99,8 @@ object FeatureVectorQueries {
          |  FROM frames),
          |fsq AS (
          |  SELECT c.doc_id, c.f, c.srms, c.sflat, c.sflux,
-         |         a.scontrast, a.scomplexity, p.f0conf
+         |         a.scontrast, a.scomplexity, p.f0conf,
+         |         c.scentroid, c.sspread, c.sskewness, c.skurtosis
          |  FROM fsc c
          |  JOIN fagg a ON a.doc_id = c.doc_id AND a.f = c.f
          |  JOIN f0c p ON p.doc_id = c.doc_id AND p.f = c.f)""".stripMargin
@@ -125,7 +128,8 @@ object FeatureVectorQueries {
     // FeatureVector: flatness-stat is ill-conditioned on near-zero-mean
     // series, so stat inputs must be bit-identical across engines)
     val serCols = Seq("srms", "round(sflat, 6)", "sflux", "round(scontrast, 6)",
-      "CAST(scomplexity AS DOUBLE)", "f0conf")
+      "CAST(scomplexity AS DOUBLE)", "f0conf",
+      "scentroid", "sspread", "sskewness", "skurtosis")
     val fsBlocks = serCols.zipWithIndex.map { case (c, k) =>
       Stats.duckBlockCtes(
         s"SELECT doc_id, list($c ORDER BY f) AS xs FROM fsq GROUP BY doc_id",
@@ -227,7 +231,11 @@ object FeatureVectorQueries {
       ("sflux", "CAST(0.0 AS DOUBLE)"),
       ("round(q.scontrast, 6)", "CAST(-1.0 AS DOUBLE)"),
       ("CAST(q.scomplexity AS DOUBLE)", "CAST(0.0 AS DOUBLE)"),
-      ("f0conf", "CAST(0.0 AS DOUBLE)"))
+      ("f0conf", "CAST(0.0 AS DOUBLE)"),
+      ("scentroid", "CAST(0.0 AS DOUBLE)"),
+      ("sspread", "CAST(0.0 AS DOUBLE)"),
+      ("sskewness", "CAST(0.0 AS DOUBLE)"),
+      ("skurtosis", "CAST(0.0 AS DOUBLE)"))
     val seriesPieces = duckSeriesCols.zipWithIndex.map { case ((c, fb), k) =>
       val cc = if (c.contains("q.") || c.startsWith("CAST")) c else s"q.$c"
       s"""SELECT s.doc_id, ${FV.SeriesBase + k * nOff} + o.ti AS pos,

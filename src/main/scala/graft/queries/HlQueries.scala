@@ -20,6 +20,29 @@ object HlQueries {
     * fade-decay correlation, confidences. */
   private val duckHlCtes: String = {
     s"""$duckFrames,
+       |${Framing.duckFrameCtes(Seqs.RFrameSize, Seqs.RHop,
+           Seqs.SilenceThreshold, "r")},
+       |hmed AS (
+       |  SELECT doc_id, frame_id, rms,
+       |    (list_sort(list(rms) OVER hw))[
+       |      ((len(list(rms) OVER hw) - 1) // 2) + 1] AS base
+       |  FROM rframes
+       |  WINDOW hw AS (PARTITION BY doc_id ORDER BY frame_id
+       |                ROWS BETWEEN ${TokenQueries.MedianSpan - 1} PRECEDING
+       |                AND CURRENT ROW)),
+       |hov AS (
+       |  SELECT doc_id, frame_id,
+       |    greatest(rms - base, CAST(0.0 AS DOUBLE))
+       |      / ${RhythmQueries.OnsetScale} AS v,
+       |    lag(greatest(rms - base, CAST(0.0 AS DOUBLE))
+       |      / ${RhythmQueries.OnsetScale})
+       |      OVER (PARTITION BY doc_id ORDER BY frame_id) AS pv
+       |  FROM hmed),
+       |hons AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0.1 AND (pv IS NULL OR pv <= 0.1)
+       |                  THEN 1 ELSE 0 END) AS INTEGER) AS n_onsets
+       |  FROM hov GROUP BY doc_id),
        |ser AS (
        |  SELECT doc_id, any_value(n_tok) AS n_tok,
        |         count(*) AS n_frames,
@@ -71,15 +94,22 @@ object HlQueries {
        |         ELSE 0.0 END AS env_correlation
        |  FROM corr),
        |conf2 AS (
-       |  SELECT *,
+       |  SELECT c.*, o.n_onsets,
        |    least(1.0, abs(env_correlation)) AS env_confidence,
        |    CASE WHEN n_tok < 2048 THEN 0.85
-       |         WHEN n_tok < 4096 THEN 0.75
-       |         ELSE 0.0 END AS length_confidence
-       |  FROM conf),
+       |         WHEN n_tok < 4096 AND o.n_onsets <= 2 THEN 0.75
+       |         ELSE sqrt(CAST(1.0 AS DOUBLE)
+       |           - least(CAST(16384.0 AS DOUBLE),
+       |               greatest(CAST(0.0 AS DOUBLE),
+       |                 CAST(n_tok AS DOUBLE) - 4096.0)) / 16384.0)
+       |    END AS length_confidence
+       |  FROM conf c JOIN hons o USING (doc_id)),
        |conf3 AS (
        |  SELECT *,
-       |    length_confidence * 0.3 + env_confidence * 0.7 AS oneshot_confidence
+       |    CASE WHEN n_tok < 2048 OR (n_tok < 4096 AND n_onsets <= 2)
+       |         THEN length_confidence
+       |         ELSE length_confidence * 0.3 + env_confidence * 0.7
+       |    END AS oneshot_confidence
        |  FROM conf2)""".stripMargin
   }
 
@@ -99,11 +129,26 @@ object HlQueries {
     // other (float == treats them equal but the driver hashes canonical
     // bit patterns).
     "hl_heuristics" -> ((s, dir) =>
-      hl(s, dir).select(Seq(col("doc_id")) ++
+      hl(s, dir).select(Seq(col("doc_id"), col("n_onsets")) ++
         Seq("env_correlation", "env_confidence", "length_confidence",
           "oneshot_confidence").map(n =>
           expr(s"IF($n = 0.0, 0.0, $n)").as(n)) :+
         col("is_oneshot"): _*)),
+
+    // bagged-ensemble element-wise mean (Bagging.h:191-217): three derived
+    // prediction vectors per doc (quantized strengths, their squares, their
+    // complements) averaged per class — the ensemble-combination operator
+    // (GBDT member inference itself is out of scope: model blob LFS-missing)
+    "ensemble_mean" -> ((s, dir) => {
+      graft.ops.Ensemble.baggedMean(
+        hl(s, dir)
+          .withColumn("p1", expr("transform(category_strengths, x -> round(x, 6))"))
+          .withColumn("p2", expr("transform(p1, x -> x * x)"))
+          .withColumn("p3", expr("transform(p1, x -> 1.0 - x)")),
+        Seq("p1", "p2", "p3"), "ens")
+        .select(col("doc_id"), posexplode(col("ens")).as(Seq("class_id", "mean_pred")))
+        .withColumn("mean_pred", expr("IF(mean_pred = 0.0, 0.0, mean_pred)"))
+    }),
 
     // characteristics + category strengths (SampleAnalyser.cpp:1354-1444,
     // ClassificationTools.cpp:7-128); flatness-derived values rounded at the
@@ -138,18 +183,58 @@ object HlQueries {
       val canon = Seq("env_correlation", "env_confidence",
         "length_confidence", "oneshot_confidence").map(n =>
         s"CASE WHEN $n = 0.0 THEN 0.0 ELSE $n END AS $n").mkString(",\n       ")
-      s"""WITH $duckHlCtes
-         |SELECT doc_id, $canon,
-         |       oneshot_confidence > 0.7 AS is_oneshot
+      s"""WITH RECURSIVE $duckHlCtes
+         |SELECT doc_id, n_onsets, $canon,
+         |       n_tok < 2048 OR (n_tok < 4096 AND n_onsets <= 2)
+         |         OR oneshot_confidence > 0.7 AS is_oneshot
          |FROM conf3""".stripMargin
     },
 
-    "hl_characteristics" -> {
+    "hl_characteristics" ->
+      s"""WITH ${duckStrengthCtes}
+         |SELECT doc_id,
+         |  (br * br) * (br * br) AS brightness,
+         |  no * no AS noisiness,
+         |  round(ha * ha, 6) AS harmonicity,
+         |  round(st[1], 6) AS strength_oneshot,
+         |  round(st[2], 6) AS strength_loop,
+         |  round(st[3], 6) AS strength_noise,
+         |  round(st[4], 6) AS strength_tonal
+         |FROM strengths""".stripMargin,
+
+    // bagged-ensemble element-wise mean (Bagging.h:191-217) over three
+    // derived prediction vectors; inputs quantized to 1e-6 (the strengths
+    // chain is flatness/libm-contaminated), arithmetic exact after that
+    "ensemble_mean" ->
+      s"""WITH ${duckStrengthCtes},
+         |ens0 AS (
+         |  SELECT doc_id, list_transform(st, x -> round(x, 6)) AS p1
+         |  FROM strengths),
+         |ens1 AS (
+         |  SELECT doc_id, p1,
+         |    list_transform(p1, x -> x * x) AS p2,
+         |    list_transform(p1, x -> 1.0 - x) AS p3
+         |  FROM ens0),
+         |ens2 AS (
+         |  SELECT doc_id,
+         |    list_transform(range(${FeaturesHl.CategoryNames.length}), c ->
+         |      ((p1[c + 1] + p2[c + 1]) + p3[c + 1]) / 3.0) AS ens
+         |  FROM ens1)
+         |SELECT doc_id,
+         |  CAST(gs - 1 AS INTEGER) AS class_id,
+         |  CASE WHEN u = 0.0 THEN 0.0 ELSE u END AS mean_pred
+         |FROM (SELECT doc_id, unnest(ens) AS u,
+         |             generate_subscripts(ens, 1) AS gs FROM ens2)""".stripMargin
+  )
+
+  /** Shared strengths scaffolding (characteristics + ensemble oracles):
+    * conf3 + 13-stat block + chars/cats/strengths chain. */
+  private lazy val duckStrengthCtes: String = {
       // stats block for min/max/mean/centroid/flatness over xs
       val statsBlock = Stats.duckBlock(
         inner = "SELECT doc_id, xs FROM conf3",
         keys = Seq("doc_id"), xs = "xs", p = "rms", prelude = duckHlCtes)
-      s"""WITH hlstats AS ($statsBlock),
+      s"""hlstats AS ($statsBlock),
          |joined AS (
          |  SELECT c.*, h.rms_min, h.rms_max, h.rms_mean, h.rms_centroid,
          |         h.rms_flatness
@@ -184,16 +269,6 @@ object HlQueries {
          |    list_transform(w, x ->
          |      CASE WHEN wsum = 0.0 OR x < ${FeaturesHl.MinCategoryWeight}
          |           THEN 0.0 ELSE x / wsum END) AS st
-         |  FROM cats2)
-         |SELECT doc_id,
-         |  (br * br) * (br * br) AS brightness,
-         |  no * no AS noisiness,
-         |  round(ha * ha, 6) AS harmonicity,
-         |  round(st[1], 6) AS strength_oneshot,
-         |  round(st[2], 6) AS strength_loop,
-         |  round(st[3], 6) AS strength_noise,
-         |  round(st[4], 6) AS strength_tonal
-         |FROM strengths""".stripMargin
-    }
-  )
+         |  FROM cats2)""".stripMargin
+  }
 }

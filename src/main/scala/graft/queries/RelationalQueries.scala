@@ -48,6 +48,21 @@ object RelationalQueries {
         .select(col("p_brand"), col("rnk"), col("p_partkey"), col("price_cents"))
     }),
 
+    // path/string normalization (SqliteSampleDescriptorPool.cpp:1164-1210):
+    // separator rewrite, base-strip (storage form), base-prepend (resolve
+    // form) over synthesized per-doc paths — exact string ops, bitwise
+    "path_norm" -> ((s, dir) => {
+      import graft.sources.{Paths => P}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val raw = concat(lit("C:\\corpus\\"), col("source"), lit("\\d"),
+        lpad(col("doc_id").cast("string"), 6, "0"), lit(".tok"))
+      docs.select(col("doc_id"),
+        raw.as("raw_path"),
+        P.relativePath(raw, "C:/corpus/").as("rel_path"),
+        P.absPath(P.relativePath(raw, "C:/corpus/"), "/data/corpus/")
+          .as("abs_path"))
+    }),
+
     // broadcast dim chain: nation -> region rollup of supplier balances
     "dim_rollup" -> ((s, dir) => {
       val sup = s.read.parquet(s"$dir/supplier.parquet")
@@ -89,6 +104,24 @@ object RelationalQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
         |        ORDER BY price_cents DESC, p_partkey ASC) AS rnk FROM p)
         |WHERE rnk <= 3""".stripMargin,
+
+    "path_norm" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'C:' || chr(92) || 'corpus' || chr(92) || source || chr(92)
+        |      || 'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.tok' AS raw_path
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw_path,
+        |             replace(raw_path, chr(92), '/') AS norm FROM p),
+        |r AS (SELECT doc_id, raw_path,
+        |        CASE WHEN starts_with(norm, 'C:/corpus/')
+        |             THEN substring(norm, len('C:/corpus/') + 1)
+        |             ELSE norm END AS rel_path
+        |      FROM n)
+        |SELECT doc_id, raw_path, rel_path,
+        |  CASE WHEN starts_with(rel_path, '/data/corpus/') THEN rel_path
+        |       ELSE '/data/corpus/' || rel_path END AS abs_path
+        |FROM r""".stripMargin,
 
     "dim_rollup" ->
       """SELECT r_name, count(*) AS n_suppliers,

@@ -157,6 +157,33 @@ object SpectralQueries {
   /** Canonicalize the sign of zero (both dialects hash bit patterns). */
   private def cz(e: String): String = s"CASE WHEN $e = 0.0 THEN 0.0 ELSE $e END"
 
+  /** Index-moment CTE stages (mirror of [[spectral.indexMoments]]): from a
+    * CTE `src` carrying (…, m DOUBLE[], L, s1 = ascending Σm), yields
+    * `${p}3` with scentroid/sspread/sskewness/skurtosis appended. Exact
+    * +·/ folds, element order ascending — bitwise vs the kernel. */
+  private[queries] def duckMomentStages(src: String, p: String): String = {
+    val eps = graft.functions.Stats.Eps
+    val t = "((x - scentroid) / sspread)"
+    s"""${p}1 AS (
+       |  SELECT *, CASE WHEN s1 = 0.0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE ${fold("list_transform(m, (x, i) -> (i - 1) * x)")} / s1
+       |  END AS scentroid FROM $src),
+       |${p}2 AS (
+       |  SELECT *, CASE WHEN s1 = 0.0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE ${fold(
+      "list_transform(m, (x, i) -> ((i - 1) - scentroid) * ((i - 1) - scentroid) * x)")} / s1
+       |  END AS sspread FROM ${p}1),
+       |${p}3 AS (
+       |  SELECT *,
+       |    CASE WHEN L > 0 AND abs(sspread) > $eps
+       |      THEN ${fold(s"list_transform(m, x -> $t * $t * $t)")} / L
+       |      ELSE CAST(0.0 AS DOUBLE) END AS sskewness,
+       |    CASE WHEN L > 0 AND abs(sspread) > $eps
+       |      THEN ${fold(s"list_transform(m, x -> ($t * $t) * ($t * $t))")} / L - 3.0
+       |      ELSE CAST(0.0 AS DOUBLE) END AS skurtosis
+       |  FROM ${p}2)""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
@@ -209,6 +236,19 @@ object SpectralQueries {
           col("fs.rolloff_bins").as("rolloff_bins"),
           expr("IF(round(fs.contrast_avg, 6) = 0.0, 0.0, round(fs.contrast_avg, 6))")
             .as("contrast_avg"))),
+
+    // per-frame index moments over the bin spectrum
+    // (SampleAnalyser.cpp:1822-1883, Statistics.cpp:459-554) — exact folds,
+    // bitwise, zero-canonicalized only
+    "spectral_moments" -> ((s, dir) =>
+      seqs(s, dir)
+        .select(col("doc_id"),
+          explode(expr(s"graft_frame_spectral(tokens, $F, $H)")).as("fs"))
+        .select(col("doc_id"), col("fs.frame_id").as("frame_id"),
+          expr("IF(fs.scentroid = 0.0, 0.0, fs.scentroid)").as("scentroid"),
+          expr("IF(fs.sspread = 0.0, 0.0, fs.sspread)").as("sspread"),
+          expr("IF(fs.sskewness = 0.0, 0.0, fs.sskewness)").as("sskewness"),
+          expr("IF(fs.skurtosis = 0.0, 0.0, fs.skurtosis)").as("skurtosis"))),
 
     // MFCC-analog coefficients (SampleAnalyser.cpp:2052-2063)
     "mfcc" -> ((s, dir) =>
@@ -295,6 +335,19 @@ object SpectralQueries {
          |SELECT r.doc_id, r.f AS frame_id, r.rolloff_bins,
          |  ${cz("round(c.contrast_avg, 6)")} AS contrast_avg
          |FROM ro2 r JOIN ca c ON r.doc_id = c.doc_id AND r.f = c.f""".stripMargin,
+
+    "spectral_moments" ->
+      s"""WITH $duckBlocks,
+         |$duckSpectrum,
+         |fm0 AS (
+         |  SELECT doc_id, f, m, len(m) AS L, ${fold("m")} AS s1 FROM mlag),
+         |${duckMomentStages("fm0", "fm")}
+         |SELECT doc_id, f AS frame_id,
+         |  ${cz("scentroid")} AS scentroid,
+         |  ${cz("sspread")} AS sspread,
+         |  ${cz("sskewness")} AS sskewness,
+         |  ${cz("skurtosis")} AS skurtosis
+         |FROM fm3""".stripMargin,
 
     "mfcc" -> {
       val wLit = Duck.litMatrix(spectral.MelWeights)

@@ -203,6 +203,24 @@ object KeyedSink {
     Some(commit(path, next, "full", total, 0L, 0L, countFiles(snapDir), key))
   }
 
+  /** Typed classifier-metadata side table — the `INSERT OR REPLACE INTO
+    * classes(classifier, classes)` analog
+    * (`SqliteSampleDescriptorPool.cpp:1737-1767`): a keyed snapshot table
+    * `(classifier STRING, classes ARRAY<STRING>, model_version STRING)`
+    * managed by the same atomic-pointer upsert as the feature table (the
+    * reference serializes the class list to JSON for SQLite; parquet keeps
+    * it typed). */
+  def writeClassifierMeta(spark: SparkSession, path: String,
+      entries: Seq[(String, Seq[String], String)]): CommitStats = {
+    import spark.implicits._
+    upsert(spark, path,
+      entries.toDF("classifier", "classes", "model_version"), "classifier")
+  }
+
+  /** Read the current classifier side table (None before first commit). */
+  def readClassifierMeta(spark: SparkSession,
+      path: String): Option[DataFrame] = read(spark, path, "classifier")
+
   /** Resume support: the subset of `src` not yet up-to-date in the sink —
     * new keys plus keys whose `version` differs (modtime-diff semantics,
     * `Crawler.cpp:934-998`). Running the pipeline on `pending` and

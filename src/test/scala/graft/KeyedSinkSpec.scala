@@ -71,4 +71,24 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(meta.contains("\"snapshot\": 2") && meta.contains("\"parent\": 1"))
     assert(meta.contains("\"total_rows\": 2"))
   }
+
+  test("classifier metadata side table: typed, INSERT OR REPLACE semantics") {
+    val path = freshPath()
+    KeyedSink.writeClassifierMeta(spark, path, Seq(
+      ("categories", Seq("oneshot", "loop"), "v1"),
+      ("classes", Seq("kick", "snare", "hat"), "v1")))
+    val t1 = KeyedSink.readClassifierMeta(spark, path).get
+    assert(t1.count() == 2)
+    assert(t1.schema.fieldNames.toSeq ==
+      Seq("classifier", "classes", "model_version"))
+    // replace one classifier's class list; the other row survives
+    KeyedSink.writeClassifierMeta(spark, path, Seq(
+      ("classes", Seq("kick", "snare", "hat", "tom"), "v2")))
+    val t2 = KeyedSink.readClassifierMeta(spark, path).get
+    assert(t2.count() == 2)
+    val row = t2.filter(col("classifier") === "classes").collect()(0)
+    assert(row.getAs[scala.collection.Seq[String]]("classes").length == 4)
+    assert(row.getAs[String]("model_version") == "v2")
+    assert(t2.filter(col("classifier") === "categories").count() == 1)
+  }
 }

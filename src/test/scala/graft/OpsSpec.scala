@@ -115,4 +115,42 @@ class OpsSpec extends AnyFunSuite {
       out.select("kind").distinct().as[String].collect().toSet)
     out.unpersist()
   }
+
+  test("WAV codec: bitwise PCM16 round-trip + hand-built fixture decode") {
+    val pcm = Array.tabulate(1000)(i => ((i * 977) % 65536 - 32768).toShort)
+    val (rate, ch, back) = Multimodal.decodeWav(Multimodal.encodeWav(pcm, 44100))
+    assert(rate == 44100 && ch == 1 && back.sameElements(pcm))
+    // hand-built file with an extra odd-size chunk before data (RIFF
+    // word-alignment path) — bytes written out longhand, not via encodeWav
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(bs: Array[Byte]): Unit = bos.write(bs)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = Array[Short](100, -200, 32767, -32768)
+    w("RIFF".getBytes); w(le32(4 + 8 + 16 + 8 + 3 + 1 + 8 + data.length * 2))
+    w("WAVE".getBytes)
+    w("fmt ".getBytes); w(le32(16)); w(le16(1)); w(le16(1)); w(le32(8000))
+    w(le32(16000)); w(le16(2)); w(le16(16))
+    w("LIST".getBytes); w(le32(3)); w(Array[Byte](1, 2, 3)); w(Array[Byte](0)) // padded
+    w("data".getBytes); w(le32(data.length * 2))
+    data.foreach(s => w(le16(s & 0xffff)))
+    val (r2, c2, s2) = Multimodal.decodeWav(bos.toByteArray)
+    assert(r2 == 8000 && c2 == 1 && s2.sameElements(data))
+    // malformed inputs fail loudly (salvage path), never return garbage
+    intercept[IllegalArgumentException](Multimodal.decodeWav("xxxx".getBytes))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(Multimodal.encodeWav(pcm, 44100).take(30)))
+  }
+
+  test("decoded audio flows through the real feature pipeline") {
+    val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
+    val ll = graft.features.Pipeline.featuresLl(seqs).cache()
+    assert(ll.count() == 3) // kinds cycle image/audio/video
+    assert(ll.filter(col("status") === "succeeded").count() == 3)
+    assert(ll.select("n_frames").as[Int].collect().forall(_ >= 1))
+    // tokens are on the engine scale after the >>4 map
+    val toks = ll.select("tokens").as[Array[Int]].collect().flatten
+    assert(toks.forall(t => t >= -2048 && t < 2048))
+    ll.unpersist()
+  }
 }

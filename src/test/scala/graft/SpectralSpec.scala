@@ -114,8 +114,61 @@ class SpectralSpec extends AnyFunSuite {
     assert(mass >= 0.0 && mass <= 1.0 + 1e-12)
   }
 
+  test("plateau peak walk: fixtures + equivalence with the declarative run rule") {
+    import graft.functions.rhythm
+    def runRule(a: Array[Double], thr: Double): Seq[Int] = {
+      val n = a.length
+      if (n <= 2) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      if (a(0) > a(1) && a(0) > thr) out += 0
+      var s = 0
+      while (s < n) {
+        var e = s
+        while (e + 1 < n && a(e + 1) == a(s)) e += 1
+        if (s >= 1 && e <= n - 3 && a(s - 1) < a(s) && a(e + 1) < a(s) &&
+            a(s) > thr) out += (s + e) / 2
+        s = e + 1
+      }
+      if (n >= 3 && a(n - 3) < a(n - 2) && a(n - 1) < a(n - 2) &&
+          a(n - 2) > thr) out += n - 2
+      if (a(n - 1) > a(n - 2) && a(n - 1) > thr) out += n - 1
+      out.toSeq
+    }
+    // plateau collapses to ONE peak at the middle bin (strict maxima: none)
+    assert(rhythm.peakWalk(Array(0.0, 1, 3, 3, 3, 1, 0), 0.5).toSeq == Seq(3))
+    // boundary quirks: first, strict N-2, last
+    assert(rhythm.peakWalk(Array(5.0, 1, 2, 1, 9), 0.5).toSeq == Seq(0, 2, 4))
+    assert(rhythm.peakWalk(Array(0.0, 1, 5, 1), 0.5).toSeq == Seq(2))
+    // trailing plateau at N-2 emits nothing (reference quirk)
+    assert(rhythm.peakWalk(Array(0.0, 3, 3, 1), 0.5).toSeq == Seq())
+    // randomized plateau-heavy arrays: walk == run rule
+    var seed = 12345L
+    def next(m: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L; ((seed >>> 33) % m).toInt }
+    for (_ <- 0 until 300) {
+      val n = 3 + next(20)
+      val a = Array.fill(n)(next(4).toDouble) // small alphabet -> many plateaus
+      val w = rhythm.peakWalk(a, 0.5).toSeq
+      val r = runRule(a, 0.5)
+      assert(w == r, s"walk=$w rule=$r on ${a.mkString(",")}")
+    }
+  }
+
+  test("spectral index moments: uniform spectrum gives closed-form centroid/spread") {
+    // constant tokens -> all 64 bins equal -> centroid = mean index 31.5,
+    // spread = population variance of 0..63 = (64^2 - 1)/12 = 341.25
+    val r = df(Seq.fill(2048)(100))
+      .select(explode(expr("graft_frame_spectral(tokens, 2048, 1024)")))
+      .select("col.*").collect().head
+    assert(r.getAs[Double]("scentroid") == 31.5)
+    assert(r.getAs[Double]("sspread") == 341.25)
+    // all values equal -> t identical per bin -> skew = t^3, kurt = t^4 - 3
+    val t = (100.0 - 31.5) / 341.25
+    assert(math.abs(r.getAs[Double]("sskewness") - t * t * t) < 1e-15)
+    assert(math.abs(r.getAs[Double]("skurtosis") - ((t * t) * (t * t) - 3.0)) < 1e-15)
+  }
+
   test("feature vector: width, layout bases, and padding rule") {
-    assert(FeatureVector.Width == 1680)
+    assert(FeatureVector.Width == 1920)
     assert(FeatureVector.Width % 48 == 0)
     assert(FeatureVector.SeriesBase == 14 * 48)
     assert(FeatureVector.PadCount ==
