@@ -124,13 +124,15 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, stealPct(stealTicks() - s0, sec))
     }
+    // hoist the doc count BEFORE the timed reps (it reads the source
+    // parquet; doing it between timings perturbed the environment)
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * scale
     timeScaled() // warm
     val nReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val llReps = Seq.fill(nReps)(timeScaled())
     llReps.foreach { case (t, sp) =>
       System.err.println(f"[bench] scaled rep: $t%.2f s (steal $sp%.1f%%)") }
     val (llSec, llSteal) = llReps.minBy(_._1)
-    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * scale
     val fvRows = nDocs * graft.features.PointInTime.TimeOffsets.length
     val fvRate = if (llSec > 0) fvRows / llSec else -1.0
     System.err.println(f"[bench] features_ll_scaled(x$scale) = $llSec%.2f s")
@@ -143,10 +145,13 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // scaling-evidence iterations (ONLY_SCALED) time just the headline
+    // scaling-evidence iterations (ONLY_SCALED) time just the headline.
+    // min-of-3: this VM's scheduler storms (loadavg 20+ while locally idle,
+    // not visible in /proc/stat steal) can stretch one ~4 s rep to minutes;
+    // with the fused kernel a rep is cheap enough to afford the extra cover
     val fvFullSec =
       if (onlyScaled) -1.0
-      else { timeFvFull(); Seq(timeFvFull(), timeFvFull()).min }
+      else { timeFvFull(); Seq(timeFvFull(), timeFvFull(), timeFvFull()).min }
     val fvFullRate = if (fvFullSec > 0) fvRows / fvFullSec else -1.0
     System.err.println(f"[bench] fv_full_scaled(x$scale) = $fvFullSec%.2f s")
     val total = results.map(_._2).filter(_ > 0).sum

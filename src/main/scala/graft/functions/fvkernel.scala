@@ -56,7 +56,7 @@ object fvkernel {
 
   /** Spark's `round(x, 6)` for doubles: BigDecimal over the canonical
     * (shortest) decimal string, HALF_UP — see Catalyst `RoundBase`. */
-  private[functions] def round6(x: Double): Double =
+  private[graft] def round6(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -94,7 +94,7 @@ object fvkernel {
   }
 
   /** The whole assembly (see [[graft.features.FeatureVector]] for layout). */
-  private[functions] def compute(arr: Array[Int], nTok: Int): Array[Double] = {
+  private[graft] def compute(arr: Array[Int], nTok: Int): Array[Double] = {
     val n = arr.length
     val blocks = spectral.blockRms(arr, spectral.BlockSize)
     val fb = F / spectral.BlockSize

@@ -188,7 +188,7 @@ object spectral {
   /** Shared band-battery core over a doc's block grid (used by both
     * [[BandFeatures]] and [[FrameSpectral]]). One row struct per
     * (frame, band), frame-major. */
-  private[functions] def bandRows(blocks: Array[Double], nf: Int, fb: Int,
+  private[graft] def bandRows(blocks: Array[Double], nf: Int, fb: Int,
                        hb: Int): Array[Any] = {
     val out = new Array[Any](nf * NBands)
     var f = 0
