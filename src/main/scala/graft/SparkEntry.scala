@@ -40,6 +40,14 @@ object SparkEntry {
   private val duckSeqs = s"seqs AS (${Seqs.duckSql})"
   private val duckFrames = s"$duckSeqs,\n${Framing.duckFrameCtes()}"
 
+  /** Deterministic synthetic GBDT-style model (4 classes × 4 depth-3
+    * trees over the 13 quantized rms statistics) — the ensemble-inference
+    * surface (`GBDT.cpp:50-117` analog; the reference's trained blob is
+    * LFS-missing upstream, so the model is data here). */
+  private lazy val gbdtModel = graft.ops.TreeEnsemble.synthModel(
+    Seq("oneshot", "loop", "noise", "tonal"),
+    treesPerClass = 4, nFeatures = Stats.StatNames.length, depth = 3)
+
   // ------------------------------------------------------------------
   // queries + oracles
   // ------------------------------------------------------------------
@@ -102,6 +110,25 @@ object SparkEntry {
           case n => col(s"rms_$n")
         }: _*)),
 
+    // tree-ensemble inference compiled to Catalyst CASE expressions
+    // (GBDT.cpp:50-117 analog): per-class additive scores over the
+    // quantized 13-stat feature block, softmax probs, argmax class
+    "gbdt_score" -> ((s, dir) => {
+      import graft.ops.TreeEnsemble
+      var fr = Framing.withFrames(seqs(s, dir))
+        .withColumn("xs", expr("transform(frames, fr -> fr.rms)"))
+        .withColumn("__st", expr("graft_stats_block(xs)"))
+      for (n <- Stats.StatNames)
+        fr = fr.withColumn(s"__f_$n", expr(s"round(__st.$n, 6)"))
+      val scored = TreeEnsemble.score(fr,
+        Stats.StatNames.map(n => s"__f_$n"), gbdtModel)
+      scored.select(Seq(col("doc_id")) ++
+        gbdtModel.classes.flatMap(c => Seq(
+          expr(s"IF(score_$c = 0.0, 0.0, score_$c)").as(s"score_$c"),
+          expr(s"IF(prob_$c = 0.0, 0.0, prob_$c)").as(s"prob_$c"))) :+
+        col("pred_class"): _*)
+    }),
+
     // prefix/suffix silence trim + effective lengths (SampleAnalyser.cpp:646-676, 1715-1756)
     "silence_trim" -> ((s, dir) =>
       ll(s, dir).select(Seq(col("doc_id")) ++
@@ -138,6 +165,40 @@ object SparkEntry {
         case n => s"rms_$n"
       }
       s"SELECT ${outer.mkString(", ")} FROM ($block)"
+    },
+
+    "gbdt_score" -> {
+      import graft.ops.TreeEnsemble
+      val cs = gbdtModel.classes
+      val block = Stats.duckBlock(
+        inner = "SELECT doc_id, list(rms ORDER BY frame_id) AS xs FROM frames GROUP BY doc_id",
+        keys = Seq("doc_id"), xs = "xs", p = "rms", prelude = duckFrames)
+      val fvList = Stats.StatNames.map(n => s"round(rms_$n, 6)")
+        .mkString("[", ", ", "]")
+      val scoreCols = TreeEnsemble.duckScoreSql(gbdtModel, "fv").mkString(",\n  ")
+      val mx = cs.map(c => s"score_$c").mkString("greatest(", ", ", ")")
+      val z = cs.map(c => s"exp(score_$c - mx)")
+        .reduce((a, b) => s"($a + $b)")
+      val probs = cs.map(c =>
+        s"CASE WHEN round(exp(score_$c - mx) / zz, 6) = 0.0 THEN 0.0 " +
+          s"ELSE round(exp(score_$c - mx) / zz, 6) END AS prob_$c")
+      val pred = cs.init.reverse.foldLeft(s"'${cs.last}'") { (acc, c) =>
+        s"CASE WHEN score_$c = mx THEN '$c' ELSE $acc END"
+      }
+      val scoreOut = cs.map(c =>
+        s"CASE WHEN score_$c = 0.0 THEN 0.0 ELSE score_$c END AS score_$c")
+      s"""WITH base AS ($block),
+         |fvt AS (SELECT doc_id, $fvList AS fv FROM base),
+         |sc AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM fvt),
+         |m AS (SELECT *, $mx AS mx FROM sc),
+         |zt AS (SELECT *, $z AS zz FROM m)
+         |SELECT doc_id,
+         |  ${scoreOut.mkString(",\n  ")},
+         |  ${probs.mkString(",\n  ")},
+         |  $pred AS pred_class
+         |FROM zt""".stripMargin
     },
 
     "silence_trim" -> {

@@ -71,6 +71,8 @@ object expressions {
       es => PearsonCorr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_features_ll",
       es => FeaturesLlKernel(es(0), es(1), es(2), es(3), es(4), es(5)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pad_frames",
+      es => PadFrames(es(0), es(1), es(2)), "built-in")
     spectral.register(spark)
     rhythm.register(spark)
     fvkernel.register(spark)
@@ -519,6 +521,59 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), thrsE = c(1))
+  }
+
+  // ------------------------------------------------------------------
+
+  val PadStructType: StructType = StructType(Seq(
+    StructField("tokens", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("offset", IntegerType, nullable = false),
+    StructField("lead", IntegerType, nullable = false),
+    StructField("trail", IntegerType, nullable = false)))
+
+  /** graft_pad_frames(tokens ARRAY<INT>, frameSize, silenceThr) →
+    * STRUCT<tokens, offset, lead, trail> — the analyser's finalize step
+    * (`SampleAnalyser.cpp:679-718`): strip silent lead/trail runs
+    * (|x| ≤ thr), zero-pad so at least half of the last frame and at least
+    * one full frame are analyzed, and record `mDataOffset = −lead + start
+    * padding` (the analyzation-offset column that maps padded frame
+    * positions back to source positions). All-integer — bitwise. */
+  case class PadFrames(tokens: Expression, frameSizeE: Expression,
+      thrE: Expression) extends Expression with CodegenFallback {
+    private val frameSize = litInt(frameSizeE)
+    private val thr = litInt(thrE)
+    override def children: Seq[Expression] = Seq(tokens, frameSizeE, thrE)
+    override def dataType: DataType = PadStructType
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val n = arr.length
+      var first = -1
+      var last = -1
+      var i = 0
+      while (i < n) {
+        if (math.abs(arr(i)) > thr) { if (first == -1) first = i; last = i }
+        i += 1
+      }
+      val lead = if (first == -1) n else first
+      val trail = if (first == -1) 0 else n - 1 - last
+      val audible = n - lead - trail
+      val endOff =
+        if (audible % frameSize < frameSize / 2) frameSize / 2 else 0
+      val startOff =
+        if (audible + endOff < frameSize) frameSize - audible - endOff else 0
+      val out = new Array[Int](startOff + audible + endOff)
+      i = 0
+      while (i < audible) { out(startOff + i) = arr(lead + i); i += 1 }
+      new GenericInternalRow(Array[Any](
+        UnsafeArrayData.fromPrimitiveArray(out),
+        -lead + startOff, lead, trail))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), frameSizeE = c(1), thrE = c(2))
   }
 
   // ------------------------------------------------------------------

@@ -168,6 +168,66 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * the O(log n)-round algorithm [[resolveClusters]]'s scale comment
+    * promised). Each round is two keyed groupBy/join shuffles; component
+    * DIAMETER no longer bounds the round count, so billion-node chains
+    * converge where min-label propagation needs diameter iterations.
+    *
+    *   - large-star: every neighbor v > u re-points to m(u) = min(Γ⁺(u))
+    *   - small-star: every neighbor v ≤ u re-points to m(u), plus (u, m(u))
+    *
+    * Converges to star graphs centered on each component's minimum; the
+    * label table then reads directly off the edges. Same output contract
+    * as [[resolveClusters]] (OpsSpec asserts equality, including a
+    * 120-node chain the capped propagation cannot finish). */
+  def resolveClustersStar(allDocs: DataFrame, pairs: DataFrame,
+                          key: String = "doc_id"): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    def minLabel(s: DataFrame): DataFrame =
+      s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val s = sym(e)
+      val m = minLabel(s)
+      val joined = s.join(m, Seq("u"))
+      val next =
+        if (large)
+          joined.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          joined.filter(col("v") <= col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(m.select(col("u"), col("m").as("v")))
+      next.filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    val MaxRounds = 60 // >= log2 of any conceivable node count
+    while (!converged && round < MaxRounds) {
+      val next = phase(phase(edges, large = true), large = false)
+        .localCheckpoint(true)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveClustersStar did not converge in $MaxRounds rounds")
+    // stars: every edge points non-center -> center; centers + untouched
+    // docs label themselves
+    allDocs.select(col(key).as("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("__c")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cluster"))
+  }
+
   /** DuckDB mirror of [[resolveClusters]]: transitive min over the
     * undirected candidate graph (recursive CTE with set semantics). */
   def duckResolveSql(pairsSql: String,

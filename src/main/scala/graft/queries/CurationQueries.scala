@@ -42,10 +42,12 @@ object CurationQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // duplicate-cluster resolution: canonical doc per connected component
-    // of the LSH candidate graph (min-label propagation)
+    // of the LSH candidate graph — the large-star/small-star O(log n)
+    // variant (the web-scale path); OpsSpec pins it equal to the
+    // min-label-propagation resolveClusters
     "dedup_resolve" -> ((s, dir) => {
       val sq = Seqs.fromDocumentsSub(s, dir)
-      Dedup.resolveClusters(sq.select("doc_id"), Dedup.lshCandidates(sq))
+      Dedup.resolveClustersStar(sq.select("doc_id"), Dedup.lshCandidates(sq))
     }),
 
     // exact n-gram Jaccard verification of the LSH candidates — the

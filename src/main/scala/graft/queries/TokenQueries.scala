@@ -34,6 +34,24 @@ object TokenQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // analyser finalize: silent lead/trail strip + zero-pad to frame
+    // boundaries + the recorded analyzation offset (SampleAnalyser.cpp:
+    // 679-718). All-integer -> the padded array verifies via md5 digest.
+    "pad_frames" -> ((s, dir) =>
+      seqs(s, dir)
+        .withColumn("pf", expr(
+          s"graft_pad_frames(tokens, ${Seqs.FrameSize}, ${Seqs.SilenceThreshold})"))
+        .select(col("doc_id"),
+          col("pf.offset").as("data_offset"),
+          col("pf.lead").as("lead"),
+          col("pf.trail").as("trail"),
+          size(col("pf.tokens")).as("n_padded"),
+          expr(s"CASE WHEN size(pf.tokens) >= ${Seqs.FrameSize} THEN " +
+            s"CAST((size(pf.tokens) - ${Seqs.FrameSize}) div ${Seqs.Hop} AS INT) + 1 " +
+            "ELSE 1 END").as("n_frames_padded"),
+          expr("md5(array_join(transform(pf.tokens, x -> CAST(x AS STRING)), ','))")
+            .as("padded_md5"))),
+
     // rhythm-clock 13-stat block (second frame clock, SampleAnalyser.cpp:985-998)
     "rframe_stats" -> ((s, dir) => {
       val fr = Framing.withFrames(seqs(s, dir), Seqs.RFrameSize, Seqs.RHop)
@@ -185,6 +203,50 @@ object TokenQueries {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "pad_frames" -> {
+      val F = Seqs.FrameSize
+      val thr = Seqs.SilenceThreshold
+      s"""WITH seqs AS (${Seqs.duckSql}),
+         |b AS (
+         |  SELECT doc_id, tokens, n_tok,
+         |    coalesce(list_min(list_filter(range(CAST(n_tok AS BIGINT)),
+         |      i -> abs(tokens[i + 1]) > $thr)), n_tok) AS lead0,
+         |    list_max(list_filter(range(CAST(n_tok AS BIGINT)),
+         |      i -> abs(tokens[i + 1]) > $thr)) AS last0
+         |  FROM seqs),
+         |c AS (
+         |  SELECT doc_id, tokens, n_tok,
+         |    CAST(lead0 AS INTEGER) AS lead,
+         |    CAST(CASE WHEN last0 IS NULL THEN 0
+         |              ELSE n_tok - 1 - last0 END AS INTEGER) AS trail
+         |  FROM b),
+         |d AS (
+         |  SELECT *, n_tok - lead - trail AS audible FROM c),
+         |e AS (
+         |  SELECT *, CASE WHEN audible % $F < ${F / 2} THEN ${F / 2}
+         |                 ELSE 0 END AS eoff
+         |  FROM d),
+         |f AS (
+         |  SELECT *, CASE WHEN audible + eoff < $F
+         |                 THEN $F - audible - eoff ELSE 0 END AS soff
+         |  FROM e),
+         |g AS (
+         |  SELECT doc_id, lead, trail,
+         |    CAST(-lead + soff AS INTEGER) AS data_offset,
+         |    list_transform(range(CAST(soff AS BIGINT)), x -> CAST(0 AS BIGINT))
+         |      || list_transform(tokens[lead + 1 : n_tok - trail],
+         |           x -> CAST(x AS BIGINT))
+         |      || list_transform(range(CAST(eoff AS BIGINT)), x -> CAST(0 AS BIGINT)) AS padded
+         |  FROM f)
+         |SELECT doc_id, data_offset, lead, trail,
+         |  CAST(len(padded) AS INTEGER) AS n_padded,
+         |  CAST(CASE WHEN len(padded) >= $F
+         |            THEN (len(padded) - $F) // ${Seqs.Hop} + 1
+         |            ELSE 1 END AS INTEGER) AS n_frames_padded,
+         |  md5(array_to_string(padded, ',')) AS padded_md5
+         |FROM g""".stripMargin
+    },
 
     "rframe_stats" -> duckStatsRounded(duckRFrames,
       "SELECT doc_id, list(rms ORDER BY frame_id) AS xs FROM rframes GROUP BY doc_id",

@@ -97,6 +97,53 @@ class OpsSpec extends AnyFunSuite {
     assert(labels("d1") == "d1" && labels("d7") == "d7") // singletons
   }
 
+  test("large-star/small-star components == min-label propagation; handles deep chains") {
+    // random-ish clusters + a 120-node chain (diameter >> the propagation
+    // cap of 50 — the capped variant throws, the star variant converges
+    // in O(log n) rounds)
+    val chain = (0 until 119).map(i => (f"c$i%03d", f"c${i + 1}%03d"))
+    val extra = Seq(("d2", "d5"), ("d5", "d9"), ("d3", "d4"), ("d9", "d2"))
+    val pairs = (chain ++ extra).toDF("doc_a", "doc_b")
+    val docs = ((0 to 119).map(i => f"c$i%03d") ++ (1 to 9).map(i => s"d$i"))
+      .toDF("doc_id")
+    val star = graft.ops.Dedup.resolveClustersStar(docs, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star("c119") == "c000" && star("c060") == "c000")
+    assert(star("d9") == "d2" && star("d4") == "d3" && star("d7") == "d7")
+    intercept[IllegalStateException] { // the capped propagation gives up
+      graft.ops.Dedup.resolveClusters(docs, pairs).collect()
+    }
+    // on a shallow graph both variants agree exactly
+    val shallow = extra.toDF("doc_a", "doc_b")
+    val sdocs = (1 to 9).map(i => s"d$i").toDF("doc_id")
+    val a = graft.ops.Dedup.resolveClusters(sdocs, shallow).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val b = graft.ops.Dedup.resolveClustersStar(sdocs, shallow).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("tree ensemble: hand-checked walk, additivity, softmax, argmax") {
+    import graft.ops.TreeEnsemble._
+    // two classes, one depth-1 tree each over feature 0
+    val model = Model(Seq("a", "b"), Seq(
+      Seq(Split(0, 0.5, Leaf(2.0), Leaf(-1.0))),
+      Seq(Split(0, 0.5, Leaf(-1.0), Leaf(3.0)), Split(0, 2.0, Leaf(0.5), Leaf(0.5)))))
+    val df = Seq(("x", 0.25), ("y", 0.75)).toDF("doc_id", "__f0")
+    val out = score(df, Seq("__f0"), model).collect()
+      .map(r => r.getAs[String]("doc_id") -> r).toMap
+    // x: f0 < 0.5 -> a: 2.0; b: -1.0 + 0.5 = -0.5 -> pred a
+    assert(out("x").getAs[Double]("score_a") == 2.0)
+    assert(out("x").getAs[Double]("score_b") == -0.5)
+    assert(out("x").getAs[String]("pred_class") == "a")
+    // y: a: -1.0; b: 3.0 + 0.5 = 3.5 -> pred b
+    assert(out("y").getAs[Double]("score_b") == 3.5)
+    assert(out("y").getAs[String]("pred_class") == "b")
+    // softmax sums to 1 (up to the boundary rounding)
+    val ps = Seq(out("x").getAs[Double]("prob_a"), out("x").getAs[Double]("prob_b"))
+    assert(math.abs(ps.sum - 1.0) < 2e-6 && ps.forall(p => p >= 0 && p <= 1))
+  }
+
   test("multimodal plumbing: schema, batch shape, deterministic features") {
     val recs = Multimodal.synth(spark, 9)
     val out = Multimodal.featureTable(recs).cache()
