@@ -172,6 +172,153 @@ object Similarity {
        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
        |FROM qb q LEFT JOIN hits h USING (query_id)""".stripMargin
 
+  /** IVF coarse quantizer: cells = the first `nCells` corpus vectors on a
+    * deterministic stride (the sampled-centroid bootstrap of IVF — a
+    * trained k-means would slot into the same shape); every vector is
+    * assigned to its max-cosine centroid (ties → lowest centroid id).
+    * Assignment is one broadcast of `nCells` centroids against the corpus —
+    * a narrow pass, no shuffle of the big side. */
+  def ivfCells(embeddings0: DataFrame, nCells: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    val cents = embeddings0.filter(expr("vec_id % 37 = 3"))
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    embeddings.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(cv, embedding)"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("label"), col("cell"))
+  }
+
+  /** Recall@k of the IVF path: approximate neighbors = exact top-k within
+    * the query's `nProbe` nearest cells. Same trust measurement as
+    * [[annRecall]], IVF shape: candidate set = equi-join on cell id. */
+  def ivfRecall(embeddings0: DataFrame, nQueries: Int, k: Int,
+                nCells: Int, nProbe: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val exact = bruteTopK(embeddings0, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val cells = ivfCells(embeddings0, nCells).select(col("vec_id"), col("cell"))
+    // queries probe their nProbe max-cosine cells
+    val cents = embeddings0.filter(expr("vec_id % 37 = 3"))
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val queries = embeddings0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_cosine(cv, qv)"))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = cells.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand
+      .join(embeddings0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", expr("graft_cosine(qv, embedding)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
+  private def duckCosine(a: String, b: String): String =
+    s"""(SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+       |        ELSE dot / sqrt(na * nb) END
+       | FROM (SELECT
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list_transform($a, (x, i) ->
+       |       CAST(x AS DOUBLE) * CAST(($b)[i] AS DOUBLE))),
+       |     (a0, b0) -> a0 + b0) AS dot,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list_transform($a, x ->
+       |       CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |     (a0, b0) -> a0 + b0) AS na,
+       |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |     list_transform($b, x ->
+       |       CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |     (a0, b0) -> a0 + b0) AS nb))""".stripMargin
+
+  /** DuckDB mirror of [[ivfCells]]. */
+  def duckIvfCellsSql(nCells: Int): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |  WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT $nCells),
+       |assigned AS (
+       |  SELECT e.vec_id, e.label, c.cell,
+       |    ${duckCosine("c.cv", "e.embedding")} AS ccos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cell ASC) AS crank
+       |  FROM assigned)
+       |SELECT vec_id, label, cell FROM ranked WHERE crank = 1""".stripMargin
+
+  /** DuckDB mirror of [[ivfRecall]]. */
+  def duckIvfRecallSql(nQueries: Int, k: Int, nCells: Int, nProbe: Int): String =
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${duckBruteTopKSql(nQueries, k)})),
+       |cells AS (SELECT vec_id, cell FROM (${duckIvfCellsSql(nCells)})),
+       |cents AS (
+       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |  WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT $nCells),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $nQueries),
+       |probed0 AS (
+       |  SELECT q.query_id, c.cell,
+       |    ${duckCosine("c.cv", "q.qv")} AS ccos
+       |  FROM q CROSS JOIN cents c),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ccos DESC, cell ASC) AS crank
+       |    FROM probed0)
+       |  WHERE crank <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, s.vec_id
+       |  FROM cells s JOIN probed p USING (cell)
+       |  WHERE s.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    ${duckCosine("q.qv", "e.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.query_id = c.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k),
+       |hits AS (
+       |  SELECT e.query_id, count(*) AS n_hits
+       |  FROM exact e JOIN approx a
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY e.query_id)
+       |SELECT q.query_id,
+       |  coalesce(h.n_hits, 0) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM q LEFT JOIN hits h USING (query_id)""".stripMargin
+
   def duckLshBucketsSql(nPlanes: Int): String = {
     val bits = (0 until nPlanes).map { p =>
       s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

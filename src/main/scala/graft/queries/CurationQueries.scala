@@ -14,6 +14,8 @@ object CurationQueries {
   val TopKQueries = 20
   val TopK = 3
   val LshPlanes = 12
+  val IvfCells = 16
+  val IvfProbe = 4
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -104,7 +106,17 @@ object CurationQueries {
 
     "embed_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"),
-        LshPlanes))
+        LshPlanes)),
+
+    // IVF coarse-quantizer cells (sampled-centroid bootstrap)
+    "ivf_cells" -> ((s, dir) =>
+      Similarity.ivfCells(s.read.parquet(s"$dir/embeddings.parquet"),
+        IvfCells)),
+
+    // recall@k of the IVF probe path vs the exact baseline
+    "ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK, IvfCells, IvfProbe))
   )
 
   def oracles: Map[String, String] = Map(
@@ -125,6 +137,9 @@ object CurationQueries {
     "dedup_ngram" -> Dedup.duckNgramSql(NgramMinJaccard),
     "text_analyze" -> TextAnalysis.duckAnalyzeSql,
     "embed_topk" -> Similarity.duckBruteTopKSql(TopKQueries, TopK),
-    "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes)
+    "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes),
+    "ivf_cells" -> Similarity.duckIvfCellsSql(IvfCells),
+    "ivf_recall" ->
+      Similarity.duckIvfRecallSql(TopKQueries, TopK, IvfCells, IvfProbe)
   )
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming forms of the engine's event-time operators. AFEC is
   * batch-only, but its stateful pieces (frame windows, gap sessionization,
@@ -29,6 +30,55 @@ object StreamOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_cents"))
+
+  final case class FrameIn(doc_id: String, frame_id: Int, rms: Double,
+      ts: java.sql.Timestamp)
+  final case class EnvState(lastFrame: Int, env: Double)
+  final case class EnvOut(doc_id: String, frame_id: Int, env: Double)
+
+  /** Streaming envelope follower — the one-pole recursion
+    * `env = x + coef·(env − x)` (`Envelopes.inl:14-18`) as CUSTOM state via
+    * `flatMapGroupsWithState`: windowed aggregations cannot express a
+    * recursion whose state is the previous OUTPUT, so each doc keys a
+    * `GroupState[EnvState]` carrying (last emitted frame, envelope value).
+    * Within a micro-batch the group's frames are sorted by frame id;
+    * frames at-or-before the watermark-expired state are dropped
+    * deterministically (same late-data contract as the windowed ops).
+    * State expires via event-time timeout once the watermark passes a
+    * key's last activity — bounded state at any stream scale.
+    *
+    * Parity: on identical input (any micro-batch split) the emitted series
+    * is bitwise-equal to the batch kernel
+    * [[graft.functions.expressions.EnvelopeScan]] (StreamingSpec). */
+  def envelopeStream(frames: Dataset[FrameIn], coef: Double,
+                     watermark: String): Dataset[EnvOut] = {
+    import frames.sparkSession.implicits._
+    frames
+      .withWatermark("ts", watermark)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[FrameIn], state: GroupState[EnvState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(_.frame_id)
+            var st = state.getOption.getOrElse(EnvState(-1, 0.0))
+            val out = scala.collection.mutable.ArrayBuffer.empty[EnvOut]
+            var maxTs = Long.MinValue
+            for (f <- sorted if f.frame_id > st.lastFrame) {
+              st = EnvState(f.frame_id, f.rms + coef * (st.env - f.rms))
+              out += EnvOut(key, f.frame_id, st.env)
+              maxTs = math.max(maxTs, f.ts.getTime)
+            }
+            state.update(st)
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, "1 hour")
+            out.iterator
+          }
+        })
+  }
 
   /** Tumbling frame aggregation on the token clock: pos → event time via
     * `timestamp_micros`, hop-sized tumbling windows — the streaming analog

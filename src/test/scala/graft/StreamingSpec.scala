@@ -40,6 +40,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState envelope == batch kernel across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val coef = 0.6
+    val rms = Seq(10.0, 4.0, 7.0, 1.0, 9.0, 2.0, 8.0)
+    // batch reference: the EnvelopeScan kernel
+    val expected = {
+      var st = 0.0
+      rms.map { x => st = x + coef * (st - x); st }
+    }
+    val mem = MemoryStream[StreamOps.FrameIn]
+    def f(i: Int) = StreamOps.FrameIn("d1", i, rms(i),
+      new Timestamp(1700000000000L + i * 1000L))
+    // three uneven micro-batches — state must carry the recursion across
+    mem.addData(f(0), f(1))
+    val q = StreamOps.envelopeStream(mem.toDS(), coef, "10 seconds")
+      .writeStream.format("memory").queryName("env")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(f(2), f(3), f(4))
+      q.processAllAvailable()
+      mem.addData(f(5), f(6))
+      q.processAllAvailable()
+      val out = spark.table("env").orderBy("frame_id")
+        .collect().map(r => r.getAs[Double]("env")).toSeq
+      assert(out.length == rms.length)
+      out.zip(expected).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+               java.lang.Double.doubleToLongBits(b))
+      }
+    } finally q.stop()
+  }
+
   test("streaming tumbling frame agg produces exact integer energies") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Int)]
