@@ -16,18 +16,38 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Run query dumps on a small driver-side pool: each query is mostly
+    // fixed cost (analysis + codegen + a short 32-thread job), so 4
+    // concurrent Spark jobs overlap planning with execution and cut the
+    // engine dump wall ~2x (the driver's verification window is the
+    // binding budget). SparkSession is thread-safe for concurrent actions;
+    // the FIFO scheduler interleaves the jobs' tasks.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
+    val work = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage.take(500)}")
-      }
+      .foreach(work.add)
+    val threads = (1 to math.max(1, par)).map { _ =>
+      new Thread(() => {
+        var item = work.poll()
+        while (item != null) {
+          val (name, fn) = item
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage.take(500)}")
+          }
+          item = work.poll()
+        }
+      })
     }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -45,4 +45,20 @@ object Partitioning {
     org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.hash(col(saltCol)),
       org.apache.spark.sql.functions.lit(buckets))
+
+  /** Two-stage salted aggregation for a skew-prone `collect_list`-class
+    * agg (one where map-side partial aggregation does NOT bound reducer
+    * state — counts/sums don't need this, Spark combines them map-side):
+    * stage 1 aggregates per (key, salt) so a hot key spreads over
+    * `buckets` reducers; stage 2 merges the per-salt partials per key.
+    * `partial` and `merge` must be associative-compatible
+    * (merge ∘ partial == direct agg — OpsSpec pins the equivalence). */
+  def saltedAgg(df: DataFrame, key: String, saltCol: String, buckets: Int,
+                partial: Seq[org.apache.spark.sql.Column],
+                merge: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("__salt", saltKey(saltCol, buckets))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(merge.head, merge.tail: _*)
 }

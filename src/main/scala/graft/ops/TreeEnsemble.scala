@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * `CASE WHEN fv[i] < thr`, a class score is the sum of its trees, and the
   * whole scorer is a codegen'd projection — no UDF, no per-row
   * interpretation, and the identical SQL renders in DuckDB for the oracle.
-  * This is the right shape for small/medium ensembles (hundreds of trees):
+  * This is the right shape for small ensembles (tens of trees — plan
+  * analysis+codegen is the fixed cost, ~17 s for 16 depth-3 trees):
   * the model rides the plan, Tungsten fuses it with the feature projection,
   * and executors never deserialize a model object. (Giant ensembles would
   * instead broadcast a node table and walk it in a native kernel.)

@@ -123,6 +123,33 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("salted two-stage aggregation == direct agg; hot key spreads over buckets") {
+    import graft.core.Partitioning
+    // heavy skew: one hot key with 5000 rows, others tiny
+    val rows = (0 until 5000).map(i => ("hot", s"v$i")) ++
+      (0 until 20).map(i => (s"k$i", s"w$i"))
+    val df = rows.toDF("key", "item")
+    val salted = Partitioning.saltedAgg(df, "key", "item", buckets = 8,
+      partial = Seq(collect_list(col("item")).as("items"),
+        count(lit(1)).as("n")),
+      merge = Seq(flatten(collect_list(col("items"))).as("items"),
+        sum(col("n")).as("n")))
+    val got = salted.collect()
+      .map(r => r.getAs[String]("key") ->
+        ((r.getAs[scala.collection.Seq[String]]("items").toSet,
+          r.getAs[Long]("n")))).toMap
+    val direct = df.groupBy("key")
+      .agg(collect_list(col("item")).as("items"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[scala.collection.Seq[String]]("items").toSet,
+          r.getAs[Long]("n")))).toMap
+    assert(got == direct)
+    // the salt genuinely spreads the hot key over multiple reducers
+    val nSalts = df.withColumn("__salt", Partitioning.saltKey("item", 8))
+      .filter(col("key") === "hot").select("__salt").distinct().count()
+    assert(nSalts >= 6)
+  }
+
   test("tree ensemble: hand-checked walk, additivity, softmax, argmax") {
     import graft.ops.TreeEnsemble._
     // two classes, one depth-1 tree each over feature 0
