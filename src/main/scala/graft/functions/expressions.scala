@@ -374,13 +374,21 @@ object expressions {
     * series edges exactly like the reference. */
   case class CubicResample(xs: Expression, outLenE: Expression)
       extends Expression with CodegenFallback {
-    private val outLen = litInt(outLenE)
+    // literal out-length when foldable (signature resample); per-row value
+    // otherwise (rate conversion: outLen derives from the series length)
+    private val outLenLit: Option[Int] =
+      if (outLenE.foldable) Some(litInt(outLenE)) else None
     override def children: Seq[Expression] = Seq(xs, outLenE)
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-    override def nullable: Boolean = xs.nullable
+    override def nullable: Boolean = xs.nullable || outLenE.nullable
     override def eval(input: InternalRow): Any = {
       val aAny = xs.eval(input)
       if (aAny == null) return null
+      val outLen = outLenLit.getOrElse {
+        val o = outLenE.eval(input)
+        if (o == null) return null
+        o.asInstanceOf[Int]
+      }
       val a = aAny.asInstanceOf[ArrayData].toDoubleArray()
       val n = a.length
       if (n == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Double](outLen))
@@ -411,13 +419,15 @@ object expressions {
   }
 
   /** DuckDB mirror of [[CubicResample]]: staged CTEs over a series CTE
-    * `seriesCte(doc_id, xs)`; yields `${p}sig(doc_id, sig)`. */
-  def duckCubicResampleCtes(seriesCte: String, outLen: Int, p: String): String =
+    * `seriesCte(doc_id, xs)`; yields `${p}sig(doc_id, sig)`. `outLen` is a
+    * SQL expression over `xs` (a constant for the signature resample, a
+    * per-row length for rate conversion). */
+  def duckCubicResampleCtes(seriesCte: String, outLen: String, p: String): String =
     s"""${p}r AS (
        |  SELECT doc_id, xs, unnest(range($outLen)) AS ri FROM $seriesCte),
        |${p}c1 AS (
        |  SELECT doc_id, xs, ri, len(xs) AS n,
-       |         ri * (CAST(len(xs) AS DOUBLE) / $outLen) AS pos
+       |         ri * (CAST(len(xs) AS DOUBLE) / ($outLen)) AS pos
        |  FROM ${p}r),
        |${p}c2 AS (
        |  SELECT *, pos - floor(pos) AS x,

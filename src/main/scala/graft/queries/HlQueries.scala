@@ -167,7 +167,7 @@ object HlQueries {
 
     "hl_signature" -> {
       val resample = expressions.duckCubicResampleCtes(
-        "ser2", FeaturesHl.SignatureFrames, "cs")
+        "ser2", FeaturesHl.SignatureFrames.toString, "cs")
       s"""WITH $duckFrames,
          |ser2 AS (SELECT doc_id, list(rms ORDER BY frame_id) AS xs
          |         FROM frames GROUP BY doc_id),

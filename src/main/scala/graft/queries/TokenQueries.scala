@@ -52,6 +52,39 @@ object TokenQueries {
           expr("md5(array_join(transform(pf.tokens, x -> CAST(x AS STRING)), ','))")
             .as("padded_md5"))),
 
+    // arbitrary-rate cubic resample (44.1k -> 16k analog over the rhythm
+    // series) — rate conversion via the same Catmull-Rom kernel as the
+    // fixed-length signature resample, out length derived per row
+    "resample_rate" -> ((s, dir) =>
+      Framing.withFrames(seqs(s, dir), Seqs.RFrameSize, Seqs.RHop)
+        .withColumn("xs", expr("transform(frames, fr -> fr.rms)"))
+        .withColumn("rs", expr(
+          "graft_cubic_resample(xs, CAST(greatest(1, (size(xs) * 16000) div 44100) AS INT))"))
+        .select(col("doc_id"), posexplode(col("rs")).as(Seq("rs_idx", "rs_val")))
+        .withColumn("rs_val", expr("IF(rs_val = 0.0, 0.0, rs_val)"))),
+
+    // systematic NaN/Inf guard battery (the reference guards every
+    // descriptor append with `IsNaN ? 0 : x` — SampleAnalyser.cpp:1812-1917
+    // CalcSpectral* appends): deterministic NaN/Inf injection, guarded
+    // fold; counts + guarded sum are exact (ints + zeros)
+    "nan_guards" -> ((s, dir) =>
+      seqs(s, dir)
+        .withColumn("ser", expr(
+          """transform(tokens, t -> CASE
+            | WHEN t <> 0 AND t % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+            | WHEN t <> 0 AND t % 11 = 0 THEN exp(CAST(1000.0 AS DOUBLE))
+            | ELSE CAST(t AS DOUBLE) END)""".stripMargin))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(ser, x -> isnan(x))) AS INT)").as("n_nan"),
+          expr("CAST(size(filter(ser, x -> x = CAST('Infinity' AS DOUBLE))) AS INT)")
+            .as("n_inf"),
+          expr(
+            """aggregate(ser, CAST(0.0 AS DOUBLE), (a, x) ->
+              | a + CASE WHEN isnan(x) OR x = CAST('Infinity' AS DOUBLE)
+              |            OR x = CAST('-Infinity' AS DOUBLE)
+              |      THEN CAST(0.0 AS DOUBLE) ELSE x END)""".stripMargin)
+            .as("guarded_sum"))),
+
     // rhythm-clock 13-stat block (second frame clock, SampleAnalyser.cpp:985-998)
     "rframe_stats" -> ((s, dir) => {
       val fr = Framing.withFrames(seqs(s, dir), Seqs.RFrameSize, Seqs.RHop)
@@ -247,6 +280,38 @@ object TokenQueries {
          |  md5(array_to_string(padded, ',')) AS padded_md5
          |FROM g""".stripMargin
     },
+
+    "resample_rate" -> {
+      val resample = graft.functions.expressions.duckCubicResampleCtes(
+        "rser", "greatest(1, (len(xs) * 16000) // 44100)", "rr")
+      s"""WITH $duckRFrames,
+         |rser AS (SELECT doc_id, list(rms ORDER BY frame_id) AS xs
+         |         FROM rframes GROUP BY doc_id),
+         |$resample
+         |SELECT doc_id,
+         |  CAST(gs - 1 AS INTEGER) AS rs_idx,
+         |  CASE WHEN u = 0.0 THEN 0.0 ELSE u END AS rs_val
+         |FROM (SELECT doc_id, unnest(sig) AS u,
+         |             generate_subscripts(sig, 1) AS gs FROM rrsig)""".stripMargin
+    },
+
+    "nan_guards" ->
+      s"""WITH $duckSeqs,
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(tokens, t -> CASE
+         |      WHEN t <> 0 AND t % 7 = 0 THEN 'nan'::DOUBLE
+         |      WHEN t <> 0 AND t % 11 = 0 THEN exp(CAST(1000.0 AS DOUBLE))
+         |      ELSE CAST(t AS DOUBLE) END) AS ser
+         |  FROM seqs)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(ser, x -> isnan(x))) AS INTEGER) AS n_nan,
+         |  CAST(len(list_filter(ser, x -> isinf(x) AND x > 0)) AS INTEGER) AS n_inf,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(ser, x -> CASE WHEN isnan(x) OR isinf(x)
+         |                                  THEN CAST(0.0 AS DOUBLE) ELSE x END)),
+         |    (a, x) -> a + x) AS guarded_sum
+         |FROM g""".stripMargin,
 
     "rframe_stats" -> duckStatsRounded(duckRFrames,
       "SELECT doc_id, list(rms ORDER BY frame_id) AS xs FROM rframes GROUP BY doc_id",

@@ -137,19 +137,39 @@ object Multimodal {
     }
   }
 
+  /** Interleaved multi-channel PCM → mono: per-frame channel mean with
+    * integer truncation toward zero — the (L+R)/2 mixdown the analyser
+    * front-end applies before analysis (`SampleAnalyser.cpp:418-569`
+    * sample loading; "Mixdown / trivial projections", SURVEY §2.2). */
+  def mixdown(pcm: Array[Short], channels: Int): Array[Int] = {
+    if (channels <= 1) return pcm.map(_.toInt)
+    val n = pcm.length / channels
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var s = 0
+      var c = 0
+      while (c < channels) { s += pcm(i * channels + c); c += 1 }
+      out(i) = s / channels
+      i += 1
+    }
+    out
+  }
+
   /** Decoded audio → the engine's canonical token contract
-    * (doc_id, tokens, n_tok, source): PCM16 samples map onto the ±2048
-    * token scale (>> 4), capped at [[Seqs.MaxTokens]] — from here the
-    * record flows through the SAME `featuresLl`/`fvFull` pipeline as any
-    * other sequence. Narrow per-row decode, no shuffle. */
+    * (doc_id, tokens, n_tok, source): decode, mix down to mono, map PCM16
+    * onto the ±2048 token scale (>> 4), cap at [[Seqs.MaxTokens]] — from
+    * here the record flows through the SAME `featuresLl`/`fvFull` pipeline
+    * as any other sequence. Narrow per-row decode, no shuffle. */
   def audioToSeqs(records: Dataset[MediaRecord]): DataFrame = {
     import records.sparkSession.implicits._
     records.filter(_.meta.kind == "audio").map { r =>
-      val (_, _, pcm) = decodeWav(r.payload)
-      val n = math.min(pcm.length, Seqs.MaxTokens)
+      val (_, ch, pcm) = decodeWav(r.payload)
+      val mono = mixdown(pcm, ch)
+      val n = math.min(mono.length, Seqs.MaxTokens)
       val tokens = new Array[Int](n)
       var i = 0
-      while (i < n) { tokens(i) = pcm(i) >> 4; i += 1 }
+      while (i < n) { tokens(i) = mono(i) >> 4; i += 1 }
       (r.doc_id, tokens, n, "audio")
     }.toDF("doc_id", "tokens", "n_tok", "source")
   }

@@ -216,6 +216,17 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.decodeWav(Multimodal.encodeWav(pcm, 44100).take(30)))
   }
 
+  test("stereo WAV mixdown: channel mean with truncation toward zero") {
+    val stereo = Array[Short](100, 300, -101, 100, 32767, 32767, -32768, -32768)
+    val wav = Multimodal.encodeWav(stereo, 8000, channels = 2)
+    val (rate, ch, pcm) = Multimodal.decodeWav(wav)
+    assert(rate == 8000 && ch == 2 && pcm.sameElements(stereo))
+    val mono = Multimodal.mixdown(pcm, 2)
+    assert(mono.toSeq == Seq(200, 0, 32767, -32768)) // (-101+100)/2 -> 0
+    // mono passthrough is identity
+    assert(Multimodal.mixdown(Array[Short](5, -7), 1).toSeq == Seq(5, -7))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
