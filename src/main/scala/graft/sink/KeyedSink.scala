@@ -101,14 +101,35 @@ object KeyedSink {
       .getOrElse(0)
   }
 
+  /** Per-partition-file row counts straight from the parquet footers —
+    * O(files) metadata reads, no data scan (the per-partition
+    * lineage/row-count metrics an Iceberg snapshot summary carries;
+    * BASELINE.json "resumable … per-partition checkpoints carrying
+    * lineage and row-count metrics into snapshot metadata"). */
+  private def fileRowCounts(snapDir: String): Seq[(String, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new java.io.File(snapDir)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try f.getName -> r.getRecordCount finally r.close()
+      }
+  }
+
   private def commit(path: String, next: Int, kind: String, total: Long,
                      nUp: Long, nDel: Long, nPart: Int, key: String): CommitStats = {
     val parent = latestSnapshot(path).getOrElse(0)
+    val fileRows = fileRowCounts(s"$path/snap-$next")
+      .map { case (n, r) => s"""{"file": "$n", "rows": $r}""" }
+      .mkString("[", ", ", "]")
     val meta =
       s"""{"snapshot": $next, "kind": "$kind", "total_rows": $total,
          | "upserted_rows": $nUp, "deleted_rows": $nDel,
          | "partitions": $nPart, "parent": $parent,
-         | "key": "$key"}""".stripMargin.replace("\n", "")
+         | "key": "$key", "file_rows": $fileRows}""".stripMargin.replace("\n", "")
     Files.writeString(Paths.get(path, s"snap-$next.json"), meta)
     val tmp = Paths.get(path, "_latest.tmp")
     Files.writeString(tmp, s"snap-$next")
@@ -180,9 +201,12 @@ object KeyedSink {
     // so an in-place rewrite could expose mid-truncate metadata to a
     // concurrent read(), and snapKind() would misread the delta as a full
     // snapshot, silently dropping every non-updated row
+    val fileRows = fileRowCounts(snapDir)
+      .map { case (n, r) => s"""{"file": "$n", "rows": $r}""" }
+      .mkString("[", ", ", "]")
     val metaTmp = Paths.get(path, s"snap-$next.json.tmp")
     Files.writeString(metaTmp,
-      s"""{"snapshot": $next, "kind": "delta", "total_rows": $total, "upserted_rows": $nUp, "deleted_rows": 0, "partitions": ${stats.partitions}, "parent": ${parent.get}, "key": "$key"}""")
+      s"""{"snapshot": $next, "kind": "delta", "total_rows": $total, "upserted_rows": $nUp, "deleted_rows": 0, "partitions": ${stats.partitions}, "parent": ${parent.get}, "key": "$key", "file_rows": $fileRows}""")
     Files.move(metaTmp, Paths.get(path, s"snap-$next.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     stats.copy(totalRows = total)

@@ -70,6 +70,11 @@ class KeyedSinkSpec extends AnyFunSuite {
     val meta = Files.readString(java.nio.file.Paths.get(path, "snap-2.json"))
     assert(meta.contains("\"snapshot\": 2") && meta.contains("\"parent\": 1"))
     assert(meta.contains("\"total_rows\": 2"))
+    // per-partition-file row counts (footer metadata) sum to total_rows
+    assert(meta.contains("\"file_rows\": ["))
+    val rows = "\"rows\": (\\d+)".r.findAllMatchIn(meta)
+      .map(_.group(1).toLong).toSeq
+    assert(rows.nonEmpty && rows.sum == 2)
   }
 
   test("classifier metadata side table: typed, INSERT OR REPLACE semantics") {
