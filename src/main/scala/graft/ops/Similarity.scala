@@ -239,6 +239,41 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates meet inside a
+    * sign-LSH bucket (equi-join, never all-pairs), then the exact cosine
+    * verifies against `minCos`. The embedding-space member of the dedup
+    * family (exact / MinHash / SimHash / n-gram are token/text-space). */
+  def embeddingNearDups(embeddings0: DataFrame, nPlanes: Int,
+                        minCos: Double): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val b = lshBuckets(embeddings0, nPlanes)
+      .join(embeddings0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"), col("embedding"))
+    val l = b.as("l"); val r = b.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", expr("graft_cosine(l.embedding, r.embedding)"))
+      .filter(col("cos") >= minCos)
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        col("cos"))
+  }
+
+  /** DuckDB mirror of [[embeddingNearDups]]. */
+  def duckEmbeddingNearDupsSql(nPlanes: Int, minCos: Double): String =
+    s"""WITH b AS (SELECT vec_id, bucket FROM (${duckLshBucketsSql(nPlanes)})),
+       |cand AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM b l JOIN b r
+       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${duckCosine("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cos FROM scored
+       |WHERE cos >= ${graft.queries.Duck.lit(minCos)}""".stripMargin
+
   private def duckCosine(a: String, b: String): String =
     s"""(SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
        |        ELSE dot / sqrt(na * nb) END

@@ -108,6 +108,13 @@ object CurationQueries {
       Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"),
         LshPlanes)),
 
+    // embedding-cosine near-dup pairs (LSH-bucketed candidates, exact
+    // cosine threshold) — the embedding-space dedup mode
+    "dedup_embed" -> ((s, dir) =>
+      Similarity.embeddingNearDups(
+        s.read.parquet(s"$dir/embeddings.parquet"), LshPlanes, 0.25)
+        .withColumn("cos", expr("IF(cos = 0.0, 0.0, cos)"))),
+
     // IVF coarse-quantizer cells (sampled-centroid bootstrap)
     "ivf_cells" -> ((s, dir) =>
       Similarity.ivfCells(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -138,6 +145,9 @@ object CurationQueries {
     "text_analyze" -> TextAnalysis.duckAnalyzeSql,
     "embed_topk" -> Similarity.duckBruteTopKSql(TopKQueries, TopK),
     "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes),
+    "dedup_embed" -> s"""SELECT vec_a, vec_b,
+       |  CASE WHEN cos = 0.0 THEN 0.0 ELSE cos END AS cos
+       |FROM (${Similarity.duckEmbeddingNearDupsSql(LshPlanes, 0.25)})""".stripMargin,
     "ivf_cells" -> Similarity.duckIvfCellsSql(IvfCells),
     "ivf_recall" ->
       Similarity.duckIvfRecallSql(TopKQueries, TopK, IvfCells, IvfProbe)
