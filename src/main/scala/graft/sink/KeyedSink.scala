@@ -83,6 +83,17 @@ object KeyedSink {
            key: String = "doc_id"): Option[DataFrame] =
     latestSnapshot(path).map(n => readSnap(spark, path, n, key))
 
+  /** Time travel: read the table AS OF snapshot `n` (Iceberg
+    * `VERSION AS OF` analog — snapshots are immutable once the pointer
+    * moves past them, so any committed id stays readable). None when the
+    * snapshot was never committed. */
+  def readAt(spark: SparkSession, path: String, n: Int,
+             key: String = "doc_id"): Option[DataFrame] =
+    if (n >= 1 && latestSnapshot(path).exists(_ >= n) &&
+        new java.io.File(s"$path/snap-$n").isDirectory)
+      Some(readSnap(spark, path, n, key))
+    else None
+
   /** Logical MERGE: rows from `updates` win by `key`; `existing` rows with
     * no update pass through; keys in `deletes` are dropped. */
   def merge(existing: DataFrame, updates: DataFrame, key: String,

@@ -77,6 +77,21 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.sum == 2)
   }
 
+  test("time travel: readAt returns each committed snapshot's state") {
+    val path = freshPath()
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 1, 10.0)).toDF("doc_id", "v", "x"), "doc_id")
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 2, 99.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x"), "doc_id")
+    val s1 = KeyedSink.readAt(spark, path, 1).get.collect()
+    assert(s1.length == 1 && s1(0).getAs[Double]("x") == 10.0)
+    val s2 = KeyedSink.readAt(spark, path, 2).get
+    assert(s2.count() == 2)
+    assert(s2.filter(col("doc_id") === "a").collect()(0).getAs[Double]("x") == 99.0)
+    assert(KeyedSink.readAt(spark, path, 3).isEmpty)
+    assert(KeyedSink.readAt(spark, path, 0).isEmpty)
+  }
+
   test("classifier metadata side table: typed, INSERT OR REPLACE semantics") {
     val path = freshPath()
     KeyedSink.writeClassifierMeta(spark, path, Seq(
