@@ -36,6 +36,12 @@ object TextAnalysis {
       .withColumn("n_words", expr("CAST(size(words) AS INT)"))
       .withColumn("n_alnum_tokens",
         expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS INT)"))
+      // BPE-ish subword count: GPT-2-flavored pre-tokenizer classes with
+      // the leading space merged onto the next token (the Ġ convention) —
+      // alternation is leftmost-first in BOTH Java regex and RE2, so the
+      // count is cross-engine exact
+      .withColumn("n_bpe_tokens", expr(
+        "CAST(size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)) AS INT)"))
       .withColumn("n_stopwords", expr(
         s"CAST(size(filter(words, w -> array_contains(array(${
           Stopwords.map(s => s"'$s'").mkString(", ")}), w))) AS INT)"))
@@ -66,6 +72,8 @@ object TextAnalysis {
        |    CAST(len(words) AS INTEGER) AS n_words,
        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER)
        |      AS n_alnum_tokens,
+       |    CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+       |      AS INTEGER) AS n_bpe_tokens,
        |    CAST(len(list_filter(words, w -> list_contains([$stop], w)))
        |      AS INTEGER) AS n_stopwords,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -77,7 +85,7 @@ object TextAnalysis {
        |         (a, l) -> a + l) AS DOUBLE) / len(words) AS mean_word_len
        |  FROM w)
        |SELECT doc_id, lang, source, n_chars,
-       |  n_words, n_alnum_tokens, n_stopwords,
+       |  n_words, n_alnum_tokens, n_bpe_tokens, n_stopwords,
        |  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
        |  mean_word_len,
        |  0.4 * least(CAST(n_words AS DOUBLE) / 64.0, CAST(1.0 AS DOUBLE))

@@ -97,8 +97,8 @@ object CurationQueries {
     "text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "lang", "source", "n_chars", "n_words",
-          "n_alnum_tokens", "n_stopwords", "stopword_ratio", "mean_word_len",
-          "quality_score", "lang_guess", "fingerprint")),
+          "n_alnum_tokens", "n_bpe_tokens", "n_stopwords", "stopword_ratio",
+          "mean_word_len", "quality_score", "lang_guess", "fingerprint")),
 
     "embed_topk" -> ((s, dir) =>
       Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"),
