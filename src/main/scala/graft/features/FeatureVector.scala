@@ -108,7 +108,7 @@ object FeatureVector {
     * Default = the fused single-pass kernel
     * ([[graft.functions.fvkernel.FvFullKernel]]); `SPARK_GRAFT_FV_FUSED=0`
     * selects the composed expression assembly below (kept for A/B — the
-    * FeatureVectorSpec asserts the two are bitwise identical). */
+    * FvKernelSpec asserts the two are bitwise identical). */
   def fvFull(seqs: DataFrame): DataFrame =
     if (sys.env.get("SPARK_GRAFT_FV_FUSED").contains("0")) fvFullComposed(seqs)
     else fvFullFused(seqs)

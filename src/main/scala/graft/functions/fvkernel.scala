@@ -11,7 +11,7 @@ import graft.features.{FeatureVector => FV, Pipeline, PointInTime}
 import graft.queries.{RhythmQueries, TokenQueries}
 import graft.sources.Seqs
 
-/** The fused full-classification-feature-vector kernel: the whole 1680-dim
+/** The fused full-classification-feature-vector kernel: the whole 1920-dim
   * assembly of [[graft.features.FeatureVector.fvFull]]
   * (`SampleClassificationDescriptors.cpp:395-561`) in ONE per-row pass.
   *
@@ -30,7 +30,7 @@ import graft.sources.Seqs
   * [[rhythm.cannyCore]] / [[rhythm.metricsCore]] for the rhythm scalars,
   * and [[round6]] mirrors Spark's `round(x, 6)` (BigDecimal of the shortest
   * decimal repr, HALF_UP) so quantized values match the composed path and
-  * the DuckDB oracle bit-for-bit. `FeatureVectorSpec` asserts fused ==
+  * the DuckDB oracle bit-for-bit. `FvKernelSpec` asserts fused ==
   * composed bitwise on the sf0.001 corpus; the `fv_full` oracle query runs
   * against this kernel.
   *
@@ -76,7 +76,7 @@ object fvkernel {
   private def block(xs: Array[Double]): Stats.Block =
     Stats.oracle(xs.toIndexedSeq) // identical to the StatsBlock expression
 
-  /** graft_fv_full(tokens ARRAY<INT>, n_tok INT) → ARRAY<DOUBLE>[1680]. */
+  /** graft_fv_full(tokens ARRAY<INT>, n_tok INT) → ARRAY<DOUBLE>[FV.Width = 1920]. */
   case class FvFullKernel(tokens: Expression, nTokE: Expression)
       extends Expression with CodegenFallback {
     override def children: Seq[Expression] = Seq(tokens, nTokE)
