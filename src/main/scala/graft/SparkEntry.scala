@@ -48,6 +48,17 @@ object SparkEntry {
     Seq("oneshot", "loop", "noise", "tonal"),
     treesPerClass = 4, nFeatures = Stats.StatNames.length, depth = 3)
 
+  /** 500-tree synthetic ensemble (4 classes × 125 depth-4 trees) for the
+    * LARGE-ensemble inference path — the scale the reference trains at
+    * (800 iters × 5 bags, `GBDT.cpp:50-117`) is out of reach for the
+    * compiled-CASE scorer (~17 s plan build at 16 trees, measured round
+    * 3); the node-table walk builds its plan in O(1) regardless. */
+  private lazy val gbdtLargeDepth = 4
+  private lazy val gbdtLargeModel = graft.ops.TreeEnsemble.synthModel(
+    Seq("oneshot", "loop", "noise", "tonal"),
+    treesPerClass = 125, nFeatures = Stats.StatNames.length,
+    depth = gbdtLargeDepth, seed = 11L)
+
   // ------------------------------------------------------------------
   // queries + oracles
   // ------------------------------------------------------------------
@@ -119,7 +130,8 @@ object SparkEntry {
         .withColumn("xs", expr("transform(frames, fr -> fr.rms)"))
         .withColumn("__st", expr("graft_stats_block(xs)"))
       for (n <- Stats.StatNames)
-        fr = fr.withColumn(s"__f_$n", expr(s"round(__st.$n, 6)"))
+        fr = fr.withColumn(s"__f_$n",
+          expr(TreeEnsemble.quant6Sql(s"__st.$n")))
       val scored = TreeEnsemble.score(fr,
         Stats.StatNames.map(n => s"__f_$n"), gbdtModel)
       scored.select(Seq(col("doc_id")) ++
@@ -127,6 +139,23 @@ object SparkEntry {
           expr(s"IF(score_$c = 0.0, 0.0, score_$c)").as(s"score_$c"),
           expr(s"IF(prob_$c = 0.0, 0.0, prob_$c)").as(s"prob_$c"))) :+
         col("pred_class"): _*)
+    }),
+
+    // LARGE-ensemble inference (500 trees) via the flattened node-table
+    // walk (graft_tree_walk) — model rides the plan as three literals,
+    // plan build O(1) in tree count (vs ~17 s/16 trees compiled CASE)
+    "gbdt_score_large" -> ((s, dir) => {
+      import graft.ops.TreeEnsemble
+      val fr = Framing.withFrames(seqs(s, dir))
+        .withColumn("xs", expr("transform(frames, fr -> fr.rms)"))
+        .withColumn("__st", expr("graft_stats_block(xs)"))
+        .withColumn("__fv", array(Stats.StatNames.map(n =>
+          expr(TreeEnsemble.quant6Sql(s"__st.$n"))): _*))
+      TreeEnsemble.scoreLarge(fr, col("__fv"), gbdtLargeModel, gbdtLargeDepth)
+        .select(Seq(col("doc_id")) ++
+          gbdtLargeModel.classes.map(c =>
+            expr(s"IF(score_$c = 0.0, 0.0, score_$c)").as(s"score_$c")) :+
+          col("pred_class"): _*)
     }),
 
     // prefix/suffix silence trim + effective lengths (SampleAnalyser.cpp:646-676, 1715-1756)
@@ -173,7 +202,8 @@ object SparkEntry {
       val block = Stats.duckBlock(
         inner = "SELECT doc_id, list(rms ORDER BY frame_id) AS xs FROM frames GROUP BY doc_id",
         keys = Seq("doc_id"), xs = "xs", p = "rms", prelude = duckFrames)
-      val fvList = Stats.StatNames.map(n => s"round(rms_$n, 6)")
+      val fvList = Stats.StatNames
+        .map(n => TreeEnsemble.quant6Sql(s"rms_$n"))
         .mkString("[", ", ", "]")
       val scoreCols = TreeEnsemble.duckScoreSql(gbdtModel, "fv").mkString(",\n  ")
       val mx = cs.map(c => s"score_$c").mkString("greatest(", ", ", ")")
@@ -199,6 +229,43 @@ object SparkEntry {
          |  ${probs.mkString(",\n  ")},
          |  $pred AS pred_class
          |FROM zt""".stripMargin
+    },
+
+    "gbdt_score_large" -> {
+      import graft.ops.TreeEnsemble
+      val cs = gbdtLargeModel.classes
+      val flat = TreeEnsemble.flatten(gbdtLargeModel, gbdtLargeDepth)
+      val nTrees = gbdtLargeModel.trees.head.length
+      val block = Stats.duckBlock(
+        inner = "SELECT doc_id, list(rms ORDER BY frame_id) AS xs FROM frames GROUP BY doc_id",
+        keys = Seq("doc_id"), xs = "xs", p = "rms", prelude = duckFrames)
+      val fvList = Stats.StatNames.map(n => TreeEnsemble.quant6Sql(s"rms_$n"))
+        .mkString("[", ", ", "]")
+      val modelCols = cs.indices.map { c =>
+        val (f, t, l) = TreeEnsemble.duckFlatLits(flat(c))
+        s"$f AS f$c, $t AS t$c, $l AS l$c"
+      }.mkString(",\n  ")
+      val scoreCols = cs.indices.map(c =>
+        s"${TreeEnsemble.duckWalkSql(s"f$c", s"t$c", s"l$c", "fv",
+            nTrees, gbdtLargeDepth)} AS score_${cs(c)}").mkString(",\n  ")
+      val mx = cs.map(c => s"score_$c").mkString("greatest(", ", ", ")")
+      val pred = cs.init.reverse.foldLeft(s"'${cs.last}'") { (acc, c) =>
+        s"CASE WHEN score_$c = mx THEN '$c' ELSE $acc END"
+      }
+      val scoreOut = cs.map(c =>
+        s"CASE WHEN score_$c = 0.0 THEN 0.0 ELSE score_$c END AS score_$c")
+      s"""WITH base AS ($block),
+         |model AS (SELECT
+         |  $modelCols),
+         |fvt AS (SELECT doc_id, $fvList AS fv FROM base),
+         |sc AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM fvt CROSS JOIN model),
+         |m AS (SELECT *, $mx AS mx FROM sc)
+         |SELECT doc_id,
+         |  ${scoreOut.mkString(",\n  ")},
+         |  $pred AS pred_class
+         |FROM m""".stripMargin
     },
 
     "silence_trim" -> {

@@ -65,6 +65,10 @@ object expressions {
       es => MinHash(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sign_bands",
+      es => SignBands(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_tree_walk",
+      es => TreeWalk(es(0), es(1), es(2), es(3), es(4)), "built-in")
     reg.createOrReplaceTempFunction("graft_cubic_resample",
       es => CubicResample(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_correlation",
@@ -325,6 +329,118 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), numHashesE = c(1), bandSizeE = c(2))
+  }
+
+  /** graft_sign_bands(embedding ARRAY<FLOAT|DOUBLE>, nBands INT,
+    * bitsPerBand INT) → ARRAY<BIGINT> of length nBands.
+    *
+    * Banded random-hyperplane signature for embedding LSH: plane
+    * `p = band·bitsPerBand + j` has integer components
+    * `c(p, j') = ((p·8191 + j'·127 + 13) % 17) − 8` (the deterministic
+    * seeded grid shared with [[graft.ops.Similarity.lshBuckets]]); band hash
+    * = the packed sign bits `Σ_j [dot(plane_p, x) > 0] · 2^j`. Dot products
+    * are ascending sequential double folds — bitwise-mirrored by the DuckDB
+    * `list_reduce` oracle. Narrow per-row kernel, no shuffle; one row in →
+    * nBands small ints out, so the downstream candidate join never carries
+    * the embedding payload. */
+  case class SignBands(emb: Expression, nBandsE: Expression,
+      bitsE: Expression) extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(emb, nBandsE, bitsE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = emb.nullable
+    private lazy val nBands = litInt(nBandsE)
+    private lazy val bits = litInt(bitsE)
+    override def eval(input: InternalRow): Any = {
+      val any = emb.eval(input)
+      if (any == null) return null
+      val ad = any.asInstanceOf[ArrayData]
+      val xs: Array[Double] =
+        emb.dataType.asInstanceOf[ArrayType].elementType match {
+          case FloatType  => ad.toFloatArray().map(_.toDouble)
+          case DoubleType => ad.toDoubleArray()
+          case other => throw new IllegalArgumentException(s"sign_bands over $other")
+        }
+      val out = new Array[Long](nBands)
+      var b = 0
+      while (b < nBands) {
+        var h = 0L
+        var j = 0
+        while (j < bits) {
+          val p = b * bits + j
+          var dot = 0.0
+          var k = 0
+          while (k < xs.length) {
+            dot += xs(k) * (((p * 8191 + k * 127 + 13) % 17) - 8).toDouble
+            k += 1
+          }
+          if (dot > 0.0) h |= (1L << j)
+          j += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(emb = c(0), nBandsE = c(1), bitsE = c(2))
+  }
+
+  /** graft_tree_walk(fv ARRAY<DOUBLE>, feat ARRAY<INT>, thr ARRAY<DOUBLE>,
+    * leaf ARRAY<DOUBLE>, depth INT) → DOUBLE
+    *
+    * Additive-ensemble inference over a FLATTENED node table — the
+    * large-ensemble path [[graft.ops.TreeEnsemble]]'s compiled-CASE scorer
+    * documents (reference scale: 800 iterations × 5 bags,
+    * `Source/Crawler/Classification/Source/Models/GBDT.cpp:50-117`).
+    * Trees are complete depth-`depth` in heap order: per tree `t` the
+    * internal nodes occupy `feat/thr[t·nInt + i]` (`nInt = 2^depth − 1`,
+    * children of `i` at `2i+1 / 2i+2`, left iff `fv(feat) < thr`), leaves
+    * `leaf[t·nLeaf + (i − nInt)]`. The score is the ascending-`t`
+    * sequential sum of leaf values (bitwise-mirrored by the DuckDB
+    * `list_reduce` oracle).
+    *
+    * The model arrays ride the plan as three LITERALS (constant-folded
+    * once) — plan build is O(1) in tree count where the compiled-CASE
+    * variant pays ~17 s analysis at 16 trees; executors walk primitive
+    * arrays, the ensemble effectively broadcast with the task binary. */
+  case class TreeWalk(fv: Expression, featE: Expression, thrE: Expression,
+      leafE: Expression, depthE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(fv, featE, thrE, leafE, depthE)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = fv.nullable
+    private lazy val depth = litInt(depthE)
+    private lazy val nInt = (1 << depth) - 1
+    private lazy val nLeaf = 1 << depth
+    private def litArr[T](e: Expression, f: ArrayData => T): T =
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"expected literal model array, got $e")
+      else f(e.eval(null).asInstanceOf[ArrayData])
+    private lazy val feat = litArr(featE, _.toIntArray())
+    private lazy val thr = litArr(thrE, _.toDoubleArray())
+    private lazy val leaf = litArr(leafE, _.toDoubleArray())
+    private lazy val nTrees = feat.length / nInt
+    override def eval(input: InternalRow): Any = {
+      val any = fv.eval(input)
+      if (any == null) return null
+      val xs = any.asInstanceOf[ArrayData].toDoubleArray()
+      var s = 0.0
+      var t = 0
+      while (t < nTrees) {
+        var idx = 0
+        var d = 0
+        while (d < depth) {
+          val off = t * nInt + idx
+          idx = if (xs(feat(off)) < thr(off)) 2 * idx + 1 else 2 * idx + 2
+          d += 1
+        }
+        s += leaf(t * nLeaf + (idx - nInt))
+        t += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(fv = c(0), featE = c(1), thrE = c(2), leafE = c(3), depthE = c(4))
   }
 
   /** graft_cosine(a ARRAY<FLOAT|DOUBLE>, b same) → DOUBLE

@@ -213,7 +213,12 @@ object Dedup {
     while (!converged && round < MaxRounds) {
       val next = phase(phase(edges, large = true), large = false)
         .localCheckpoint(true)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixpoint test in ONE distributed action: both sides are distinct
+      // edge sets, so the symmetric difference is empty iff they are equal —
+      // union the two excepts and run a single isEmpty job (round-3 ADVICE:
+      // the two separate exceptAll actions doubled the per-round job count)
+      converged = next.exceptAll(edges)
+        .unionByName(edges.exceptAll(next)).isEmpty
       edges = next
       round += 1
     }

@@ -172,47 +172,188 @@ object Similarity {
        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
        |FROM qb q LEFT JOIN hits h USING (query_id)""".stripMargin
 
+  /** The ONE centroid-selection rule (bootstrap seed): a deterministic
+    * stride sample of the corpus, `cell` = the seed's vec_id. Shared by
+    * [[ivfCells]] / [[ivfRecall]] and their Duck mirrors so the engine and
+    * its oracle can never desynchronize cell assignment from probing. */
+  private def cents(embeddings0: DataFrame, nCells: Int): DataFrame =
+    embeddings0.filter(expr("vec_id % 37 = 3"))
+      .orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+
+  /** SQL twin of [[cents]] (a full SELECT yielding (cell, cv)). */
+  private def centsSql(nCells: Int): String =
+    s"""SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |  WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT $nCells""".stripMargin
+
   /** IVF coarse quantizer: cells = the first `nCells` corpus vectors on a
-    * deterministic stride (the sampled-centroid bootstrap of IVF — a
-    * trained k-means would slot into the same shape); every vector is
+    * deterministic stride (the sampled-centroid bootstrap of IVF — the
+    * TRAINED variant is [[ivfTrainedCents]]); every vector is
     * assigned to its max-cosine centroid (ties → lowest centroid id).
     * Assignment is one broadcast of `nCells` centroids against the corpus —
     * a narrow pass, no shuffle of the big side. */
   def ivfCells(embeddings0: DataFrame, nCells: Int): DataFrame = {
     expressions.register(embeddings0.sparkSession)
     val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
-    val cents = embeddings0.filter(expr("vec_id % 37 = 3"))
-      .orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    ivfAssign(embeddings, cents(embeddings0, nCells))
+  }
+
+  /** Assignment pass shared by the bootstrap and trained IVF paths:
+    * broadcast the (tiny) centroid table against the corpus, keep each
+    * vector's max-cosine cell (ties → lowest cell id). */
+  private def ivfAssign(embeddings: DataFrame, centsDf: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
-    embeddings.crossJoin(broadcast(cents))
+    embeddings.crossJoin(broadcast(centsDf))
       .withColumn("ccos", expr("graft_cosine(cv, embedding)"))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("vec_id"), col("label"), col("cell"))
   }
 
+  /** Lloyd-trained IVF centroids (replacing the stride-sample bootstrap):
+    * seed = [[cents]], then `iters` deterministic k-means rounds, each a
+    * pair of distributed steps —
+    *
+    *  1. '''assign''': broadcast the (tiny) centroid table, keep each
+    *     vector's max-cosine cell ([[ivfAssign]] — narrow, no shuffle of
+    *     the corpus);
+    *  2. '''update''': per-cell component means via one
+    *     `groupBy(cell, pos)` shuffle of (cell, pos, q) triples.
+    *
+    * '''Quantized means for cross-engine parity''': float summation order
+    * is nondeterministic under a hash shuffle, so component sums run over
+    * `floor(x · 2^20)` BIGINTs (exact, commutative) and the centroid
+    * component is the single double division `sum / (count · 2^20)` —
+    * bitwise identical in Spark and DuckDB regardless of row order, at a
+    * quantization cost of ≤ 2^-20 per component (irrelevant at IVF's
+    * coarse-quantizer precision). Cells that lose all members keep their
+    * previous centroid. At 10^12 rows each round shuffles only
+    * (nCells × dim) aggregates — Lloyd's cost is the assignment scan,
+    * which is the same narrow pass the final index build needs anyway. */
+  def ivfTrainedCents(embeddings0: DataFrame, nCells: Int,
+                      iters: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val emb = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    var c = cents(embeddings0, nCells)
+      .select(col("cell"),
+        expr("transform(cv, x -> CAST(x AS DOUBLE))").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(emb, c).select(col("vec_id"), col("cell"))
+      val sums = emb.join(assigned, Seq("vec_id"))
+        .select(col("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(
+          sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)"))
+            .as("s"),
+          count(lit(1)).as("n"))
+      val means = sums.groupBy(col("cell"))
+        .agg(expr(
+          """transform(array_sort(collect_list(struct(pos, s, n))),
+            |  t -> CAST(t.s AS DOUBLE) / CAST(t.n * 1048576 AS DOUBLE))"""
+            .stripMargin).as("cv"))
+      c = c.select(col("cell"), col("cv").as("__cv_prev"))
+        .join(means, Seq("cell"), "left_outer")
+        .select(col("cell"),
+          coalesce(col("cv"), col("__cv_prev")).as("cv"))
+        .localCheckpoint(true) // nCells rows; truncates per-round lineage
+    }
+    c
+  }
+
+  /** IVF cell assignment against an explicit centroid table (the trained
+    * twin of [[ivfCells]]). */
+  def ivfCellsWith(embeddings0: DataFrame, centsDf: DataFrame): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    ivfAssign(graft.core.Partitioning.balance(embeddings0, "vec_id"), centsDf)
+  }
+
+  /** Per-query recall@k of the TRAINED IVF path side by side with the
+    * bootstrap at equal `nProbe` — the measurement that justifies (or
+    * indicts) the training step. */
+  def ivfRecallTrainedVsBoot(embeddings0: DataFrame, nQueries: Int, k: Int,
+                             nCells: Int, nProbe: Int,
+                             iters: Int): DataFrame = {
+    val trained = ivfRecallWith(embeddings0, nQueries, k,
+      ivfTrainedCents(embeddings0, nCells, iters), nProbe)
+      .select(col("query_id"), col("n_hits").as("n_hits_trained"),
+        col("recall_at_k").as("recall_trained"))
+    val boot = ivfRecallWith(embeddings0, nQueries, k,
+      cents(embeddings0, nCells), nProbe)
+      .select(col("query_id"), col("n_hits").as("n_hits_boot"),
+        col("recall_at_k").as("recall_boot"))
+    trained.join(boot, Seq("query_id"))
+  }
+
+  /** DuckDB mirror of [[ivfTrainedCents]] — a full SELECT (nested WITH)
+    * yielding (cell, cv DOUBLE[]), `iters` Lloyd rounds unrolled. */
+  def duckTrainedCentsSql(nCells: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH c0 AS (
+       |  SELECT cell, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (${centsSql(nCells)}))""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s""",
+         |a$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC, cell ASC) AS crank
+         |    FROM (SELECT e.vec_id, c.cell,
+         |      ${duckCosine("c.cv", "e.embedding")} AS ccos
+         |      FROM embeddings e CROSS JOIN $prev c))
+         |  WHERE crank = 1),
+         |u$i AS (
+         |  SELECT a.cell, generate_subscripts(e.embedding, 1) - 1 AS pos,
+         |         unnest(e.embedding) AS x
+         |  FROM a$i a JOIN embeddings e USING (vec_id)),
+         |s$i AS (
+         |  SELECT cell, pos,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+         |         AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM u$i GROUP BY cell, pos),
+         |m$i AS (
+         |  SELECT cell,
+         |    list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+         |         ORDER BY pos) AS cv
+         |  FROM s$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$i m USING (cell))""".stripMargin
+    }
+    sb ++= s"\nSELECT cell, cv FROM c$iters"
+    sb.toString
+  }
+
   /** Recall@k of the IVF path: approximate neighbors = exact top-k within
     * the query's `nProbe` nearest cells. Same trust measurement as
     * [[annRecall]], IVF shape: candidate set = equi-join on cell id. */
   def ivfRecall(embeddings0: DataFrame, nQueries: Int, k: Int,
-                nCells: Int, nProbe: Int): DataFrame = {
+                nCells: Int, nProbe: Int): DataFrame =
+    ivfRecallWith(embeddings0, nQueries, k, cents(embeddings0, nCells), nProbe)
+
+  /** [[ivfRecall]] against an explicit centroid table (shared by the
+    * bootstrap and the Lloyd-trained variants — the centroid set is the
+    * only thing that differs between the two paths). */
+  def ivfRecallWith(embeddings0: DataFrame, nQueries: Int, k: Int,
+                    centsDf: DataFrame, nProbe: Int): DataFrame = {
     expressions.register(embeddings0.sparkSession)
     val exact = bruteTopK(embeddings0, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    val cells = ivfCells(embeddings0, nCells).select(col("vec_id"), col("cell"))
+    val cells = ivfAssign(
+      graft.core.Partitioning.balance(embeddings0, "vec_id"), centsDf)
+      .select(col("vec_id"), col("cell"))
     // queries probe their nProbe max-cosine cells
-    val cents = embeddings0.filter(expr("vec_id % 37 = 3"))
-      .orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val cents0 = centsDf
     val queries = embeddings0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
-    val probed = queries.crossJoin(broadcast(cents))
+    val probed = queries.crossJoin(broadcast(cents0))
       .withColumn("ccos", expr("graft_cosine(cv, qv)"))
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nProbe)
@@ -239,40 +380,201 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: candidates meet inside a
-    * sign-LSH bucket (equi-join, never all-pairs), then the exact cosine
-    * verifies against `minCos`. The embedding-space member of the dedup
-    * family (exact / MinHash / SimHash / n-gram are token/text-space). */
-  def embeddingNearDups(embeddings0: DataFrame, nPlanes: Int,
-                        minCos: Double): DataFrame = {
+  /** Per-vector banded sign-LSH hashes: (vec_id, band_id, band_hash), one
+    * row per band, computed by the native [[expressions.SignBands]] kernel
+    * (narrow, no shuffle; ids + small ints only — the embedding payload
+    * never enters the candidate join). */
+  def embedBandHashes(embeddings0: DataFrame, nBands: Int,
+                      bitsPerBand: Int): DataFrame = {
     expressions.register(embeddings0.sparkSession)
-    val b = lshBuckets(embeddings0, nPlanes)
-      .join(embeddings0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("vec_id"), col("bucket"), col("embedding"))
-    val l = b.as("l"); val r = b.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") &&
-        col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos", expr("graft_cosine(l.embedding, r.embedding)"))
-      .filter(col("cos") >= minCos)
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        col("cos"))
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    embeddings.select(col("vec_id"),
+      posexplode(expr(s"graft_sign_bands(embedding, $nBands, $bitsPerBand)"))
+        .as(Seq("band_id", "band_hash")))
   }
 
-  /** DuckDB mirror of [[embeddingNearDups]]. */
-  def duckEmbeddingNearDupsSql(nPlanes: Int, minCos: Double): String =
-    s"""WITH b AS (SELECT vec_id, bucket FROM (${duckLshBucketsSql(nPlanes)})),
+  /** Candidate near-dup pairs: vectors agreeing on ALL `bitsPerBand` sign
+    * bits of ANY band (equi-join on (band_id, band_hash), `vec_a < vec_b`,
+    * dedup across bands). IDs ONLY — vectors are re-fetched by the verify
+    * step, so the shuffle carries (docs × nBands) 24-byte rows, never the
+    * embedding arrays. */
+  def embedCandidates(embeddings0: DataFrame, nBands: Int,
+                      bitsPerBand: Int): DataFrame = {
+    val bh = embedBandHashes(embeddings0, nBands, bitsPerBand)
+    val a = bh.as("a"); val b = bh.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded sign-LSH candidates
+    * ([[embedCandidates]]), then the exact cosine verifies against
+    * `minCos`. The embedding-space member of the dedup family (exact /
+    * MinHash / SimHash / n-gram are token/text-space).
+    *
+    * == Scale shape (the round-3 fix) ==
+    * The previous form hashed the FULL signature into one of ≤ 2^P buckets
+    * and self-joined with the embedding payload on both sides — expected
+    * in-bucket pairs ~N²/2^(P+1), quadratic in corpus size, and raising P
+    * to shrink buckets collapsed recall (a pair had to agree on all P
+    * bits). Banding decouples the two: recall follows the S-curve
+    * `1 − (1 − s^r)^b` (r = bitsPerBand, b = nBands — more bands ⇒ more
+    * recall), while occupancy is governed by r ALONE — per band the
+    * expected bucket load is N/2^r, so holding load O(1) as the corpus
+    * grows means growing r with log₂N (r ≈ 34 bands of a 64-bit hash at
+    * 10^10 docs) and compensating recall with more bands; each added band
+    * is one more narrow (id, band_hash) shuffle, never a wider one. The
+    * verify step is O(candidates), and only it touches the vectors. Same
+    * (band_id, band_hash) shape as the MinHash-LSH text path
+    * ([[Dedup.lshCandidates]]). */
+  def embeddingNearDups(embeddings0: DataFrame, nBands: Int,
+                        bitsPerBand: Int, minCos: Double): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val e = embeddings0.select(col("vec_id"), col("embedding"))
+    embedCandidates(embeddings0, nBands, bitsPerBand)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
+      .withColumn("cos", expr("graft_cosine(ea, eb)"))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Twin id offset for [[plantNearDups]]. */
+  val PlantIdOffset = 100000L
+
+  /** Deterministic planted near-duplicates: for every vector with
+    * `vec_id % plantMod = 0`, append a twin at `vec_id + PlantIdOffset`
+    * whose component `j` is scaled by `(20 + k)/20` with
+    * `k = ((vec_id·31 + j·17) % 13) − 6 ∈ [−6, 6]` (±30% multiplicative
+    * noise ⇒ cosine vs the source ≈ 0.96–0.99). The synthetic corpus has
+    * NO natural pair above cosine 0.52, so this plants the structure a
+    * near-dup detector exists to find — ground truth for
+    * [[embedDedupRecall]]. Everything is keyed off the ORIGINAL vec_id and
+    * pure integer/double arithmetic, so the DuckDB mirror is bitwise. */
+  def plantNearDups(embeddings0: DataFrame, plantMod: Int): DataFrame = {
+    val base = embeddings0.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val twins = embeddings0.filter(expr(s"vec_id % $plantMod = 0"))
+      .select((col("vec_id") + PlantIdOffset).as("vec_id"),
+        expr("""transform(embedding, (x, j) -> CAST(x AS DOUBLE) *
+               |  (CAST(20 + ((vec_id * 31 + j * 17) % 13) - 6 AS DOUBLE)
+               |   / CAST(20 AS DOUBLE)))""".stripMargin).as("embedding"))
+    base.unionByName(twins)
+  }
+
+  /** DuckDB mirror of [[plantNearDups]] (1-based lambda index ⇒ `j − 1`). */
+  def duckPlantSql(plantMod: Int, src: String = "embeddings"): String =
+    s"""SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |FROM $src
+       |UNION ALL
+       |SELECT vec_id + $PlantIdOffset AS vec_id,
+       |  list_transform(embedding, (x, j) -> CAST(x AS DOUBLE) *
+       |    (CAST(20 + ((vec_id * 31 + (j - 1) * 17) % 13) - 6 AS DOUBLE)
+       |     / CAST(20 AS DOUBLE))) AS embedding
+       |FROM $src WHERE vec_id % $plantMod = 0""".stripMargin
+
+  /** Recall of the banded near-dup path vs the brute-force ground truth on
+    * the given (pre-filtered / pre-augmented) corpus: exact pairs =
+    * all-pairs cosine ≥ `minCos`; found = [[embeddingNearDups]] output (a
+    * subset of exact — the verify step uses the same exact cosine). One
+    * summary row: (n_exact, n_candidates, n_found, recall). n_candidates
+    * documents the occupancy/precision side of the S-curve trade. */
+  def embedDedupRecall(embeddings0: DataFrame, nBands: Int,
+                       bitsPerBand: Int, minCos: Double): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val sub = embeddings0
+    val e = sub.select(col("vec_id"), col("embedding"))
+    val l = e.as("l"); val r = e.as("r")
+    val exact = l.join(r, col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", expr("graft_cosine(l.embedding, r.embedding)"))
+      .filter(col("cos") >= minCos)
+    val cand = embedCandidates(sub, nBands, bitsPerBand)
+    val found = embeddingNearDups(sub, nBands, bitsPerBand, minCos)
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .withColumn("recall",
+        expr("CAST(n_found AS DOUBLE) / n_exact"))
+  }
+
+  /** DuckDB mirror of [[embedBandHashes]] (band-per-branch UNION ALL; the
+    * `(j − 1)` in the component index offsets DuckDB's 1-based lambdas). */
+  def duckEmbedBandHashesSql(nBands: Int, bitsPerBand: Int,
+                             src: String = "embeddings"): String =
+    (0 until nBands).map { b =>
+      val hash = (0 until bitsPerBand).map { j =>
+        val p = b * bitsPerBand + j
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(embedding, (x, jj) ->
+           |    CAST(x AS DOUBLE) *
+           |    CAST((($p * 8191 + (jj - 1) * 127 + 13) % 17) - 8 AS DOUBLE))),
+           |  (a, b) -> a + b) > 0.0 THEN ${1L << j} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band_id, CAST($hash AS BIGINT) AS band_hash FROM $src"
+    }.mkString("\nUNION ALL\n")
+
+  /** DuckDB mirror of [[embeddingNearDups]]. `prelude` = optional extra
+    * CTEs (trailing comma included) defining `src` when it is not a
+    * physical table (e.g. the [[duckPlantSql]] augmentation). */
+  def duckEmbeddingNearDupsSql(nBands: Int, bitsPerBand: Int, minCos: Double,
+                               src: String = "embeddings",
+                               prelude: String = ""): String =
+    s"""WITH ${prelude}bh AS MATERIALIZED (
+       |${duckEmbedBandHashesSql(nBands, bitsPerBand, src)}),
        |cand AS (
-       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
-       |  FROM b l JOIN b r
-       |    ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bh a JOIN bh b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |    AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT c.vec_a, c.vec_b,
        |    ${duckCosine("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand c
-       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
-       |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+       |  JOIN $src ea ON ea.vec_id = c.vec_a
+       |  JOIN $src eb ON eb.vec_id = c.vec_b)
        |SELECT vec_a, vec_b, cos FROM scored
        |WHERE cos >= ${graft.queries.Duck.lit(minCos)}""".stripMargin
+
+  /** DuckDB mirror of [[embedDedupRecall]]; `srcSql` = a full SELECT
+    * yielding (vec_id, embedding) — the same pre-filter/augmentation the
+    * Spark side was given. */
+  def duckEmbedDedupRecallSql(srcSql: String, nBands: Int, bitsPerBand: Int,
+                              minCos: Double): String =
+    s"""WITH sub AS MATERIALIZED (
+       |$srcSql),
+       |exact AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |    ${duckCosine("l.embedding", "r.embedding")} AS cos
+       |  FROM sub l JOIN sub r ON l.vec_id < r.vec_id),
+       |bh AS MATERIALIZED (
+       |${duckEmbedBandHashesSql(nBands, bitsPerBand, "sub")}),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bh a JOIN bh b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |    AND a.vec_id < b.vec_id),
+       |found AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${duckCosine("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand c
+       |  JOIN sub ea ON ea.vec_id = c.vec_a
+       |  JOIN sub eb ON eb.vec_id = c.vec_b)
+       |SELECT
+       |  (SELECT count(*) FROM exact
+       |     WHERE cos >= ${graft.queries.Duck.lit(minCos)}) AS n_exact,
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT count(*) FROM found
+       |     WHERE cos >= ${graft.queries.Duck.lit(minCos)}) AS n_found,
+       |  CAST((SELECT count(*) FROM found
+       |     WHERE cos >= ${graft.queries.Duck.lit(minCos)}) AS DOUBLE)
+       |  / (SELECT count(*) FROM exact
+       |     WHERE cos >= ${graft.queries.Duck.lit(minCos)}) AS recall""".stripMargin
 
   private def duckCosine(a: String, b: String): String =
     s"""(SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
@@ -293,9 +595,13 @@ object Similarity {
 
   /** DuckDB mirror of [[ivfCells]]. */
   def duckIvfCellsSql(nCells: Int): String =
+    duckIvfCellsSqlWith(centsSql(nCells))
+
+  /** [[duckIvfCellsSql]] against an explicit centroid SELECT (cell, cv) —
+    * the trained-centroid twin. */
+  def duckIvfCellsSqlWith(centsSelect: String): String =
     s"""WITH cents AS (
-       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
-       |  WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT $nCells),
+       |  SELECT cell, cv FROM ($centsSelect)),
        |assigned AS (
        |  SELECT e.vec_id, e.label, c.cell,
        |    ${duckCosine("c.cv", "e.embedding")} AS ccos
@@ -308,13 +614,18 @@ object Similarity {
 
   /** DuckDB mirror of [[ivfRecall]]. */
   def duckIvfRecallSql(nQueries: Int, k: Int, nCells: Int, nProbe: Int): String =
+    duckIvfRecallSqlWith(centsSql(nCells), nQueries, k, nProbe)
+
+  /** [[duckIvfRecallSql]] against an explicit centroid SELECT (cell, cv). */
+  def duckIvfRecallSqlWith(centsSelect: String, nQueries: Int, k: Int,
+                           nProbe: Int): String =
     s"""WITH exact AS (
        |  SELECT query_id, neighbor_id
        |  FROM (${duckBruteTopKSql(nQueries, k)})),
-       |cells AS (SELECT vec_id, cell FROM (${duckIvfCellsSql(nCells)})),
+       |cells AS (SELECT vec_id, cell
+       |          FROM (${duckIvfCellsSqlWith(centsSelect)})),
        |cents AS (
-       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
-       |  WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT $nCells),
+       |  SELECT cell, cv FROM ($centsSelect)),
        |q AS (SELECT vec_id AS query_id, embedding AS qv
        |      FROM embeddings WHERE vec_id < $nQueries),
        |probed0 AS (

@@ -16,6 +16,17 @@ object CurationQueries {
   val LshPlanes = 12
   val IvfCells = 16
   val IvfProbe = 4
+  val IvfIters = 2
+  // banded sign-LSH (embedding near-dup): 3 bands × 8 bits over a corpus
+  // with deterministic planted twins (the raw synthetic embeddings have no
+  // pair above cosine 0.52 — nothing for a near-dup detector to find);
+  // embed_dedup_recall measures the band parameters against the planted
+  // ground truth
+  val EmbedBands = 4
+  val EmbedBits = 8
+  val EmbedMinCos = 0.8
+  val EmbedPlantMod = 5
+  val EmbedRecallMaxId = 200
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -108,12 +119,24 @@ object CurationQueries {
       Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"),
         LshPlanes)),
 
-    // embedding-cosine near-dup pairs (LSH-bucketed candidates, exact
-    // cosine threshold) — the embedding-space dedup mode
+    // embedding-cosine near-dup pairs (banded sign-LSH candidates joined on
+    // ids only, exact cosine verify) over the planted-twin corpus — the
+    // embedding-space dedup mode
     "dedup_embed" -> ((s, dir) =>
       Similarity.embeddingNearDups(
-        s.read.parquet(s"$dir/embeddings.parquet"), LshPlanes, 0.25)
-        .withColumn("cos", expr("IF(cos = 0.0, 0.0, cos)"))),
+        Similarity.plantNearDups(
+          s.read.parquet(s"$dir/embeddings.parquet"), EmbedPlantMod),
+        EmbedBands, EmbedBits, EmbedMinCos)),
+
+    // recall of the banded near-dup path vs brute-force planted ground
+    // truth (subsampled corpus) — the trust measurement behind the band
+    // parameters
+    "embed_dedup_recall" -> ((s, dir) =>
+      Similarity.embedDedupRecall(
+        Similarity.plantNearDups(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .filter(col("vec_id") < EmbedRecallMaxId), EmbedPlantMod),
+        EmbedBands, EmbedBits, EmbedMinCos)),
 
     // IVF coarse-quantizer cells (sampled-centroid bootstrap)
     "ivf_cells" -> ((s, dir) =>
@@ -123,7 +146,21 @@ object CurationQueries {
     // recall@k of the IVF probe path vs the exact baseline
     "ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(s.read.parquet(s"$dir/embeddings.parquet"),
-        TopKQueries, TopK, IvfCells, IvfProbe))
+        TopKQueries, TopK, IvfCells, IvfProbe)),
+
+    // Lloyd-trained IVF cell assignment (quantized k-means, IvfIters rounds)
+    "ivf_train_cells" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfCellsWith(emb,
+        Similarity.ivfTrainedCents(emb, IvfCells, IvfIters))
+    }),
+
+    // trained vs bootstrap recall@k at equal nProbe — the measurement that
+    // justifies the training step
+    "ivf_recall_trained" -> ((s, dir) =>
+      Similarity.ivfRecallTrainedVsBoot(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK, IvfCells, IvfProbe, IvfIters))
   )
 
   def oracles: Map[String, String] = Map(
@@ -145,11 +182,28 @@ object CurationQueries {
     "text_analyze" -> TextAnalysis.duckAnalyzeSql,
     "embed_topk" -> Similarity.duckBruteTopKSql(TopKQueries, TopK),
     "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes),
-    "dedup_embed" -> s"""SELECT vec_a, vec_b,
-       |  CASE WHEN cos = 0.0 THEN 0.0 ELSE cos END AS cos
-       |FROM (${Similarity.duckEmbeddingNearDupsSql(LshPlanes, 0.25)})""".stripMargin,
+    "dedup_embed" -> Similarity.duckEmbeddingNearDupsSql(
+      EmbedBands, EmbedBits, EmbedMinCos, src = "aug",
+      prelude = s"aug AS MATERIALIZED (\n${
+        Similarity.duckPlantSql(EmbedPlantMod)}),\n"),
+    "embed_dedup_recall" -> Similarity.duckEmbedDedupRecallSql(
+      Similarity.duckPlantSql(EmbedPlantMod,
+        src = s"(SELECT * FROM embeddings WHERE vec_id < $EmbedRecallMaxId)"),
+      EmbedBands, EmbedBits, EmbedMinCos),
     "ivf_cells" -> Similarity.duckIvfCellsSql(IvfCells),
     "ivf_recall" ->
-      Similarity.duckIvfRecallSql(TopKQueries, TopK, IvfCells, IvfProbe)
+      Similarity.duckIvfRecallSql(TopKQueries, TopK, IvfCells, IvfProbe),
+    "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
+      Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
+    "ivf_recall_trained" ->
+      s"""SELECT t.query_id,
+         |  t.n_hits AS n_hits_trained, t.recall_at_k AS recall_trained,
+         |  b.n_hits AS n_hits_boot, b.recall_at_k AS recall_boot
+         |FROM (${Similarity.duckIvfRecallSqlWith(
+               Similarity.duckTrainedCentsSql(IvfCells, IvfIters),
+               TopKQueries, TopK, IvfProbe)}) t
+         |JOIN (${Similarity.duckIvfRecallSql(
+               TopKQueries, TopK, IvfCells, IvfProbe)}) b
+         |  USING (query_id)""".stripMargin
   )
 }

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * filename rewrites (`SqliteSampleDescriptorPool.cpp:1164-1210`): separator
   * normalization (`\` → `/`), base-path strip for storage, base-path
   * prepend for resolution. Pure built-in column functions (regexp-free
-  * `replace`/`startswith`/`substring`) — codegen'd, no UDF.
+  * `translate`/`startswith`/`substring`) — codegen'd, no UDF.
   */
 object Paths {
 
-  /** Normalize separators to `/` (the cross-platform storage form). */
+  /** Normalize separators to `/` (the cross-platform storage form).
+    * `translate` is a per-char map — no regex engine, and it mirrors the
+    * DuckDB oracle's plain `replace` exactly for single-char patterns. */
   def normalizeSeparators(path: Column): Column =
-    regexp_replace(path, "\\\\", "/")
+    translate(path, "\\", "/")
 
   /** Storage form: separators normalized, `base` prefix stripped when
     * present (`RelativeFilenamePath`). `base` must end with `/`. */

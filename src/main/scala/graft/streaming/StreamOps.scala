@@ -41,14 +41,24 @@ object StreamOps {
     * `flatMapGroupsWithState`: windowed aggregations cannot express a
     * recursion whose state is the previous OUTPUT, so each doc keys a
     * `GroupState[EnvState]` carrying (last emitted frame, envelope value).
-    * Within a micro-batch the group's frames are sorted by frame id;
-    * frames at-or-before the watermark-expired state are dropped
-    * deterministically (same late-data contract as the windowed ops).
+    * Within a micro-batch the group's frames are sorted by frame id.
+    *
+    * '''Ordering contract (stricter than the watermark):''' because the
+    * recursion emits in Append mode, an emitted `env` can never be
+    * retro-corrected — so any frame with `frame_id <=` the last emitted
+    * frame for its key is dropped, EVEN IF it is still within the
+    * watermark. Cross-batch reordering per key is therefore NOT handled;
+    * the source must deliver each key's frames in non-decreasing frame
+    * order across micro-batches (within one batch any order is fine — the
+    * batch is sorted before folding). For sources that can reorder across
+    * batches, buffer frames upstream until the watermark passes before
+    * feeding this operator (the [[rollingMedianStream]] /
+    * [[refractoryStream]] state pattern extends to such a buffer).
     * State expires via event-time timeout once the watermark passes a
     * key's last activity — bounded state at any stream scale.
     *
-    * Parity: on identical input (any micro-batch split) the emitted series
-    * is bitwise-equal to the batch kernel
+    * Parity: on in-order-per-key input (any micro-batch split) the emitted
+    * series is bitwise-equal to the batch kernel
     * [[graft.functions.expressions.EnvelopeScan]] (StreamingSpec). */
   def envelopeStream(frames: Dataset[FrameIn], coef: Double,
                      watermark: String): Dataset[EnvOut] = {

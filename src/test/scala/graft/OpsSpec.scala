@@ -71,6 +71,30 @@ class OpsSpec extends AnyFunSuite {
     assert(b(0L) != b(2L)) // opposite vector flips every sign bit
   }
 
+  test("banded sign-LSH near-dups: planted duplicate found, recall row sane") {
+    // 0/1 identical (near-dup pair), 2 the exact opposite (cos = -1), 3 noise
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => (i + 1).toFloat), 0),
+      (1L, Array.tabulate(16)(i => (i + 1).toFloat), 0),
+      (2L, Array.tabulate(16)(i => -(i + 1).toFloat), 1),
+      (3L, Array.tabulate(16)(i => ((i * 7) % 5 - 2).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dups = Similarity.embeddingNearDups(vecs, nBands = 3, bitsPerBand = 8,
+      minCos = 0.9).collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(math.abs(dups(0).getAs[Double]("cos") - 1.0) < 1e-12)
+    // identical vectors agree on every band; the opposite vector flips all
+    // sign bits, so it shares no band bucket with 0/1
+    val cand = Similarity.embedCandidates(vecs, 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)) && !cand.contains((0L, 2L)))
+    val rec = Similarity.embedDedupRecall(vecs, nBands = 3,
+      bitsPerBand = 8, minCos = 0.9).collect()(0)
+    assert(rec.getAs[Long]("n_exact") == 1L)
+    assert(rec.getAs[Long]("n_found") == 1L)
+    assert(rec.getAs[Double]("recall") == 1.0)
+  }
+
   test("production normalizer fit (var_pop partials) == ordered fold, allclose") {
     val xs = Seq.tabulate(400)(i => ((i * 37 % 101) - 50).toDouble / 7.0)
     val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
@@ -169,6 +193,34 @@ class OpsSpec extends AnyFunSuite {
     // softmax sums to 1 (up to the boundary rounding)
     val ps = Seq(out("x").getAs[Double]("prob_a"), out("x").getAs[Double]("prob_b"))
     assert(math.abs(ps.sum - 1.0) < 2e-6 && ps.forall(p => p >= 0 && p <= 1))
+  }
+
+  test("tree ensemble: node-table walk (scoreLarge) == compiled CASE (score)") {
+    import graft.ops.TreeEnsemble
+    // 3 classes x 20 complete depth-3 trees, 6 features
+    val model = TreeEnsemble.synthModel(Seq("a", "b", "c"),
+      treesPerClass = 20, nFeatures = 6, depth = 3, seed = 99L)
+    val rows = Seq.tabulate(50) { i =>
+      (i.toLong, Array.tabulate(6)(j => ((i * 13 + j * 7) % 41 - 20) / 16.0))
+    }
+    val df = rows.toDF("id", "fv")
+    var wide = df
+    for (j <- 0 until 6)
+      wide = wide.withColumn(s"__f$j", expr(s"fv[$j]"))
+    val compiled = TreeEnsemble.score(wide, (0 until 6).map(j => s"__f$j"), model)
+      .select(col("id"), col("score_a"), col("score_b"), col("score_c"),
+        col("pred_class")).collect().map(r => r.getLong(0) -> r).toMap
+    val walked = TreeEnsemble.scoreLarge(df, col("fv"), model, depth = 3)
+      .select(col("id"), col("score_a"), col("score_b"), col("score_c"),
+        col("pred_class")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(compiled.keySet == walked.keySet)
+    for (id <- compiled.keySet) {
+      // bitwise: both paths sum leaf doubles in ascending tree order
+      assert(compiled(id).getDouble(1) == walked(id).getDouble(1))
+      assert(compiled(id).getDouble(2) == walked(id).getDouble(2))
+      assert(compiled(id).getDouble(3) == walked(id).getDouble(3))
+      assert(compiled(id).getString(4) == walked(id).getString(4))
+    }
   }
 
   test("multimodal plumbing: schema, batch shape, deterministic features") {
