@@ -27,6 +27,9 @@ object CurationQueries {
   val EmbedMinCos = 0.8
   val EmbedPlantMod = 5
   val EmbedRecallMaxId = 200
+  // synthetic multimodal corpus size for the image-decode oracle (kinds
+  // cycle image/audio/video -> 20 images)
+  val ImageCorpusN = 60
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -160,7 +163,14 @@ object CurationQueries {
     "ivf_recall_trained" -> ((s, dir) =>
       Similarity.ivfRecallTrainedVsBoot(
         s.read.parquet(s"$dir/embeddings.parquet"),
-        TopKQueries, TopK, IvfCells, IvfProbe, IvfIters))
+        TopKQueries, TopK, IvfCells, IvfProbe, IvfIters)),
+
+    // REAL PNG decode (JDK ImageIO) -> gray featurizer; the oracle computes
+    // the same features analytically from the synthetic pixel formula, so a
+    // green hash proves the encode->decode->featurize path is lossless
+    "image_features" -> ((s, _) =>
+      graft.sources.Multimodal.imageFeatureTable(
+        graft.sources.Multimodal.synth(s, ImageCorpusN)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -193,6 +203,8 @@ object CurationQueries {
     "ivf_cells" -> Similarity.duckIvfCellsSql(IvfCells),
     "ivf_recall" ->
       Similarity.duckIvfRecallSql(TopKQueries, TopK, IvfCells, IvfProbe),
+    "image_features" ->
+      graft.sources.Multimodal.duckImageFeaturesSql(ImageCorpusN),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * `Source/Crawler/FeatureExtraction/Source/SampleAnalyser.cpp:418-569`
   * sample loading) decodes payloads into the engine's token contract
   * ([[audioToSeqs]]) so decoded audio flows through the SAME feature
-  * pipeline as the synthetic corpus. Image/video decode stays a
-  * deterministic byte-featurizer fallback (no codec libs in this
-  * container) — the Spark-side batch shape (mapPartitions with
-  * per-partition codec init) is the real contract either way.
+  * pipeline as the synthetic corpus. The IMAGE path is real too: PNG
+  * payloads decode through JDK ImageIO ([[decodeImage]] — in the JDK, no
+  * codec deps; the front-end analog of `SampleAnalyser.cpp:443-528`) into
+  * a gray-pixel featurizer with integer-exact sums, oracle-verified
+  * against the analytic pixel formula (PNG is lossless, so decode must
+  * reproduce it bit-for-bit). Only VIDEO decode remains a deterministic
+  * byte-featurizer fallback (no video codec in the JDK) — the Spark-side
+  * batch shape (mapPartitions with per-partition codec init) is the real
+  * contract either way.
   */
 object Multimodal {
 
@@ -100,10 +105,74 @@ object Multimodal {
     (rate, channels, samples)
   }
 
+  // ------------------------------------------------------------------
+  // PNG codec (JDK ImageIO — in the JDK, no external deps)
+  // ------------------------------------------------------------------
+
+  /** Deterministic synthetic gray value of pixel (x, y) in image `i` —
+    * pure integer arithmetic, mirrored analytically by the DuckDB oracle
+    * ([[duckImageFeaturesSql]]): the PNG round trip is lossless, so the
+    * decoded featurization must reproduce this formula exactly. */
+  def synthGray(i: Long, x: Int, y: Int): Int =
+    ((x * 7 + y * 13 + i * 31) % 256).toInt
+
+  /** Synthetic image dims: width varies with `i`, height fixed. */
+  def synthDims(i: Long): (Int, Int) = (32 + (i % 4).toInt * 16, 24)
+
+  /** Encode a gray image (row-major `gray(x, y)` in 0..255) as a truecolor
+    * PNG (r = g = b) via ImageIO. Truecolor keeps the round trip exact —
+    * no palette quantization, no gamma chunk. */
+  def encodePng(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = gray(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG/BMP/GIF payload via ImageIO → (width, height, row-major
+    * gray values 0..255; gray = the blue channel — equal to r and g for the
+    * truecolor-gray images this engine writes). Throws
+    * IllegalArgumentException on malformed input — same salvage contract as
+    * [[decodeWav]]: the caller turns it into a status row, never a dropped
+    * record or garbage features. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"image: ${e.getMessage}")
+      }
+    if (img == null)
+      throw new IllegalArgumentException("image: no registered decoder matched")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = img.getRGB(x, y) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
   /** Deterministic synthetic corpus (no external data): audio records carry
-    * REAL WAV payloads (encoded PCM16 of a seeded integer waveform) so the
-    * decode path is exercised end-to-end; image/video payloads are a seeded
-    * LCG byte stream (codec-less fallback featurizer). */
+    * REAL WAV payloads (encoded PCM16 of a seeded integer waveform) and
+    * image records REAL PNG payloads (encoded [[synthGray]] pixels), so
+    * both decode paths are exercised end-to-end; video payloads are a
+    * seeded LCG byte stream (codec-less fallback featurizer). */
   def synth(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -119,6 +188,9 @@ object Multimodal {
             j += 1
           }
           encodeWav(pcm, 16000)
+        } else if (kind == "image") {
+          val (w, h) = synthDims(i)
+          encodePng(w, h, (x, y) => synthGray(i, x, y))
         } else {
           val len = 256 + (i % 7).toInt * 128
           val b = new Array[Byte](len)
@@ -131,8 +203,11 @@ object Multimodal {
           }
           b
         }
+      val (mw, mh) =
+        if (kind == "image") synthDims(i)
+        else (64 + (i % 4).toInt * 32, 64)
       MediaRecord(f"m$i%06d",
-        MediaMeta(kind, 64 + (i % 4).toInt * 32, 64, 16000, 1000 + (i % 5).toInt * 500),
+        MediaMeta(kind, mw, mh, 16000, 1000 + (i % 5).toInt * 500),
         bytes)
     }
   }
@@ -176,10 +251,27 @@ object Multimodal {
 
   /** Decode one record. Audio payloads go through the REAL WAV parser
     * (features = decoded-sample histogram + moments on the token scale);
-    * image/video fall back to the deterministic byte featurizer (no codec
-    * libs here — the batch shape is identical when one exists). */
+    * image payloads through the REAL ImageIO PNG decoder (gray histogram +
+    * moments, integer-exact sums); only video falls back to the
+    * deterministic byte featurizer (no video codec in the JDK — the batch
+    * shape is identical when one exists). */
   private def decode(r: MediaRecord): MediaFeatures =
-    if (r.meta.kind == "audio") {
+    if (r.meta.kind == "image") {
+      val (w, h, gray) = decodeImage(r.payload)
+      val hist = new Array[Double](16)
+      var sum = 0L; var sumsq = 0L
+      var i = 0
+      while (i < gray.length) {
+        val g = gray(i)
+        hist(g >> 4) += 1.0
+        sum += g; sumsq += g.toLong * g
+        i += 1
+      }
+      val n = w * h
+      val mean = sum.toDouble / n
+      MediaFeatures(r.doc_id, r.meta.kind, r.payload.length,
+        hist.map(_ / n) ++ Array(mean, sumsq.toDouble / n - mean * mean))
+    } else if (r.meta.kind == "audio") {
       val (_, _, pcm) = decodeWav(r.payload)
       val hist = new Array[Double](16)
       var sum = 0.0; var sumsq = 0.0
@@ -225,4 +317,69 @@ object Multimodal {
     extractFeatures(records).toDF()
       .select(col("doc_id"), col("kind"), col("nBytes").as("n_bytes"),
         col("features"))
+
+  /** Image records decoded (REAL ImageIO PNG decode) and featurized:
+    * (doc_id, width, height, mean_gray, var_gray, hist[16]). Sums are
+    * integer-exact (Long) with a single double division at the boundary,
+    * so the result is bitwise-stable and mirrored by the analytic DuckDB
+    * oracle [[duckImageFeaturesSql]] — the oracle computes the SAME
+    * features from the [[synthGray]] formula without decoding, which
+    * green-lights the whole encode→decode→featurize path (PNG is
+    * lossless; any decoder deviation breaks the hash). Narrow per-row
+    * decode, no shuffle. */
+  def imageFeatureTable(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.filter(_.meta.kind == "image").map { r =>
+      val (w, h, gray) = decodeImage(r.payload)
+      val histC = new Array[Long](16)
+      var sum = 0L; var sumsq = 0L
+      var i = 0
+      while (i < gray.length) {
+        val g = gray(i)
+        histC(g >> 4) += 1L
+        sum += g; sumsq += g.toLong * g
+        i += 1
+      }
+      val n = w * h
+      val mean = sum.toDouble / n
+      (r.doc_id, w, h, mean, sumsq.toDouble / n - mean * mean,
+        histC.map(_.toDouble / n))
+    }.toDF("doc_id", "width", "height", "mean_gray", "var_gray", "hist")
+  }
+
+  /** DuckDB mirror of [[imageFeatureTable]] over [[synth]]`(n)`: the
+    * synthetic pixel formula evaluated analytically (no PNG involved) —
+    * kinds cycle image/audio/video so images are `i % 3 = 0`. */
+  def duckImageFeaturesSql(n: Int): String =
+    s"""WITH imgs AS (
+       |  SELECT i, 32 + (i % 4) * 16 AS w, 24 AS h
+       |  FROM range($n) t(i) WHERE i % 3 = 0),
+       |pix AS (
+       |  SELECT i, w, h, unnest(range(w * h)) AS p FROM imgs),
+       |g AS (
+       |  SELECT i, w, h,
+       |    ((p % w) * 7 + (p // w) * 13 + i * 31) % 256 AS g
+       |  FROM pix),
+       |agg AS (
+       |  SELECT i, w, h, count(*) AS n,
+       |    CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+       |  FROM g GROUP BY i, w, h),
+       |bins AS (SELECT i, unnest(range(16)) AS b FROM imgs),
+       |cnt AS (
+       |  SELECT i, g // 16 AS b, count(*) AS c FROM g GROUP BY i, g // 16),
+       |hist AS (
+       |  SELECT bins.i,
+       |    list(CAST(coalesce(cnt.c, 0) AS DOUBLE)
+       |         / (SELECT a.n FROM agg a WHERE a.i = bins.i)
+       |         ORDER BY bins.b) AS hist
+       |  FROM bins LEFT JOIN cnt ON bins.i = cnt.i AND bins.b = cnt.b
+       |  GROUP BY bins.i)
+       |SELECT printf('m%06d', agg.i) AS doc_id,
+       |  CAST(agg.w AS INTEGER) AS width, CAST(agg.h AS INTEGER) AS height,
+       |  CAST(agg.s AS DOUBLE) / agg.n AS mean_gray,
+       |  CAST(agg.ss AS DOUBLE) / agg.n
+       |    - (CAST(agg.s AS DOUBLE) / agg.n) * (CAST(agg.s AS DOUBLE) / agg.n)
+       |    AS var_gray,
+       |  hist.hist AS hist
+       |FROM agg JOIN hist ON agg.i = hist.i""".stripMargin
 }

@@ -90,6 +90,102 @@ object StreamOps {
         })
   }
 
+  final case class MedState(lastFrame: Int, buf: List[Double])
+  final case class MedOut(doc_id: String, frame_id: Int, med: Double)
+
+  /** Streaming trailing rolling median over the last `span` frames — the
+    * custom-state form of the batch kernel [[graft.core.Windows.rollingMedian]]
+    * (onset threshold baseline, `OnsetDetector.cpp:551-570`). State per key
+    * is the last `span − 1` values (bounded — O(span) per key at any stream
+    * scale) plus the last emitted frame id; each new frame emits the
+    * lower-middle element of the sorted trailing buffer, exactly matching
+    * the batch `rowsBetween(−(span−1), current)` + array_sort semantics.
+    *
+    * Same ordering contract and watermark-timeout state expiry as
+    * [[envelopeStream]] (the positional window needs each key's frames
+    * in non-decreasing frame order across micro-batches; within a batch
+    * any order is fine). Parity: bitwise-equal to the batch kernel on
+    * in-order-per-key input across any micro-batch split (StreamingSpec). */
+  def rollingMedianStream(frames: Dataset[FrameIn], span: Int,
+                          watermark: String): Dataset[MedOut] = {
+    import frames.sparkSession.implicits._
+    frames
+      .withWatermark("ts", watermark)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[FrameIn], state: GroupState[MedState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(_.frame_id)
+            var st = state.getOption.getOrElse(MedState(-1, Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[MedOut]
+            var maxTs = Long.MinValue
+            for (f <- sorted if f.frame_id > st.lastFrame) {
+              val win = (st.buf :+ f.rms).takeRight(span)
+              val s = win.sorted
+              out += MedOut(key, f.frame_id, s((s.length - 1) / 2))
+              st = MedState(f.frame_id, win.takeRight(span - 1))
+              maxTs = math.max(maxTs, f.ts.getTime)
+            }
+            state.update(st)
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, "1 hour")
+            out.iterator
+          }
+        })
+  }
+
+  final case class EvIn(doc_id: String, pos: Long, ts: java.sql.Timestamp)
+  final case class RefState(lastKept: Long)
+  final case class EvOut(doc_id: String, pos: Long)
+
+  /** Streaming refractory-gap suppression — keep an event iff it is ≥ `gap`
+    * after the last KEPT event ([[graft.core.Windows.refractoryExpr]];
+    * `OnsetDetector.cpp:574-586`). The recursion's state is the previous
+    * OUTPUT (the last kept position), so like the envelope it needs custom
+    * state: one Long per key, watermark-expired. Initial state matches the
+    * batch fold's `last = −gap − 1` (the first event is always kept).
+    *
+    * Same ordering contract as [[envelopeStream]]: each key's events must
+    * arrive in non-decreasing `pos` order across micro-batches (any order
+    * within one batch); an emitted keep/suppress decision is final in
+    * Append mode. Parity: bitwise-equal to the batch array fold on
+    * in-order-per-key input across any micro-batch split (StreamingSpec). */
+  def refractoryStream(events: Dataset[EvIn], gap: Long,
+                       watermark: String): Dataset[EvOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[EvIn], state: GroupState[RefState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(_.pos)
+            var st = state.getOption.getOrElse(RefState(-gap - 1))
+            val out = scala.collection.mutable.ArrayBuffer.empty[EvOut]
+            var maxTs = Long.MinValue
+            for (e <- sorted if e.pos > st.lastKept) {
+              if (e.pos - st.lastKept >= gap) {
+                st = RefState(e.pos)
+                out += EvOut(key, e.pos)
+              }
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            state.update(st)
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, "1 hour")
+            out.iterator
+          }
+        })
+  }
+
   /** Tumbling frame aggregation on the token clock: pos → event time via
     * `timestamp_micros`, hop-sized tumbling windows — the streaming analog
     * of the batch framing (`window($"ts", frame, hop)` would give the

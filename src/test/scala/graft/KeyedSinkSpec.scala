@@ -111,4 +111,50 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(row.getAs[String]("model_version") == "v2")
     assert(t2.filter(col("classifier") === "categories").count() == 1)
   }
+
+  test("changedSince: add/update/delete across snapshots, delta fast path") {
+    val path = freshPath()
+    // snap 1 (full): a, b, c
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 1, 10.0), ("b", 1, 20.0), ("c", 1, 30.0))
+        .toDF("doc_id", "v", "x"), "doc_id")
+    // snap 2 (delta): update a (new value), rewrite b with IDENTICAL values
+    KeyedSink.upsertDelta(spark, path,
+      Seq(("a", 2, 11.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x"), "doc_id")
+    // snap 3 (delta): add d
+    KeyedSink.upsertDelta(spark, path,
+      Seq(("d", 1, 40.0)).toDF("doc_id", "v", "x"), "doc_id")
+    // pure-delta chain 1 -> 3: a updated, d added; b's no-op rewrite and
+    // untouched c do NOT appear (value semantics)
+    val ch13 = KeyedSink.changedSince(spark, path, 1, 3).get
+      .select("doc_id", "change_type").as[(String, String)].collect().toSet
+    assert(ch13 == Set(("a", "updated"), ("d", "added")))
+    // from zero: everything in snap 3 is "added"
+    val ch03 = KeyedSink.changedSince(spark, path, 0, 3).get
+    assert(ch03.filter(col("change_type") =!= "added").count() == 0)
+    assert(ch03.count() == 4)
+    // snap 4 (full, with delete): drop c — full rewrite forces the
+    // general diff path, which must surface the delete
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 3, 12.0)).toDF("doc_id", "v", "x"), "doc_id",
+      deletes = Some(Seq(Tuple1("c")).toDF("doc_id")))
+    val ch14 = KeyedSink.changedSince(spark, path, 1, 4).get
+      .select("doc_id", "change_type").as[(String, String)].collect().toSet
+    assert(ch14 == Set(("a", "updated"), ("d", "added"), ("c", "deleted")))
+    // deleted rows carry the OLD state
+    val cRow = KeyedSink.changedSince(spark, path, 1, 4).get
+      .filter(col("doc_id") === "c").collect()(0)
+    assert(cRow.getAs[Double]("x") == 30.0)
+    // compaction inside the range also falls back and stays correct
+    KeyedSink.upsertDelta(spark, path,
+      Seq(("e", 1, 50.0)).toDF("doc_id", "v", "x"), "doc_id") // snap 5
+    KeyedSink.compact(spark, path, "doc_id")                  // snap 6 (full)
+    val ch26 = KeyedSink.changedSince(spark, path, 2, 6).get
+      .select("doc_id", "change_type").as[(String, String)].collect().toSet
+    assert(ch26 == Set(("a", "updated"), ("d", "added"), ("e", "added"),
+      ("c", "deleted")))
+    // guards: bad ranges / uncommitted snapshots
+    assert(KeyedSink.changedSince(spark, path, 3, 3).isEmpty)
+    assert(KeyedSink.changedSince(spark, path, 1, 99).isEmpty)
+  }
 }

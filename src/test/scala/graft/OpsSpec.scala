@@ -242,6 +242,32 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("PNG codec: lossless gray round-trip, formula parity, salvage") {
+    // encode the deterministic pixel formula, decode via ImageIO, and the
+    // pixels must reproduce the formula exactly (PNG is lossless)
+    val i = 3L
+    val (w, h) = Multimodal.synthDims(i)
+    val png = Multimodal.encodePng(w, h, (x, y) => Multimodal.synthGray(i, x, y))
+    val (dw, dh, gray) = Multimodal.decodeImage(png)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gray(y * w + x) == Multimodal.synthGray(i, x, y))
+    // featurized mean matches the analytic expectation bitwise
+    val feats = Multimodal.imageFeatureTable(Multimodal.synth(spark, 9))
+      .collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    assert(feats.keySet == Set("m000000", "m000003", "m000006"))
+    val r3 = feats("m000003")
+    val expSum = (for (y <- 0 until h; x <- 0 until w)
+      yield Multimodal.synthGray(i, x, y).toLong).sum
+    assert(r3.getAs[Int]("width") == w && r3.getAs[Int]("height") == h)
+    assert(r3.getAs[Double]("mean_gray") == expSum.toDouble / (w * h))
+    assert(math.abs(r3.getAs[scala.collection.Seq[Double]]("hist").sum - 1.0) < 1e-12)
+    // malformed inputs fail loudly (salvage path), never return garbage
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImage("not a png at all".getBytes))
+    intercept[IllegalArgumentException](Multimodal.decodeImage(png.take(20)))
+  }
+
   test("WAV codec: bitwise PCM16 round-trip + hand-built fixture decode") {
     val pcm = Array.tabulate(1000)(i => ((i * 977) % 65536 - 32768).toShort)
     val (rate, ch, back) = Multimodal.decodeWav(Multimodal.encodeWav(pcm, 44100))

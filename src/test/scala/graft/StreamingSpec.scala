@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.StreamOps
 
@@ -70,6 +71,83 @@ class StreamingSpec extends AnyFunSuite {
         assert(java.lang.Double.doubleToLongBits(a) ==
                java.lang.Double.doubleToLongBits(b))
       }
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState rolling median == batch kernel across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val span = 5
+    val rms = Seq(10.0, 4.0, 7.0, 1.0, 9.0, 2.0, 8.0, 4.0, 4.0, 6.5)
+    // batch reference: the actual Windows.rollingMedian kernel
+    val batch = rms.zipWithIndex
+      .map { case (v, i) => ("d1", i, v) }
+      .toDF("doc_id", "frame_id", "rms")
+      .withColumn("med",
+        graft.core.Windows.rollingMedian(col("rms"), span, "doc_id", "frame_id"))
+      .orderBy("frame_id")
+      .collect().map(_.getAs[Double]("med")).toSeq
+    val mem = MemoryStream[StreamOps.FrameIn]
+    def f(i: Int) = StreamOps.FrameIn("d1", i, rms(i),
+      new Timestamp(1700000000000L + i * 1000L))
+    mem.addData(f(0), f(1), f(2))
+    val q = StreamOps.rollingMedianStream(mem.toDS(), span, "10 seconds")
+      .writeStream.format("memory").queryName("med")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(f(3))
+      q.processAllAvailable()
+      mem.addData(f(4), f(5), f(6), f(7))
+      q.processAllAvailable()
+      mem.addData(f(8), f(9))
+      q.processAllAvailable()
+      val out = spark.table("med").orderBy("frame_id")
+        .collect().map(_.getAs[Double]("med")).toSeq
+      assert(out.length == rms.length)
+      out.zip(batch).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+               java.lang.Double.doubleToLongBits(b))
+      }
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState refractory gap == batch kernel across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 10L
+    // d1: dense cluster then sparse; d2: first event always kept
+    val pos = Map(
+      "d1" -> Seq(0L, 3L, 9L, 10L, 15L, 21L, 40L, 45L, 52L),
+      "d2" -> Seq(7L, 8L, 17L))
+    // batch reference: the actual refractoryExpr array fold
+    val batch = pos.toSeq.map { case (k, ps) => (k, ps) }
+      .toDF("doc_id", "arr")
+      .select(col("doc_id"),
+        graft.core.Windows.refractoryExpr("arr", gap.toInt).as("kept"))
+      .collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("kept").toSeq)
+      .toMap
+    val mem = MemoryStream[StreamOps.EvIn]
+    def e(k: String, p: Long) = StreamOps.EvIn(k, p,
+      new Timestamp(1700000000000L + p * 1000L))
+    mem.addData(e("d1", 0), e("d1", 3), e("d2", 7))
+    val q = StreamOps.refractoryStream(mem.toDS(), gap, "10 minutes")
+      .writeStream.format("memory").queryName("refr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // micro-batch 2 splits d1's cluster across the kept/suppressed edge
+      mem.addData(e("d1", 9), e("d1", 10), e("d2", 8))
+      q.processAllAvailable()
+      mem.addData(e("d1", 15), e("d1", 21), e("d1", 40), e("d2", 17))
+      q.processAllAvailable()
+      mem.addData(e("d1", 45), e("d1", 52))
+      q.processAllAvailable()
+      val out = spark.table("refr").orderBy("doc_id", "pos")
+        .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("pos"))
+      val expected = batch.toSeq.sortBy(_._1)
+        .flatMap { case (k, ps) => ps.map(k -> _) }
+      assert(out.toSeq == expected)
     } finally q.stop()
   }
 
