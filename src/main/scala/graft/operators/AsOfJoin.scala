@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
   * Partitioning is hash-by-key over *all* keys, so hot `source`s do not
   * concentrate: per-key row count is bounded by the per-entity analysis cap
   * (series) + probe-grid size. When callers join series keyed by something
-  * coarser (e.g. `source`), pre-salt: see [[graft.features.Pipeline]] notes.
-  * For a fixed small probe grid per key, prefer
+  * coarser (e.g. `source` — a handful of values, each carrying a large
+  * fraction of the corpus), use [[asOfSalted]]: it spreads each hot key
+  * over `salts` reducers. For a fixed small probe grid per key, prefer
   * [[PointInTime.sampleOffsets]] (pure projection, zero shuffle).
   */
 object AsOfJoin {
@@ -53,22 +54,36 @@ object AsOfJoin {
       probeTs: String,
       seriesTs: String,
       payload: Seq[String],
+      defaults: Map[String, Column] = Map.empty): DataFrame =
+    asOfKeys(probes, series, Seq(key), probeTs, seriesTs, payload, defaults)
+
+  /** [[asOf]] over a composite key (every column of `keys` must exist on
+    * both sides). Same plan shape: ONE hash exchange on `keys` + one sort
+    * on `(ts, side)`. */
+  def asOfKeys(
+      probes: DataFrame,
+      series: DataFrame,
+      keys: Seq[String],
+      probeTs: String,
+      seriesTs: String,
+      payload: Seq[String],
       defaults: Map[String, Column] = Map.empty): DataFrame = {
 
     val probeCols = probes.columns.toSeq
     val ts = "__asof_ts"
     val side = "__asof_side"
+    val nonKey = probeCols.filterNot(keys.contains)
 
     val s = series.select(
-      col(key) +: col(seriesTs).cast("double").as(ts) +: lit(0).as(side) +:
+      keys.map(col) ++: col(seriesTs).cast("double").as(ts) +: lit(0).as(side) +:
         payload.map(c => col(c).as(s"__p_$c")) ++:
-        probeCols.filterNot(_ == key).map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+        nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
     val p = probes.select(
-      col(key) +: col(probeTs).cast("double").as(ts) +: lit(1).as(side) +:
+      keys.map(col) ++: col(probeTs).cast("double").as(ts) +: lit(1).as(side) +:
         payload.map(c => lit(null).cast(series.schema(c).dataType).as(s"__p_$c")) ++:
-        probeCols.filterNot(_ == key).map(col): _*)
+        nonKey.map(col): _*)
 
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = s.unionByName(p).select(
@@ -81,5 +96,47 @@ object AsOfJoin {
           .map(d => coalesce(col(s"__f_$c"), d).as(c))
           .getOrElse(col(s"__f_$c").as(c))
       }: _*)
+  }
+
+  /** Skew-safe as-of join for COARSE keys (the north rule's "salting for
+    * skewed sources"): identical results to [[asOf]], different physical
+    * distribution.
+    *
+    * A hot key (e.g. one `source` holding 40% of the corpus) would land the
+    * whole key in ONE window task under [[asOf]] — the straggler that kills
+    * a 1000-executor run. Here:
+    *
+    *   1. probes take a deterministic salt in `[0, salts)` hashed from the
+    *      whole probe row (`pmod(hash(*), salts)` — no RNG, rerun-stable);
+    *   2. series rows REPLICATE to every salt (`explode(sequence(...))`) —
+    *      each salt bucket sees the full per-key series, so every probe
+    *      still finds its true predecessor;
+    *   3. one [[asOfKeys]] on `(key, salt)`.
+    *
+    * Cost: the exchange moves `salts ×` the series (bounded — per-key
+    * series length is capped by the analysis cap) but only `1 ×` the
+    * probes, and the hot key's probe mass now spreads over `salts`
+    * reducers. Choose `salts` ≈ hot-key rows / target-partition rows; the
+    * probe side (the big side in the sampling workloads this engine runs)
+    * is what parallelizes. Ties, defaults, and column contract are
+    * exactly [[asOf]]'s — AsOfJoinSpec pins salted == unsalted on a skewed
+    * fixture. */
+  def asOfSalted(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      payload: Seq[String],
+      defaults: Map[String, Column] = Map.empty,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltCol = "__asof_salt"
+    val p = probes.withColumn(saltCol,
+      pmod(hash(probes.columns.map(col): _*), lit(salts)))
+    val s = series.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    asOfKeys(p, s, Seq(key, saltCol), probeTs, seriesTs, payload, defaults)
+      .drop(saltCol)
   }
 }

@@ -157,6 +157,22 @@ object TokenQueries {
         .withColumnRenamed("rms", "rms_asof")
     }),
 
+    // skew-safe as-of join on the COARSE key (source — a handful of hot
+    // values each holding a large corpus fraction): the salted variant must
+    // produce exactly what the unsalted one (and DuckDB ASOF) produces.
+    // Probes are per-doc (t = n_tok - 7, so most probes fall strictly
+    // between series points), series is the per-(source, n_tok) doc count.
+    "asof_salted" -> ((s, dir) => {
+      val sq = seqs(s, dir)
+      val ser = sq.groupBy(col("source"), col("n_tok"))
+        .agg(count(lit(1)).as("grp_docs"))
+      val probes = sq.select(col("source"), col("doc_id"),
+        (col("n_tok") - 7).as("t"))
+      AsOfJoin.asOfSalted(probes, ser, "source", "t", "n_tok",
+          Seq("grp_docs"), Map("grp_docs" -> lit(-1L)), salts = 8)
+        .select(col("doc_id"), col("source"), col("t"), col("grp_docs"))
+    }),
+
     // onset pipeline: trailing-median baseline → rising edge → refractory →
     // sessionization (OnsetDetector.cpp:551-587, RhythmTracker.cpp:99-134)
     "onsets" -> ((s, dir) => {
@@ -380,6 +396,16 @@ object TokenQueries {
          |SELECT p.doc_id, p.t, f.rms AS rms_asof
          |FROM probes p ASOF LEFT JOIN frames f
          |  ON p.doc_id = f.doc_id AND p.t >= f.frame_id""".stripMargin,
+
+    "asof_salted" ->
+      s"""WITH $duckSeqs,
+         |ser AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS grp_docs
+         |        FROM seqs GROUP BY source, n_tok),
+         |probes AS (SELECT source, doc_id, n_tok - 7 AS t FROM seqs)
+         |SELECT p.doc_id, p.source, p.t,
+         |  coalesce(s.grp_docs, CAST(-1 AS BIGINT)) AS grp_docs
+         |FROM probes p ASOF LEFT JOIN ser s
+         |  ON p.source = s.source AND p.t >= s.n_tok""".stripMargin,
 
     "onsets" ->
       s"""WITH RECURSIVE $duckRFrames,

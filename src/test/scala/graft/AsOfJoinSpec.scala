@@ -47,4 +47,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() == probes.count())
     assert(out.columns.toSet == Set("k", "t", "tag", "v"))
   }
+
+  test("salted == unsalted on a skewed coarse-key fixture") {
+    // one hot key carrying ~90% of probes + one cold key; series points at
+    // irregular spacings so probes land before/at/between/after
+    val ser = Seq(
+      ("hot", 10L, 1.0), ("hot", 50L, 2.0), ("hot", 51L, 3.0),
+      ("hot", 400L, 4.0), ("cold", 7L, 9.0)
+    ).toDF("k", "ts", "v")
+    val prb = ((0 until 450).map(i => ("hot", i.toLong)) ++
+      Seq(("cold", 3L), ("cold", 7L), ("cold", 900L)))
+      .toDF("k", "t")
+    val plain = AsOfJoin.asOf(prb, ser, "k", "t", "ts", Seq("v"),
+      defaults = Map("v" -> lit(-1.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+    for (salts <- Seq(1, 3, 16)) {
+      val salted = AsOfJoin.asOfSalted(prb, ser, "k", "t", "ts", Seq("v"),
+        defaults = Map("v" -> lit(-1.0)), salts = salts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2))
+      assert(salted.toSeq == plain.toSeq, s"salts=$salts")
+    }
+    // salted output keeps the probe-column contract (no salt leak)
+    val cols = AsOfJoin.asOfSalted(prb, ser, "k", "t", "ts", Seq("v")).columns
+    assert(cols.toSet == Set("k", "t", "v"))
+  }
 }
