@@ -90,6 +90,54 @@ object StreamOps {
         })
   }
 
+  final case class FfIn(doc_id: String, frame_id: Int, value: Double,
+      gate: Boolean, ts: java.sql.Timestamp)
+  final case class FfState(lastFrame: Int, lastKept: Double, seen: Boolean)
+  final case class FfOut(doc_id: String, frame_id: Int, filled: Option[Double])
+
+  /** Streaming gated forward-fill — the custom-state form of
+    * [[graft.core.Windows.forwardFill]] (failsafe-F0 fill,
+    * `SampleAnalyser.cpp:875-917`): rows where `gate` is false carry the
+    * last gated value forward; rows before the first gated value emit
+    * None (the batch kernel's null). State per key is one (Double,
+    * Boolean) — bounded at any stream scale.
+    *
+    * Same ordering contract and watermark-timeout expiry as
+    * [[envelopeStream]]. Parity: bitwise-equal to the batch window kernel
+    * on in-order-per-key input across any micro-batch split
+    * (StreamingSpec). */
+  def forwardFillStream(rows: Dataset[FfIn],
+                        watermark: String): Dataset[FfOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[FfIn], state: GroupState[FfState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(_.frame_id)
+            var st = state.getOption.getOrElse(FfState(-1, 0.0, false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FfOut]
+            var maxTs = Long.MinValue
+            for (r <- sorted if r.frame_id > st.lastFrame) {
+              if (r.gate) st = FfState(r.frame_id, r.value, seen = true)
+              else st = st.copy(lastFrame = r.frame_id)
+              out += FfOut(key, r.frame_id,
+                if (st.seen) Some(st.lastKept) else None)
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            state.update(st)
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, "1 hour")
+            out.iterator
+          }
+        })
+  }
+
   final case class MedState(lastFrame: Int, buf: List[Double])
   final case class MedOut(doc_id: String, frame_id: Int, med: Double)
 

@@ -74,6 +74,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState forward-fill == batch kernel across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // gates: leading ungated rows (null fill), gated runs, trailing holes
+    val rows = Seq(
+      (0, 5.0, false), (1, 7.0, true), (2, 1.0, false), (3, 2.0, true),
+      (4, 9.0, false), (5, 3.0, false), (6, 4.0, true), (7, 8.0, false))
+    val batch = rows.map { case (i, v, g) => ("d1", i, v, g) }
+      .toDF("doc_id", "frame_id", "value", "gate")
+      .withColumn("filled",
+        graft.core.Windows.forwardFill(col("value"), col("gate"),
+          "doc_id", "frame_id"))
+      .orderBy("frame_id")
+      .collect().map(r =>
+        if (r.isNullAt(4)) None else Some(r.getAs[Double]("filled"))).toSeq
+    val mem = MemoryStream[StreamOps.FfIn]
+    def f(t: (Int, Double, Boolean)) = StreamOps.FfIn("d1", t._1, t._2, t._3,
+      new Timestamp(1700000000000L + t._1 * 1000L))
+    mem.addData(rows.slice(0, 2).map(f): _*)
+    val q = StreamOps.forwardFillStream(mem.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("ff")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      mem.addData(rows.slice(2, 5).map(f): _*)
+      q.processAllAvailable()
+      mem.addData(rows.slice(5, 8).map(f): _*)
+      q.processAllAvailable()
+      val out = spark.table("ff").orderBy("frame_id")
+        .collect().map(r =>
+          if (r.isNullAt(2)) None else Some(r.getAs[Double]("filled"))).toSeq
+      assert(out == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState rolling median == batch kernel across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val span = 5
