@@ -170,6 +170,15 @@ object CurationQueries {
     // green hash proves the encode->decode->featurize path is lossless
     "image_features" -> ((s, _) =>
       graft.sources.Multimodal.imageFeatureTable(
+        graft.sources.Multimodal.synth(s, ImageCorpusN))),
+
+    // REAL uncompressed-AVI decode (pure-JVM RIFF parser, like the WAV
+    // codec) -> every-2nd-frame sample + per-frame gray featurizer; the
+    // oracle computes the same features analytically from the synthetic
+    // per-frame pixel formula — lossless DIB, so a green hash proves the
+    // encode->decode->sample->featurize path end-to-end
+    "video_frames" -> ((s, _) =>
+      graft.sources.Multimodal.videoFrameTable(
         graft.sources.Multimodal.synth(s, ImageCorpusN)))
   )
 
@@ -205,6 +214,8 @@ object CurationQueries {
       Similarity.duckIvfRecallSql(TopKQueries, TopK, IvfCells, IvfProbe),
     "image_features" ->
       graft.sources.Multimodal.duckImageFeaturesSql(ImageCorpusN),
+    "video_frames" ->
+      graft.sources.Multimodal.duckVideoFramesSql(ImageCorpusN),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * codec deps; the front-end analog of `SampleAnalyser.cpp:443-528`) into
   * a gray-pixel featurizer with integer-exact sums, oracle-verified
   * against the analytic pixel formula (PNG is lossless, so decode must
-  * reproduce it bit-for-bit). Only VIDEO decode remains a deterministic
-  * byte-featurizer fallback (no video codec in the JDK) — the Spark-side
-  * batch shape (mapPartitions with per-partition codec init) is the real
-  * contract either way.
+  * reproduce it bit-for-bit). The VIDEO path is now real as well: a
+  * pure-JVM uncompressed-AVI parser ([[decodeAvi]] — RIFF chunk walking
+  * exactly like the WAV codec, BI_RGB 24-bit DIB frames, no codec deps)
+  * feeds a per-frame featurizer with a frame-sampling operator
+  * ([[videoFrameTable]], the "decode / frame-sample" multimodal op),
+  * oracle-verified against the analytic per-frame pixel formula
+  * (uncompressed DIB is lossless, so the same bit-for-bit argument as
+  * PNG applies).
   */
 object Multimodal {
 
@@ -168,11 +172,173 @@ object Multimodal {
     (w, h, out)
   }
 
+  // ------------------------------------------------------------------
+  // AVI codec (pure JVM, uncompressed BI_RGB 24-bit DIB frames, no deps)
+  // ------------------------------------------------------------------
+
+  /** Deterministic synthetic gray value of pixel (x, y) in frame `f` of
+    * video `i` — pure integer arithmetic, mirrored analytically by the
+    * DuckDB oracle ([[duckVideoFramesSql]]): uncompressed DIB is lossless,
+    * so the decoded featurization must reproduce this formula exactly
+    * (the same bit-for-bit round-trip argument as [[synthGray]]/PNG). */
+  def synthVideoGray(i: Long, f: Int, x: Int, y: Int): Int =
+    ((x * 7 + y * 13 + f * 17 + i * 31) % 256).toInt
+
+  /** Synthetic video dims/frame-count: width varies with `i` (multiples of
+    * 8 — no DIB row padding, which keeps the oracle formula simple; the
+    * decoder still handles padded strides, spec-tested with odd widths). */
+  def synthVideoDims(i: Long): (Int, Int) = (16 + (i % 3).toInt * 8, 12)
+  def synthVideoFrames(i: Long): Int = 4 + (i % 5).toInt
+
+  /** Encode gray frames (`gray(f)(y * width + x)` in 0..255) as a minimal
+    * uncompressed RIFF/AVI: LIST hdrl (avih + LIST strl(strh 'vids'/'DIB ',
+    * strf BITMAPINFOHEADER BI_RGB 24-bit)) + LIST movi of '00db' chunks,
+    * each a bottom-up BGR24 DIB with rows padded to 4-byte alignment.
+    * Used for fixtures and the synthetic corpus. */
+  def encodeAvi(width: Int, height: Int, frames: Array[Array[Int]],
+                fps: Int = 10): Array[Byte] = {
+    val stride = (width * 3 + 3) & ~3
+    val frameBytes = stride * height
+    val nf = frames.length
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); buf.putInt(riffSize); cc("AVI ")
+    cc("LIST"); buf.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0)
+      .putInt(0 /* no flags — no idx1 index chunk is written */)
+      .putInt(nf).putInt(0)
+      .putInt(1).putInt(frameBytes).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); buf.putInt(56)
+    cc("vids"); cc("DIB ")
+    buf.putInt(0).putInt(0).putInt(0)            // flags, prio+lang, initial
+      .putInt(1).putInt(fps)                     // scale, rate -> fps
+      .putInt(0).putInt(nf).putInt(frameBytes)   // start, length, bufsize
+      .putInt(-1).putInt(0)                      // quality, sampleSize
+      .putShort(0).putShort(0)                   // rcFrame
+      .putShort(width.toShort).putShort(height.toShort)
+    cc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height)  // biSize, w, h (bottom-up)
+      .putShort(1).putShort(24)                  // planes, bitcount
+      .putInt(0)                                 // BI_RGB
+      .putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    cc("LIST"); buf.putInt(moviSize); cc("movi")
+    for (fr <- frames) {
+      cc("00db"); buf.putInt(frameBytes)
+      var y = height - 1                         // DIB rows are bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val g = (fr(y * width + x) & 0xff).toByte
+          buf.put(g).put(g).put(g)               // B, G, R
+          x += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+    }
+    buf.array()
+  }
+
+  /** Parse an uncompressed RIFF/AVI payload → (width, height, fps, frames
+    * of row-major gray values; gray = the blue channel — equal to r and g
+    * for the gray videos this engine writes). Walks the chunk lists like
+    * [[decodeWav]] (word-aligned), requires BITMAPINFOHEADER BI_RGB 24-bit,
+    * collects '00db'/'00dc' frame chunks from LIST movi. Throws
+    * IllegalArgumentException on malformed input — same salvage contract:
+    * the caller turns it into a status row, never a dropped record. */
+  def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Int]]) = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"AVI: $msg")
+    if (bytes.length < 12) fail("truncated header")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") fail("missing RIFF magic")
+    buf.getInt() // riff size (trust actual buffer bounds instead)
+    if (fourcc() != "AVI ") fail("not an AVI form")
+    var width = -1; var height = -1; var fps = -1
+    var scale = 0; var rate = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    // walk(limit): parse sibling chunks until `limit`; LIST recurses.
+    def walk(limit: Int): Unit = {
+      while (buf.position() + 8 <= limit) {
+        val id = fourcc()
+        val size = buf.getInt()
+        if (size < 0 || buf.position() + size > limit)
+          fail(s"bad chunk size in $id")
+        val end = buf.position() + size
+        id match {
+          case "LIST" =>
+            if (size < 4) fail("LIST too small")
+            fourcc() // list type (hdrl/strl/movi) — contents self-identify
+            walk(end)
+          case "strh" =>
+            if (size < 32) fail("strh too small")
+            val typ = fourcc()
+            if (typ == "vids") {
+              buf.position(buf.position() + 16) // handler..initial
+              scale = buf.getInt(); rate = buf.getInt()
+              if (scale > 0) fps = rate / scale
+            }
+            buf.position(end)
+          case "strf" =>
+            if (width < 0) { // first stream's format; vids is stream 0
+              if (size < 40) fail("strf too small")
+              buf.getInt() // biSize
+              width = buf.getInt(); height = buf.getInt()
+              buf.getShort()
+              val bits = buf.getShort()
+              val comp = buf.getInt()
+              if (comp != 0) fail(s"not BI_RGB (compression $comp)")
+              if (bits != 24) fail(s"not 24-bit ($bits)")
+              if (width <= 0 || height == 0) fail("bad dimensions")
+              if (height < 0) fail("top-down DIB unsupported")
+            }
+            buf.position(end)
+          case "00db" | "00dc" =>
+            if (width < 0) fail("frame before stream format")
+            val stride = (width * 3 + 3) & ~3
+            if (size < stride * height) fail("truncated frame")
+            val px = new Array[Int](width * height)
+            var y = height - 1
+            while (y >= 0) {
+              val row = buf.position() + (height - 1 - y) * stride
+              var x = 0
+              while (x < width) {
+                px(y * width + x) = bytes(row + x * 3) & 0xff // blue
+                x += 1
+              }
+              y -= 1
+            }
+            frames += px
+            buf.position(end)
+          case _ =>
+            buf.position(end)
+        }
+        if ((size & 1) == 1 && buf.position() < limit)
+          buf.get() // RIFF chunks are word-aligned
+      }
+    }
+    walk(bytes.length)
+    if (width < 0) fail("no video stream format")
+    if (frames.isEmpty) fail("no frame chunks")
+    (width, height, fps, frames.toArray)
+  }
+
   /** Deterministic synthetic corpus (no external data): audio records carry
-    * REAL WAV payloads (encoded PCM16 of a seeded integer waveform) and
-    * image records REAL PNG payloads (encoded [[synthGray]] pixels), so
-    * both decode paths are exercised end-to-end; video payloads are a
-    * seeded LCG byte stream (codec-less fallback featurizer). */
+    * REAL WAV payloads (encoded PCM16 of a seeded integer waveform), image
+    * records REAL PNG payloads (encoded [[synthGray]] pixels), and video
+    * records REAL uncompressed-AVI payloads (encoded [[synthVideoGray]]
+    * frames), so all three decode paths are exercised end-to-end. */
   def synth(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -192,19 +358,15 @@ object Multimodal {
           val (w, h) = synthDims(i)
           encodePng(w, h, (x, y) => synthGray(i, x, y))
         } else {
-          val len = 256 + (i % 7).toInt * 128
-          val b = new Array[Byte](len)
-          var s = i * 6364136223846793005L + 1442695040888963407L
-          var j = 0
-          while (j < len) {
-            s = s * 6364136223846793005L + 1442695040888963407L
-            b(j) = (s >>> 56).toByte
-            j += 1
+          val (w, h) = synthVideoDims(i)
+          val frames = Array.tabulate(synthVideoFrames(i)) { f =>
+            Array.tabulate(w * h)(p => synthVideoGray(i, f, p % w, p / w))
           }
-          b
+          encodeAvi(w, h, frames)
         }
       val (mw, mh) =
         if (kind == "image") synthDims(i)
+        else if (kind == "video") synthVideoDims(i)
         else (64 + (i % 4).toInt * 32, 64)
       MediaRecord(f"m$i%06d",
         MediaMeta(kind, mw, mh, 16000, 1000 + (i % 5).toInt * 500),
@@ -252,9 +414,9 @@ object Multimodal {
   /** Decode one record. Audio payloads go through the REAL WAV parser
     * (features = decoded-sample histogram + moments on the token scale);
     * image payloads through the REAL ImageIO PNG decoder (gray histogram +
-    * moments, integer-exact sums); only video falls back to the
-    * deterministic byte featurizer (no video codec in the JDK — the batch
-    * shape is identical when one exists). */
+    * moments, integer-exact sums); video payloads through the REAL
+    * uncompressed-AVI parser (gray histogram + moments over all frames'
+    * pixels). */
   private def decode(r: MediaRecord): MediaFeatures =
     if (r.meta.kind == "image") {
       val (w, h, gray) = decodeImage(r.payload)
@@ -287,17 +449,22 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.meta.kind, r.payload.length,
         hist.map(_ / n) ++ Array(mean, sumsq / n - mean * mean))
     } else {
+      val (w, h, _, frames) = decodeAvi(r.payload)
       val hist = new Array[Double](16)
-      var sum = 0.0; var sumsq = 0.0
-      for (b <- r.payload) {
-        val u = b & 0xff
-        hist(u >> 4) += 1.0
-        sum += u; sumsq += u.toDouble * u
+      var sum = 0L; var sumsq = 0L
+      for (fr <- frames) {
+        var i = 0
+        while (i < fr.length) {
+          val g = fr(i)
+          hist(g >> 4) += 1.0
+          sum += g; sumsq += g.toLong * g
+          i += 1
+        }
       }
-      val n = r.payload.length
-      val mean = sum / n
-      MediaFeatures(r.doc_id, r.meta.kind, n,
-        hist.map(_ / n) ++ Array(mean, sumsq / n - mean * mean))
+      val n = w * h * frames.length
+      val mean = sum.toDouble / n
+      MediaFeatures(r.doc_id, r.meta.kind, r.payload.length,
+        hist.map(_ / n) ++ Array(mean, sumsq.toDouble / n - mean * mean))
     }
 
   /** Batch feature extraction: mapPartitions keeps codec state (a real
@@ -382,4 +549,66 @@ object Multimodal {
        |    AS var_gray,
        |  hist.hist AS hist
        |FROM agg JOIN hist ON agg.i = hist.i""".stripMargin
+
+  /** Video records decoded (REAL uncompressed-AVI decode) with every
+    * `sampleEvery`-th frame featurized — the multimodal decode /
+    * frame-sample op: (doc_id, frame_id, width, height, n_frames,
+    * mean_gray, var_gray). Sums are integer-exact (Long) with a single
+    * double division at the boundary, mirrored by the analytic DuckDB
+    * oracle [[duckVideoFramesSql]] (which computes the same features from
+    * the [[synthVideoGray]] formula without decoding — uncompressed DIB is
+    * lossless, so any decoder deviation breaks the hash). Narrow per-row
+    * decode + explode, no shuffle; at 100 TB the payload column never
+    * moves — only the tiny per-frame feature rows do. */
+  def videoFrameTable(records: Dataset[MediaRecord],
+                      sampleEvery: Int = 2): DataFrame = {
+    import records.sparkSession.implicits._
+    records.filter(_.meta.kind == "video").flatMap { r =>
+      val (w, h, _, frames) = decodeAvi(r.payload)
+      for {
+        f <- frames.indices
+        if f % sampleEvery == 0
+      } yield {
+        val px = frames(f)
+        var sum = 0L; var sumsq = 0L
+        var i = 0
+        while (i < px.length) {
+          sum += px(i); sumsq += px(i).toLong * px(i)
+          i += 1
+        }
+        val n = w * h
+        val mean = sum.toDouble / n
+        (r.doc_id, f, w, h, frames.length, mean,
+          sumsq.toDouble / n - mean * mean)
+      }
+    }.toDF("doc_id", "frame_id", "width", "height", "n_frames",
+      "mean_gray", "var_gray")
+  }
+
+  /** DuckDB mirror of [[videoFrameTable]] over [[synth]]`(n)`: the
+    * synthetic per-frame pixel formula evaluated analytically (no AVI
+    * involved) — kinds cycle image/audio/video so videos are `i % 3 = 2`. */
+  def duckVideoFramesSql(n: Int, sampleEvery: Int = 2): String =
+    s"""WITH vids AS (
+       |  SELECT i, 16 + (i % 3) * 8 AS w, 12 AS h, 4 + (i % 5) AS nf
+       |  FROM range($n) t(i) WHERE i % 3 = 2),
+       |fr AS (
+       |  SELECT i, w, h, nf, unnest(range(nf)) AS f FROM vids),
+       |sampled AS (
+       |  SELECT * FROM fr WHERE f % $sampleEvery = 0),
+       |pix AS (
+       |  SELECT i, w, h, nf, f, unnest(range(w * h)) AS p FROM sampled),
+       |g AS (
+       |  SELECT i, w, h, nf, f,
+       |    ((p % w) * 7 + (p // w) * 13 + f * 17 + i * 31) % 256 AS g
+       |  FROM pix)
+       |SELECT printf('m%06d', i) AS doc_id,
+       |  CAST(f AS INTEGER) AS frame_id,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(nf AS INTEGER) AS n_frames,
+       |  CAST(CAST(sum(g) AS BIGINT) AS DOUBLE) / (w * h) AS mean_gray,
+       |  CAST(CAST(sum(g * g) AS BIGINT) AS DOUBLE) / (w * h)
+       |    - (CAST(CAST(sum(g) AS BIGINT) AS DOUBLE) / (w * h))
+       |      * (CAST(CAST(sum(g) AS BIGINT) AS DOUBLE) / (w * h)) AS var_gray
+       |FROM g GROUP BY i, w, h, nf, f""".stripMargin
 }

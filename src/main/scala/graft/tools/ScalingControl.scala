@@ -100,8 +100,10 @@ object ScalingControl {
       catch { case _: Throwable => 0L }
     println(f"${"workload"}%-8s ${"8thr ops/s"}%12s ${"32thr ops/s"}%12s  eff   steal8%% steal32%%")
     for ((name, op) <- workloads) {
-      // warm JIT on one thread
-      runCell(1, 0.5, op)
+      // warm JIT at full parallelism so neither measured cell pays
+      // compilation (a 1-thread warm leaves the 32-thread cell faster
+      // per-op than the 8-thread one measured before it)
+      runCell(32, 2.0, op)
       val s0 = steal()
       val r8 = runCell(8, secs, op)
       val s1 = steal()

@@ -294,6 +294,45 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.decodeWav(Multimodal.encodeWav(pcm, 44100).take(30)))
   }
 
+  test("AVI codec: lossless gray round-trip, padded stride, frame sample, salvage") {
+    // odd width 13 -> stride 40 != 39: exercises the DIB 4-byte row padding
+    val (w, h, nf) = (13, 5, 3)
+    val frames = Array.tabulate(nf)(f =>
+      Array.tabulate(w * h)(p => (p * 11 + f * 29) % 256))
+    val avi = Multimodal.encodeAvi(w, h, frames, fps = 25)
+    val (dw, dh, fps, back) = Multimodal.decodeAvi(avi)
+    assert(dw == w && dh == h && fps == 25 && back.length == nf)
+    for (f <- 0 until nf) assert(back(f).sameElements(frames(f)))
+    // synthetic corpus videos decode to the per-frame formula exactly
+    val i = 5L
+    val (vw, vh) = Multimodal.synthVideoDims(i)
+    val vfr = Array.tabulate(Multimodal.synthVideoFrames(i))(f =>
+      Array.tabulate(vw * vh)(p =>
+        Multimodal.synthVideoGray(i, f, p % vw, p / vw)))
+    val (_, _, _, dec) = Multimodal.decodeAvi(Multimodal.encodeAvi(vw, vh, vfr))
+    for (f <- vfr.indices) assert(dec(f).sameElements(vfr(f)))
+    // frame-sample table: every 2nd frame, featurized bitwise
+    val vt = Multimodal.videoFrameTable(Multimodal.synth(spark, 9))
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Int]("frame_id")) -> r).toMap
+    // videos are i % 3 = 2 -> m000002 (6 frames), m000005 (4), m000008 (7)
+    assert(vt.keySet.map(_._1) == Set("m000002", "m000005", "m000008"))
+    assert(vt.keys.forall(_._2 % 2 == 0))
+    assert(vt.count(_._1._1 == "m000008") == 4) // frames 0,2,4,6 of 7
+    val r52 = vt(("m000005", 2))
+    val (w5, h5) = Multimodal.synthVideoDims(5L)
+    val expSum = (for (y <- 0 until h5; x <- 0 until w5)
+      yield Multimodal.synthVideoGray(5L, 2, x, y).toLong).sum
+    assert(r52.getAs[Int]("n_frames") == Multimodal.synthVideoFrames(5L))
+    assert(r52.getAs[Double]("mean_gray") == expSum.toDouble / (w5 * h5))
+    // malformed inputs fail loudly (salvage path), never return garbage
+    intercept[IllegalArgumentException](
+      Multimodal.decodeAvi("definitely not an avi".getBytes))
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(avi.take(40)))
+    intercept[IllegalArgumentException](Multimodal.decodeAvi(
+      Multimodal.encodeWav(Array.tabulate(32)(_.toShort), 8000))) // wrong form
+  }
+
   test("stereo WAV mixdown: channel mean with truncation toward zero") {
     val stereo = Array[Short](100, 300, -101, 100, 32767, 32767, -32768, -32768)
     val wav = Multimodal.encodeWav(stereo, 8000, channels = 2)
