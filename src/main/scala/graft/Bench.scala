@@ -32,6 +32,8 @@ object Bench {
     "dedup_minhash",      // minhash signatures
     "dedup_lsh_pairs",    // LSH bucket join
     "embed_topk",         // similarity search
+    "dedup_embed",        // banded sign-LSH near-dup (round-3 scale fix)
+    "gbdt_score_large",   // node-table ensemble walk (500-tree path)
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

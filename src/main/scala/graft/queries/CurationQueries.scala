@@ -179,7 +179,22 @@ object CurationQueries {
     // encode->decode->sample->featurize path end-to-end
     "video_frames" -> ((s, _) =>
       graft.sources.Multimodal.videoFrameTable(
-        graft.sources.Multimodal.synth(s, ImageCorpusN)))
+        graft.sources.Multimodal.synth(s, ImageCorpusN))),
+
+    // multimodal RESIZE: box-filter 2x downsample after decode; the
+    // position-weighted integer checksum pins every resized pixel, and the
+    // oracle recomputes the block sums analytically from the pixel formula
+    "image_resize" -> ((s, _) =>
+      graft.sources.Multimodal.imageResizeTable(
+        graft.sources.Multimodal.synth(s, ImageCorpusN))),
+
+    // deterministic train/val/test split: a pure function of the doc key
+    // (md5 slot), reproducible across runs/partitionings/corpus growth —
+    // unlike rand(seed)/randomSplit, which are seeded per partition
+    "hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplit(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        col("doc_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -216,6 +231,9 @@ object CurationQueries {
       graft.sources.Multimodal.duckImageFeaturesSql(ImageCorpusN),
     "video_frames" ->
       graft.sources.Multimodal.duckVideoFramesSql(ImageCorpusN),
+    "image_resize" ->
+      graft.sources.Multimodal.duckImageResizeSql(ImageCorpusN),
+    "hash_split" -> graft.ops.Sampling.duckSplitSql(),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -585,6 +585,94 @@ object Multimodal {
       "mean_gray", "var_gray")
   }
 
+  /** Box-filter 2× downsample: output pixel (X, Y) = the SUM of its 2×2
+    * input block (integer-exact; the caller divides by 4 where a mean is
+    * wanted — division by a power of two only shifts the FP exponent, so
+    * even the double-typed mean is exact). Odd trailing row/column folds
+    * into a smaller block (sum over the 1×2 / 2×1 / 1×1 remainder), with
+    * the per-pixel block size returned alongside. Shared by the image and
+    * video-frame paths — a frame is just an image here. */
+  def downsample2(w: Int, h: Int, gray: Array[Int]): (Int, Int, Array[Long], Array[Int]) = {
+    val ow = (w + 1) / 2
+    val oh = (h + 1) / 2
+    val sums = new Array[Long](ow * oh)
+    val cnts = new Array[Int](ow * oh)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y / 2) * ow + (x / 2)
+        sums(o) += gray(y * w + x)
+        cnts(o) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, sums, cnts)
+  }
+
+  /** Image records decoded and box-filter 2×-downsampled — the multimodal
+    * RESIZE op: (doc_id, out_w, out_h, mean_resized, var_resized,
+    * pix_checksum). The synthetic corpus has even dims, so every block is
+    * 2×2 and the resized pixel value is blockSum/4 — exact in binary FP;
+    * mean/var come from Long sums with the division order mirrored by the
+    * analytic DuckDB oracle [[duckImageResizeSql]]. `pix_checksum` =
+    * Σ blockSum · (blockIndex + 1) (pure Long arithmetic) pins every
+    * resized pixel to its POSITION, so a green hash proves per-pixel
+    * placement, not just aggregate moments. Narrow per-row decode, no
+    * shuffle — same 100 TB shape as the other decode ops. */
+  def imageResizeTable(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.filter(_.meta.kind == "image").map { r =>
+      val (w, h, gray) = decodeImage(r.payload)
+      val (ow, oh, sums, _) = downsample2(w, h, gray)
+      var s1 = 0L; var s2 = 0L; var crc = 0L
+      var i = 0
+      while (i < sums.length) {
+        s1 += sums(i)
+        s2 += sums(i) * sums(i)
+        crc += sums(i) * (i + 1)
+        i += 1
+      }
+      val n = ow * oh
+      val mean = s1.toDouble / 4.0 / n
+      val vr = s2.toDouble / 16.0 / n - mean * mean
+      (r.doc_id, ow, oh, mean, vr, crc)
+    }.toDF("doc_id", "out_w", "out_h", "mean_resized", "var_resized",
+      "pix_checksum")
+  }
+
+  /** DuckDB mirror of [[imageResizeTable]] over [[synth]]`(n)`: block sums
+    * of the analytic pixel formula grouped by (x/2, y/2) — no PNG, no
+    * resize kernel; division order mirrors the Spark side exactly. */
+  def duckImageResizeSql(n: Int): String =
+    s"""WITH imgs AS (
+       |  SELECT i, 32 + (i % 4) * 16 AS w, 24 AS h
+       |  FROM range($n) t(i) WHERE i % 3 = 0),
+       |pix AS (
+       |  SELECT i, w, h, unnest(range(w * h)) AS p FROM imgs),
+       |g AS (
+       |  SELECT i, w, h,
+       |    ((p % w) // 2) + ((p // w) // 2) * ((w + 1) // 2) AS blk,
+       |    ((p % w) * 7 + (p // w) * 13 + i * 31) % 256 AS g
+       |  FROM pix),
+       |blocks AS (
+       |  SELECT i, w, h, blk, CAST(sum(g) AS BIGINT) AS bs
+       |  FROM g GROUP BY i, w, h, blk)
+       |SELECT printf('m%06d', i) AS doc_id,
+       |  CAST((w + 1) // 2 AS INTEGER) AS out_w,
+       |  CAST((h + 1) // 2 AS INTEGER) AS out_h,
+       |  CAST(sum(bs) AS DOUBLE) / 4.0 / (((w + 1) // 2) * ((h + 1) // 2))
+       |    AS mean_resized,
+       |  CAST(sum(bs * bs) AS DOUBLE) / 16.0
+       |      / (((w + 1) // 2) * ((h + 1) // 2))
+       |    - (CAST(sum(bs) AS DOUBLE) / 4.0
+       |       / (((w + 1) // 2) * ((h + 1) // 2)))
+       |      * (CAST(sum(bs) AS DOUBLE) / 4.0
+       |         / (((w + 1) // 2) * ((h + 1) // 2))) AS var_resized,
+       |  CAST(sum(bs * (blk + 1)) AS BIGINT) AS pix_checksum
+       |FROM blocks GROUP BY i, w, h""".stripMargin
+
   /** DuckDB mirror of [[videoFrameTable]] over [[synth]]`(n)`: the
     * synthetic per-frame pixel formula evaluated analytically (no AVI
     * involved) — kinds cycle image/audio/video so videos are `i % 3 = 2`. */

@@ -333,6 +333,48 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.encodeWav(Array.tabulate(32)(_.toShort), 8000))) // wrong form
   }
 
+  test("box-filter 2x downsample: block sums, odd-dim remainders") {
+    // 5x3 image: odd width AND height -> 3x2 output with 1x2/2x1/1x1 blocks
+    val (w, h) = (5, 3)
+    val gray = Array.tabulate(w * h)(p => p * 10)
+    val (ow, oh, sums, cnts) = Multimodal.downsample2(w, h, gray)
+    assert(ow == 3 && oh == 2)
+    // block (0,0) = pixels (0,0),(1,0),(0,1),(1,1) = 0+10+50+60
+    assert(sums(0) == 120 && cnts(0) == 4)
+    // block (2,0) = remainder column x=4, y=0..1 = 40+90
+    assert(sums(2) == 130 && cnts(2) == 2)
+    // block (2,1) = single corner pixel (4,2) = 140
+    assert(sums(5) == 140 && cnts(5) == 1)
+    assert(sums.sum == gray.map(_.toLong).sum) // partition of the image
+    assert(cnts.sum == w * h)
+  }
+
+  test("hash split: deterministic, exhaustive, partition-invariant") {
+    import graft.ops.Sampling
+    val df = spark.range(2000).toDF("doc_id")
+    val once = Sampling.assignSplit(df, col("doc_id")).cache()
+    // exhaustive + disjoint: every row gets exactly one split label
+    assert(once.count() == 2000)
+    val byName = once.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // uniformity: 900/50/50 per-mille within a loose binomial tolerance
+    assert(byName("train") > 1700 && byName("train") < 1900)
+    assert(byName("val") > 50 && byName("val") < 150)
+    // pure function of the key: same assignment under a different
+    // partitioning (rand/randomSplit both fail this)
+    val again = Sampling.assignSplit(df.repartition(7), col("doc_id"))
+    assert(once.join(again, Seq("doc_id"))
+      .filter(once("split") =!= again("split")).count() == 0)
+    // sampleMille keeps exactly the keys below the slot threshold
+    val kept = Sampling.sampleMille(df, col("doc_id"), 100)
+      .select("doc_id").as[Long].collect().toSet
+    val slots = once.select(col("doc_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept == slots.filter(_._2 < 100).keySet)
+    once.unpersist()
+  }
+
   test("stereo WAV mixdown: channel mean with truncation toward zero") {
     val stereo = Array[Short](100, 300, -101, 100, 32767, 32767, -32768, -32768)
     val wav = Multimodal.encodeWav(stereo, 8000, channels = 2)
