@@ -63,10 +63,14 @@ object TextAnalysis {
   }
 
   /** DuckDB mirror of [[analyze]] over the `documents` view. */
-  val duckAnalyzeSql: String = {
+  val duckAnalyzeSql: String = duckAnalyzeSqlFrom("documents")
+
+  /** [[duckAnalyzeSql]] over an arbitrary source relation (used by the
+    * composed curation-pipeline oracle, which analyzes a subsample). */
+  def duckAnalyzeSqlFrom(src: String): String = {
     val stop = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH w AS (
-       |  SELECT *, $duckWordsExpr AS words FROM documents),
+       |  SELECT *, $duckWordsExpr AS words FROM $src),
        |c AS (
        |  SELECT *,
        |    CAST(len(words) AS INTEGER) AS n_words,

@@ -194,7 +194,13 @@ object CurationQueries {
     "hash_split" -> ((s, dir) =>
       graft.ops.Sampling.assignSplit(
         s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
-        col("doc_id")))
+        col("doc_id"))),
+
+    // end-to-end curation: quality gate -> exact dedup -> near-dup cluster
+    // canonicalization -> deterministic split, all composed from the
+    // engine's first-class operators; runs on the dedup subsample for
+    // oracle affordability (same boundary as the other minhash oracles)
+    "curate_pipeline" -> ((s, dir) => graft.ops.Curate.curateSub(s, dir))
   )
 
   def oracles: Map[String, String] = Map(
@@ -234,6 +240,8 @@ object CurationQueries {
     "image_resize" ->
       graft.sources.Multimodal.duckImageResizeSql(ImageCorpusN),
     "hash_split" -> graft.ops.Sampling.duckSplitSql(),
+    "curate_pipeline" ->
+      graft.ops.Curate.duckCurateSql(duckLshPairsSql, Seqs.DedupSubPred),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -375,6 +375,31 @@ class OpsSpec extends AnyFunSuite {
     once.unpersist()
   }
 
+  test("curation pipeline: stages compose with their individual semantics") {
+    import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val out = Curate.curateSub(spark, dir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // every survivor passed the quality/language gate
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(expr(graft.sources.Seqs.DedupSubPred))
+    val qualIds = TextAnalysis.analyze(docs)
+      .filter(col("quality_score") >= Curate.MinQuality &&
+        col("lang_guess") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().forall(qualIds))
+    // at most one survivor per near-dup cluster, and it is that cluster's
+    // minimum surviving member (canonical choice is deterministic)
+    assert(out.groupBy("cluster").count().filter(col("count") > 1).count() == 0)
+    // split matches the standalone splitter for the same keys
+    val split = Sampling.assignSplit(out.select("doc_id"), col("doc_id"))
+    assert(out.select("doc_id", "split")
+      .join(split.withColumnRenamed("split", "s2"), Seq("doc_id"))
+      .filter(col("split") =!= col("s2")).count() == 0)
+    out.unpersist()
+  }
+
   test("stereo WAV mixdown: channel mean with truncation toward zero") {
     val stereo = Array[Short](100, 300, -101, 100, 32767, 32767, -32768, -32768)
     val wav = Multimodal.encodeWav(stereo, 8000, channels = 2)
