@@ -89,10 +89,19 @@ object Curate {
        |clusters AS MATERIALIZED (
        |  SELECT * FROM ($resolve) t),
        |canon AS (
-       |  SELECT s.*, c.cluster, printf('d%06d', s.doc_id) AS sid
-       |  FROM surv2 s JOIN clusters c ON c.doc_id = printf('d%06d', s.doc_id)
-       |  QUALIFY printf('d%06d', s.doc_id)
-       |    = min(printf('d%06d', s.doc_id)) OVER (PARTITION BY c.cluster))
+       |  -- sid uses lpad, NOT printf('d%06d'): the seqs/cluster ids are
+       |  -- lpad-built on both engines (Seqs.duckSqlSub / fromDocumentsSub),
+       |  -- and lpad vs printf diverge once doc_id reaches 1e6 (lpad keeps
+       |  -- the leftmost 6 chars; printf widens) — the join must match the
+       |  -- cluster table's own convention exactly
+       |  SELECT s.*, c.cluster,
+       |    'd' || lpad(CAST(s.doc_id AS VARCHAR), 6, '0') AS sid
+       |  FROM surv2 s
+       |  JOIN clusters c
+       |    ON c.doc_id = 'd' || lpad(CAST(s.doc_id AS VARCHAR), 6, '0')
+       |  QUALIFY 'd' || lpad(CAST(s.doc_id AS VARCHAR), 6, '0')
+       |    = min('d' || lpad(CAST(s.doc_id AS VARCHAR), 6, '0'))
+       |        OVER (PARTITION BY c.cluster))
        |SELECT doc_id, cluster, n_bpe_tokens, quality_score,
        |  ${Sampling.duckMilleSlot("doc_id")} AS bucket,
        |  CASE WHEN ${Sampling.duckMilleSlot("doc_id")} < ${spec.train}

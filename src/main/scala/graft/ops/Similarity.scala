@@ -276,12 +276,15 @@ object Similarity {
   def ivfRecallTrainedVsBoot(embeddings0: DataFrame, nQueries: Int, k: Int,
                              nCells: Int, nProbe: Int,
                              iters: Int): DataFrame = {
-    val trained = ivfRecallWith(embeddings0, nQueries, k,
-      ivfTrainedCents(embeddings0, nCells, iters), nProbe)
+    // one exact baseline (the dominant O(nQueries x N) cost) for both arms
+    val exact = bruteTopK(embeddings0, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val trained = ivfRecallWithExact(embeddings0, nQueries, k,
+      ivfTrainedCents(embeddings0, nCells, iters), nProbe, exact)
       .select(col("query_id"), col("n_hits").as("n_hits_trained"),
         col("recall_at_k").as("recall_trained"))
-    val boot = ivfRecallWith(embeddings0, nQueries, k,
-      cents(embeddings0, nCells), nProbe)
+    val boot = ivfRecallWithExact(embeddings0, nQueries, k,
+      cents(embeddings0, nCells), nProbe, exact)
       .select(col("query_id"), col("n_hits").as("n_hits_boot"),
         col("recall_at_k").as("recall_boot"))
     trained.join(boot, Seq("query_id"))
@@ -339,10 +342,18 @@ object Similarity {
     * bootstrap and the Lloyd-trained variants — the centroid set is the
     * only thing that differs between the two paths). */
   def ivfRecallWith(embeddings0: DataFrame, nQueries: Int, k: Int,
-                    centsDf: DataFrame, nProbe: Int): DataFrame = {
+                    centsDf: DataFrame, nProbe: Int): DataFrame =
+    ivfRecallWithExact(embeddings0, nQueries, k, centsDf, nProbe,
+      bruteTopK(embeddings0, nQueries, k)
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** [[ivfRecallWith]] against a PRECOMPUTED exact ground truth — lets
+    * side-by-side measurements ([[ivfRecallTrainedVsBoot]]) pay the
+    * O(nQueries × N) brute-force baseline once instead of per arm. */
+  private def ivfRecallWithExact(embeddings0: DataFrame, nQueries: Int,
+                                 k: Int, centsDf: DataFrame, nProbe: Int,
+                                 exact: DataFrame): DataFrame = {
     expressions.register(embeddings0.sparkSession)
-    val exact = bruteTopK(embeddings0, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
     val cells = ivfAssign(
       graft.core.Partitioning.balance(embeddings0, "vec_id"), centsDf)
       .select(col("vec_id"), col("cell"))
@@ -431,10 +442,20 @@ object Similarity {
     * (band_id, band_hash) shape as the MinHash-LSH text path
     * ([[Dedup.lshCandidates]]). */
   def embeddingNearDups(embeddings0: DataFrame, nBands: Int,
-                        bitsPerBand: Int, minCos: Double): DataFrame = {
+                        bitsPerBand: Int, minCos: Double): DataFrame =
+    verifyPairs(embeddings0,
+      embedCandidates(embeddings0, nBands, bitsPerBand), minCos)
+
+  /** Exact-cosine verification of candidate (vec_a, vec_b) pairs —
+    * re-fetches the vectors by id (the candidate shuffle never carried
+    * them) and keeps pairs at `cos >= minCos`. Shared by the production
+    * path and [[embedDedupRecall]], so the recall measurement verifies the
+    * SAME candidate set it counts instead of recomputing the band join. */
+  private def verifyPairs(embeddings0: DataFrame, cand: DataFrame,
+                          minCos: Double): DataFrame = {
     expressions.register(embeddings0.sparkSession)
     val e = embeddings0.select(col("vec_id"), col("embedding"))
-    embedCandidates(embeddings0, nBands, bitsPerBand)
+    cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
         Seq("vec_a"))
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
@@ -494,8 +515,10 @@ object Similarity {
     val exact = l.join(r, col("l.vec_id") < col("r.vec_id"))
       .withColumn("cos", expr("graft_cosine(l.embedding, r.embedding)"))
       .filter(col("cos") >= minCos)
+    // ONE band self-join: `found` verifies the same candidate set it
+    // counts (recomputing embeddingNearDups would run the join twice)
     val cand = embedCandidates(sub, nBands, bitsPerBand)
-    val found = embeddingNearDups(sub, nBands, bitsPerBand, minCos)
+    val found = verifyPairs(sub, cand, minCos)
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))

@@ -60,9 +60,17 @@ object KeyedSink {
 
   private def snapParent(path: String, n: Int): Int = {
     val meta = Paths.get(path, s"snap-$n.json")
-    if (!Files.exists(meta)) 0
-    else "\"parent\": (\\d+)".r.findFirstMatchIn(Files.readString(meta))
-      .map(_.group(1).toInt).getOrElse(0)
+    val p =
+      if (!Files.exists(meta)) 0
+      else "\"parent\": (\\d+)".r.findFirstMatchIn(Files.readString(meta))
+        .map(_.group(1).toInt).getOrElse(0)
+    // a parent must be strictly older — a self-referential or forward
+    // pointer (corrupt/hand-edited metadata) would otherwise spin the
+    // chain walkers (readSnap recursion, deltaChainKeys loop) forever
+    if (p >= n)
+      throw new IllegalStateException(
+        s"corrupt snapshot metadata: snap-$n.json declares parent $p >= $n")
+    p
   }
 
   /** Read snapshot `n` resolved through its delta chain (newest wins). */

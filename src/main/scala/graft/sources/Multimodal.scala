@@ -151,9 +151,29 @@ object Multimodal {
     * [[decodeWav]]: the caller turns it into a status row, never a dropped
     * record or garbage features. */
   def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    // Peek header-declared dimensions via the reader API BEFORE the full
+    // decode: ImageIO.read allocates the whole raster from the header, so
+    // a tiny crafted payload claiming 30000x30000 would drive a multi-GB
+    // allocation (executor OOM — not the contracted salvage IAE) otherwise.
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case e: java.io.IOException =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            "image: no registered decoder matched")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+          if (hw <= 0 || hh <= 0 || hw > 32768 || hh > 32768 ||
+              hw.toLong * hh > (1L << 26))
+            throw new IllegalArgumentException(
+              s"image: implausible dimensions ${hw}x$hh")
+          reader.read(0)
+        } finally { reader.dispose(); iis.close() }
+      } catch { case e: java.io.IOException =>
         throw new IllegalArgumentException(s"image: ${e.getMessage}")
       }
     if (img == null)
@@ -267,6 +287,7 @@ object Multimodal {
     if (fourcc() != "AVI ") fail("not an AVI form")
     var width = -1; var height = -1; var fps = -1
     var scale = 0; var rate = 0
+    var lastStrh = "" // stream type of the most recent strh (vids/auds/...)
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
     // walk(limit): parse sibling chunks until `limit`; LIST recurses.
     def walk(limit: Int): Unit = {
@@ -281,17 +302,20 @@ object Multimodal {
             if (size < 4) fail("LIST too small")
             fourcc() // list type (hdrl/strl/movi) — contents self-identify
             walk(end)
+            buf.position(end) // skip list slack the inner walk left behind
           case "strh" =>
             if (size < 32) fail("strh too small")
-            val typ = fourcc()
-            if (typ == "vids") {
+            lastStrh = fourcc()
+            if (lastStrh == "vids") {
               buf.position(buf.position() + 16) // handler..initial
               scale = buf.getInt(); rate = buf.getInt()
               if (scale > 0) fps = rate / scale
             }
             buf.position(end)
           case "strf" =>
-            if (width < 0) { // first stream's format; vids is stream 0
+            // bind the format to ITS stream (the strh just seen) — a file
+            // listing an audio strl first must not poison the video format
+            if (lastStrh == "vids" && width < 0) {
               if (size < 40) fail("strf too small")
               buf.getInt() // biSize
               width = buf.getInt(); height = buf.getInt()
@@ -302,6 +326,12 @@ object Multimodal {
               if (bits != 24) fail(s"not 24-bit ($bits)")
               if (width <= 0 || height == 0) fail("bad dimensions")
               if (height < 0) fail("top-down DIB unsupported")
+              // header-declared dims bound the allocation below; a crafted
+              // header must not drive a multi-GB array or Int overflow
+              // (stride * height and width * height stay well inside Int)
+              if (width > 32768 || height > 32768 ||
+                  width.toLong * height > (1L << 26))
+                fail(s"implausible dimensions ${width}x$height")
             }
             buf.position(end)
           case "00db" | "00dc" =>
@@ -562,6 +592,7 @@ object Multimodal {
     * moves — only the tiny per-frame feature rows do. */
   def videoFrameTable(records: Dataset[MediaRecord],
                       sampleEvery: Int = 2): DataFrame = {
+    require(sampleEvery > 0, s"bad sampleEvery: $sampleEvery")
     import records.sparkSession.implicits._
     records.filter(_.meta.kind == "video").flatMap { r =>
       val (w, h, _, frames) = decodeAvi(r.payload)

@@ -110,8 +110,12 @@ object ScalingControl {
       val r32 = runCell(32, secs, op)
       val s2 = steal()
       val eff = (r32 / r8) / 4.0
-      def pct(d: Long, thr: Int) = 100.0 * (d / 100.0) / (secs * 32)
-      println(f"$name%-8s $r8%12.0f $r32%12.0f  $eff%.3f  ${pct(s1 - s0, 8)}%5.1f  ${pct(s2 - s1, 32)}%5.1f")
+      // steal jiffies are system-wide: normalize by the BOX's CPU count
+      // (share of total machine CPU stolen during the cell), not the
+      // cell's thread count
+      val boxCpus = Runtime.getRuntime.availableProcessors
+      def pct(d: Long) = 100.0 * (d / 100.0) / (secs * boxCpus)
+      println(f"$name%-8s $r8%12.0f $r32%12.0f  $eff%.3f  ${pct(s1 - s0)}%5.1f  ${pct(s2 - s1)}%5.1f")
     }
   }
 }

@@ -157,4 +157,22 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(KeyedSink.changedSince(spark, path, 3, 3).isEmpty)
     assert(KeyedSink.changedSince(spark, path, 1, 99).isEmpty)
   }
+
+  test("corrupt snapshot metadata (parent >= self) fails loudly, never spins") {
+    val path = freshPath()
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 1, 10.0)).toDF("doc_id", "v", "x"), "doc_id")
+    KeyedSink.upsertDelta(spark, path, // delta: read resolves via parent
+      Seq(("b", 1, 20.0)).toDF("doc_id", "v", "x"), "doc_id")
+    // hand-corrupt snap-2's parent pointer to itself: the chain walkers
+    // (readSnap recursion, deltaChainKeys loop) must error, not hang
+    val meta = java.nio.file.Paths.get(path, "snap-2.json")
+    val txt = Files.readString(meta)
+    assert(txt.contains("\"parent\": 1"))
+    Files.writeString(meta, txt.replace("\"parent\": 1", "\"parent\": 2"))
+    intercept[IllegalStateException](
+      KeyedSink.read(spark, path).get.count())
+    intercept[IllegalStateException](
+      KeyedSink.changedSince(spark, path, 1, 2).get.count())
+  }
 }

@@ -331,6 +331,75 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.decodeAvi(avi.take(40)))
     intercept[IllegalArgumentException](Multimodal.decodeAvi(
       Multimodal.encodeWav(Array.tabulate(32)(_.toShort), 8000))) // wrong form
+    // a crafted strf claiming absurd dimensions must salvage (IAE), never
+    // Int-overflow the stride check into a giant/negative allocation —
+    // strf width sits at byte 176 of encodeAvi's fixed header layout
+    val huge = avi.clone()
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(176, 715827883) // * 3 overflows Int
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeAvi(huge))
+    assert(e1.getMessage.contains("implausible"))
+  }
+
+  test("AVI decoder: movi slack bytes and audio-stream-first files") {
+    // 1. trailing slack inside LIST movi (legal padding a tolerant parser
+    // skips): bump the movi LIST + RIFF sizes by 4 and append junk — the
+    // outer walk must resynchronize at the list end, frames unchanged
+    val frames = Array.tabulate(2)(f => Array.tabulate(8 * 4)(p => (p + f) % 256))
+    val avi = Multimodal.encodeAvi(8, 4, frames)
+    val padded = java.util.Arrays.copyOf(avi, avi.length + 4)
+    val bb = java.nio.ByteBuffer.wrap(padded)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, bb.getInt(4) + 4)      // RIFF size
+    bb.putInt(216, bb.getInt(216) + 4)  // movi LIST size (offset 212+4)
+    val (w1, h1, _, back1) = Multimodal.decodeAvi(padded)
+    assert(w1 == 8 && h1 == 4 && back1.length == 2)
+    for (f <- 0 until 2) assert(back1(f).sameElements(frames(f)))
+    // 2. an audio strl listed BEFORE the video strl: the audio strf (a
+    // 16-byte WAVEFORMAT) must not be misread as the video format
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(bs: Array[Byte]): Unit = bos.write(bs)
+    def cc(s: String) = w(s.getBytes("US-ASCII"))
+    def le32(v: Int) = w(Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte))
+    val vidsStrl = avi.slice(88, 212)   // the complete LIST strl from encodeAvi
+    val movi = avi.slice(212, avi.length)
+    val audsStrl = {
+      val b = new java.io.ByteArrayOutputStream()
+      def w2(bs: Array[Byte]): Unit = b.write(bs)
+      def cc2(s: String) = w2(s.getBytes("US-ASCII"))
+      def le2(v: Int) = w2(Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte))
+      cc2("LIST"); le2(4 + (8 + 56) + (8 + 16)); cc2("strl")
+      cc2("strh"); le2(56); cc2("auds"); w2(new Array[Byte](52))
+      cc2("strf"); le2(16); w2(new Array[Byte](16)) // WAVEFORMAT
+      b.toByteArray
+    }
+    val hdrl = avi.slice(24, 88) ++ audsStrl ++ vidsStrl // avih + both strls
+    cc("RIFF"); le32(4 + 8 + 4 + hdrl.length + movi.length); cc("AVI ")
+    cc("LIST"); le32(4 + hdrl.length); cc("hdrl"); w(hdrl)
+    w(movi)
+    val (w2_, h2_, _, back2) = Multimodal.decodeAvi(bos.toByteArray)
+    assert(w2_ == 8 && h2_ == 4 && back2.length == 2)
+    for (f <- 0 until 2) assert(back2(f).sameElements(frames(f)))
+  }
+
+  test("image decoder: crafted huge-dimension PNG header salvages, no OOM") {
+    // hand-build a PNG whose IHDR claims 40000x40000 from a ~33-byte
+    // payload: the decoder must reject on the header peek (IAE), not
+    // allocate the ~4.8 GB raster
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(40000).putInt(40000) // width, height (big-endian)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(ihdr.array())
+    val full = java.nio.ByteBuffer.allocate(8 + 4 + 17 + 4)
+    full.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    full.putInt(13).put(ihdr.array()).putInt(crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeImage(full.array()))
+    assert(e.getMessage.contains("implausible"))
   }
 
   test("box-filter 2x downsample: block sums, odd-dim remainders") {
