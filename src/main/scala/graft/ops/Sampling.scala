@@ -67,6 +67,32 @@ object Sampling {
     df.filter(milleSlot(key) < mille)
   }
 
+  /** Deterministic STRATIFIED sample: per-stratum keep rates (per-mille),
+    * driven by the same key slot as [[sampleMille]] — the
+    * rebalance-by-downsampling primitive (e.g. cap an over-represented
+    * language at 10% while keeping all of a rare one). Strata absent from
+    * `rates` fall back to `defaultMille`. The rate map is a broadcast-sized
+    * CASE expression, not a join — still a narrow codegen'd filter. */
+  def sampleStratified(df: DataFrame, key: Column, stratum: Column,
+                       rates: Map[String, Int],
+                       defaultMille: Int = 1000): DataFrame = {
+    require((defaultMille +: rates.values.toSeq)
+      .forall(m => m >= 0 && m <= 1000), s"bad rates: $rates / $defaultMille")
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), 0)) { case (acc, (s, m)) =>
+        acc.when(stratum === s, m)
+      }.otherwise(defaultMille)
+    df.filter(milleSlot(key) < threshold)
+  }
+
+  /** SQL twin of [[sampleStratified]]'s threshold CASE (same sorted-key
+    * order, same fallback). */
+  def duckStratumThreshold(stratum: String, rates: Map[String, Int],
+                           defaultMille: Int = 1000): String =
+    rates.toSeq.sortBy(_._1)
+      .map { case (s, m) => s"WHEN $stratum = '$s' THEN $m" }
+      .mkString("CASE ", " ", s" ELSE $defaultMille END")
+
   /** DuckDB mirror of [[assignSplit]] over the documents table. */
   def duckSplitSql(spec: SplitSpec = SplitSpec()): String =
     s"""SELECT doc_id, ${duckMilleSlot("doc_id")} AS bucket,

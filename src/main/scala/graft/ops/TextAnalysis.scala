@@ -62,6 +62,54 @@ object TextAnalysis {
       .drop("words")
   }
 
+  /** Corpus length-distribution report: per-language doc count, total
+    * chars, and DISCRETE p50/p90/p99 of `n_chars` — the standard corpus
+    * health/report op before training. Percentiles are selected (element
+    * at rank ceil(p·n) under a total (n_chars, doc_id) order), not
+    * interpolated: interpolation mixes FP op orders across engines, while
+    * rank selection is pure integer logic once both sides compute
+    * ceil(p·n) in DOUBLE (the DuckDB mirror spells `0.9e0` so the literal
+    * parses as DOUBLE, not DECIMAL — different rounding at exact-integer
+    * boundaries otherwise). One window + one groupBy, both keyed on
+    * `lang` — a single exchange at scale. */
+  def lengthReport(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    def pick(p: Double) = max(when(
+      col("rn") === ceil(lit(p) * col("n")).cast("long"), col("n_chars")))
+    documents
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        pick(0.5).as("p50_chars"),
+        pick(0.9).as("p90_chars"),
+        pick(0.99).as("p99_chars"))
+  }
+
+  /** DuckDB mirror of [[lengthReport]] (exponent-form literals force
+    * DOUBLE arithmetic — see the Scaladoc there). */
+  val duckLengthReportSql: String =
+    s"""WITH r AS (
+       |  SELECT lang, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  max(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT)
+       |      THEN n_chars END) AS p50_chars,
+       |  max(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT)
+       |      THEN n_chars END) AS p90_chars,
+       |  max(CASE WHEN rn = CAST(ceil(0.99e0 * n) AS BIGINT)
+       |      THEN n_chars END) AS p99_chars
+       |FROM r GROUP BY lang""".stripMargin
+
   /** DuckDB mirror of [[analyze]] over the `documents` view. */
   val duckAnalyzeSql: String = duckAnalyzeSqlFrom("documents")
 

@@ -30,6 +30,9 @@ object CurationQueries {
   // synthetic multimodal corpus size for the image-decode oracle (kinds
   // cycle image/audio/video -> 20 images)
   val ImageCorpusN = 60
+  // stratified-sample rates: cap the over-represented 'en', keep all 'zh'
+  val StratRates = Map("en" -> 200, "zh" -> 1000, "de" -> 500)
+  val StratDefault = 800
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -200,7 +203,19 @@ object CurationQueries {
     // canonicalization -> deterministic split, all composed from the
     // engine's first-class operators; runs on the dedup subsample for
     // oracle affordability (same boundary as the other minhash oracles)
-    "curate_pipeline" -> ((s, dir) => graft.ops.Curate.curateSub(s, dir))
+    "curate_pipeline" -> ((s, dir) => graft.ops.Curate.curateSub(s, dir)),
+
+    // deterministic stratified sampling: per-language keep rates off the
+    // same hash slot as the splitter (rebalance-by-downsampling)
+    "stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.sampleStratified(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang"),
+        col("doc_id"), col("lang"), StratRates, StratDefault)),
+
+    // corpus length-distribution report: per-lang discrete p50/p90/p99
+    "length_report" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lengthReport(
+        s.read.parquet(s"$dir/documents.parquet")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -242,6 +257,12 @@ object CurationQueries {
     "hash_split" -> graft.ops.Sampling.duckSplitSql(),
     "curate_pipeline" ->
       graft.ops.Curate.duckCurateSql(duckLshPairsSql, Seqs.DedupSubPred),
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.ops.Sampling.duckMilleSlot("doc_id")}
+         |  < ${graft.ops.Sampling.duckStratumThreshold("lang", StratRates,
+               StratDefault)}""".stripMargin,
+    "length_report" -> graft.ops.TextAnalysis.duckLengthReportSql,
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

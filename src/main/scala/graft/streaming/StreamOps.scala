@@ -249,4 +249,28 @@ object StreamOps {
       .select(col("doc_id"),
         col("window.start").cast("long").as("frame_start_s"),
         col("n_samp"), col("fsumsq"), col("peak"))
+
+  /** Streaming exact dedup: first arrival per `key` wins, duplicates within
+    * the watermark horizon are dropped (`dropDuplicatesWithinWatermark`) —
+    * the streaming form of the batch exact-dedup operator
+    * ([[graft.ops.Dedup]]). State holds one entry per key seen within the
+    * horizon and is evicted as the watermark advances, so state size is
+    * bounded by the horizon's key cardinality, not the stream's. A
+    * duplicate arriving AFTER its key's state expired is re-emitted — at
+    * 100 TB/day the horizon is the dedup-exactness/memory dial (the batch
+    * operator is the exact backstop). */
+  def dedupExactStream(rows: DataFrame, key: String,
+                       watermark: String): DataFrame =
+    rows
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(key)
+
+  /** Streaming split assignment: [[graft.ops.Sampling.milleSlot]] is a
+    * stateless narrow projection, so the SAME expression the batch
+    * splitter uses runs unchanged on a stream — deterministic assignment
+    * regardless of arrival order, batch boundaries, or restarts (the
+    * property `rand()`-based splitting loses on every retry). */
+  def splitStream(rows: DataFrame, key: String): DataFrame =
+    graft.ops.Sampling.assignSplit(rows, col(key))
 }

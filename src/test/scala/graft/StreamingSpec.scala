@@ -41,6 +41,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup + split: first wins across batches, split == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val df = mem.toDF().toDF("ts", "doc_id", "payload")
+    val q = StreamOps.splitStream(
+        StreamOps.dedupExactStream(df, "doc_id", "1 hour"), "doc_id")
+      .writeStream.format("memory").queryName("dedup_split")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // duplicates within AND across micro-batches: first arrival wins
+      mem.addData((ts(0), 10L, "first"), (ts(1), 10L, "dup-same-batch"),
+        (ts(2), 20L, "first"))
+      q.processAllAvailable()
+      mem.addData((ts(3), 10L, "dup-next-batch"), (ts(4), 30L, "first"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_split")
+        .select("doc_id", "payload", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      assert(out.map(t => (t._1, t._2)).toSeq ==
+        Seq((10L, "first"), (20L, "first"), (30L, "first")))
+      // split assignment identical to the batch splitter for the same keys
+      val batch = graft.ops.Sampling.assignSplit(
+          Seq(10L, 20L, 30L).toDF("doc_id"), col("doc_id"))
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.forall(t => batch(t._1) == t._3))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState envelope == batch kernel across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val coef = 0.6
