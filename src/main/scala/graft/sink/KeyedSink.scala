@@ -139,16 +139,18 @@ object KeyedSink {
   }
 
   private def commit(path: String, next: Int, kind: String, total: Long,
-                     nUp: Long, nDel: Long, nPart: Int, key: String): CommitStats = {
+                     nUp: Long, nDel: Long, nPart: Int, key: String,
+                     streamBatch: Option[Long] = None): CommitStats = {
     val parent = latestSnapshot(path).getOrElse(0)
     val fileRows = fileRowCounts(s"$path/snap-$next")
       .map { case (n, r) => s"""{"file": "$n", "rows": $r}""" }
       .mkString("[", ", ", "]")
+    val sb = streamBatch.map(b => s""", "stream_batch": $b""").getOrElse("")
     val meta =
       s"""{"snapshot": $next, "kind": "$kind", "total_rows": $total,
          | "upserted_rows": $nUp, "deleted_rows": $nDel,
          | "partitions": $nPart, "parent": $parent,
-         | "key": "$key", "file_rows": $fileRows}""".stripMargin.replace("\n", "")
+         | "key": "$key"$sb, "file_rows": $fileRows}""".stripMargin.replace("\n", "")
     Files.writeString(Paths.get(path, s"snap-$next.json"), meta)
     val tmp = Paths.get(path, "_latest.tmp")
     Files.writeString(tmp, s"snap-$next")
@@ -161,7 +163,8 @@ object KeyedSink {
     * Row counts come from `observe()` on the ONE write job — the update
     * pipeline is never executed twice. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-             key: String, deletes: Option[DataFrame] = None): CommitStats = {
+             key: String, deletes: Option[DataFrame] = None,
+             streamBatch: Option[Long] = None): CommitStats = {
     Files.createDirectories(Paths.get(path))
     val next = latestSnapshot(path).getOrElse(0) + 1
     val updTagged = updates.withColumn("__upd", lit(true))
@@ -194,7 +197,8 @@ object KeyedSink {
     val total = row("total").asInstanceOf[Long]
     val nUp = Option(row("upserted")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val nDel = delKeys.map(_.count()).getOrElse(0L) // count on the checkpoint
-    commit(path, next, "full", total, nUp, nDel, countFiles(snapDir), key)
+    commit(path, next, "full", total, nUp, nDel, countFiles(snapDir), key,
+      streamBatch)
   }
 
   /** Merge-on-read upsert: writes ONLY `updates` as a delta snapshot.
@@ -202,10 +206,12 @@ object KeyedSink {
     * would read it from the snapshot summary; here it costs one key-column
     * scan of the chain). */
   def upsertDelta(spark: SparkSession, path: String, updates: DataFrame,
-                  key: String): CommitStats = {
+                  key: String,
+                  streamBatch: Option[Long] = None): CommitStats = {
     Files.createDirectories(Paths.get(path))
     val parent = latestSnapshot(path)
-    if (parent.isEmpty) return upsert(spark, path, updates, key)
+    if (parent.isEmpty)
+      return upsert(spark, path, updates, key, streamBatch = streamBatch)
     val next = parent.get + 1
     val obs = Observation(s"keyed-sink-delta-$next")
     val snapDir = s"$path/snap-$next"
@@ -213,7 +219,7 @@ object KeyedSink {
       .write.mode("overwrite").parquet(snapDir)
     val nUp = obs.get("n").asInstanceOf[Long]
     val stats = commit(path, next, "delta", -1L, nUp, 0L,
-      countFiles(snapDir), key)
+      countFiles(snapDir), key, streamBatch)
     val total = readSnap(spark, path, next, key).select(col(key)).count()
     // refresh metadata with the resolved total — via temp file + ATOMIC_MOVE
     // (same protocol as the _latest pointer): the pointer already flipped,
@@ -224,8 +230,9 @@ object KeyedSink {
       .map { case (n, r) => s"""{"file": "$n", "rows": $r}""" }
       .mkString("[", ", ", "]")
     val metaTmp = Paths.get(path, s"snap-$next.json.tmp")
+    val sb = streamBatch.map(b => s""", "stream_batch": $b""").getOrElse("")
     Files.writeString(metaTmp,
-      s"""{"snapshot": $next, "kind": "delta", "total_rows": $total, "upserted_rows": $nUp, "deleted_rows": 0, "partitions": ${stats.partitions}, "parent": ${parent.get}, "key": "$key", "file_rows": $fileRows}""")
+      s"""{"snapshot": $next, "kind": "delta", "total_rows": $total, "upserted_rows": $nUp, "deleted_rows": 0, "partitions": ${stats.partitions}, "parent": ${parent.get}, "key": "$key"$sb, "file_rows": $fileRows}""")
     Files.move(metaTmp, Paths.get(path, s"snap-$next.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     stats.copy(totalRows = total)
@@ -348,5 +355,42 @@ object KeyedSink {
         src.join(d, Seq(key), "left_outer")
           .filter(col("__v").isNull || col("__v") =!= col(version))
           .drop("__v")
+    }
+
+  /** Highest stream-batch id committed to this sink (None when no commit
+    * carries one). Reads the latest snapshot's metadata only — valid under
+    * the streaming contract that the query's `foreachBatch` is the sole
+    * writer to its sink path (Spark already serializes micro-batches). */
+  def lastStreamBatch(path: String): Option[Long] =
+    latestSnapshot(path).flatMap { n =>
+      val meta = Paths.get(path, s"snap-$n.json")
+      if (!Files.exists(meta)) None
+      else "\"stream_batch\": (\\d+)".r
+        .findFirstMatchIn(Files.readString(meta)).map(_.group(1).toLong)
+    }
+
+  /** Exactly-once micro-batch upsert: commit `updates` as a delta snapshot
+    * stamped with `batchId`, or skip (None) when a commit with this or a
+    * newer batch id already exists — the replay case after a streaming
+    * restart. The batch id rides the SAME metadata JSON whose atomic
+    * pointer flip is the commit, so "data visible" and "batch recorded"
+    * cannot diverge: a writer killed before the flip leaves no trace and
+    * the replayed batch commits cleanly; killed after the flip, the replay
+    * sees its own id and skips. This is the Structured Streaming
+    * `foreachBatch` idempotence recipe (batchId-keyed writes) fused with
+    * the sink's snapshot protocol — end-to-end exactly-once on top of the
+    * source's replayed offsets. */
+  def upsertStreamBatch(spark: SparkSession, path: String, batchId: Long,
+                        updates: DataFrame, key: String): Option[CommitStats] =
+    if (lastStreamBatch(path).exists(_ >= batchId)) None
+    else Some(upsertDelta(spark, path, updates, key,
+      streamBatch = Some(batchId)))
+
+  /** `writeStream.foreachBatch` adapter for [[upsertStreamBatch]]:
+    * {{{ ds.writeStream.foreachBatch(KeyedSink.foreachBatchUpsert(p, k)) }}} */
+  def foreachBatchUpsert(path: String, key: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      upsertStreamBatch(batch.sparkSession, path, batchId, batch, key)
+      ()
     }
 }

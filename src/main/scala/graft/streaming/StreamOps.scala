@@ -234,6 +234,90 @@ object StreamOps {
         })
   }
 
+  final case class AsOfIn(doc_id: String, side: Int, tsv: Long,
+      value: Double, ts: java.sql.Timestamp)
+  final case class AsOfState(lastTsv: Long, lastSide: Int,
+      seriesTsv: Long, seriesVal: Double, seen: Boolean)
+  final case class AsOfOut(doc_id: String, tsv: Long,
+      series_ts: Option[Long], value: Option[Double])
+
+  /** Streaming point-in-time / as-of join — the stream form of the
+    * engine's core operator ([[graft.operators.AsOfJoin]]): each probe row
+    * `(key, tsv)` is enriched with the latest series row at-or-before it.
+    * Input is the two streams unioned into [[AsOfIn]] (`side = 0` series
+    * rows carrying `value`; `side = 1` probes — the same tagging the batch
+    * union-window plan uses), e.g. via [[asOfUnion]].
+    *
+    * Why custom state, not a stream-stream join: Spark's watermarked
+    * interval join emits ALL series rows in the time range, not "the
+    * latest at-or-before", and holds the full range buffered; here state
+    * per key is O(1) — the single latest series observation — so a
+    * 100 TB/day stream holds one (Long, Double) per live entity.
+    *
+    * Tie semantics match the batch operator: a series row AT the probe
+    * timestamp is visible to it (`side 0` sorts first). Probes before any
+    * series row emit None — the caller applies silence-reference defaults
+    * exactly as the batch `defaults` map does.
+    *
+    * Same ordering contract and watermark-timeout expiry as
+    * [[envelopeStream]]: each key's rows must arrive in non-decreasing
+    * `(tsv, side)` order ACROSS micro-batches (any order within a batch —
+    * the group sorts before folding); an emitted enrichment is final in
+    * Append mode. Parity: equal to [[graft.operators.AsOfJoin.asOf]] on
+    * in-order-per-key input across any micro-batch split (StreamingSpec). */
+  def asOfStream(rows: Dataset[AsOfIn],
+                 watermark: String): Dataset[AsOfOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[AsOfIn], state: GroupState[AsOfState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(r => (r.tsv, r.side))
+            var st = state.getOption.getOrElse(
+              AsOfState(Long.MinValue, -1, 0L, 0.0, seen = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+            var maxTs = Long.MinValue
+            for (r <- sorted
+                 if r.tsv > st.lastTsv ||
+                   (r.tsv == st.lastTsv && r.side > st.lastSide)) {
+              if (r.side == 0)
+                st = AsOfState(r.tsv, 0, r.tsv, r.value, seen = true)
+              else {
+                out += AsOfOut(key, r.tsv,
+                  if (st.seen) Some(st.seriesTsv) else None,
+                  if (st.seen) Some(st.seriesVal) else None)
+                st = st.copy(lastTsv = r.tsv, lastSide = 1)
+              }
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            state.update(st)
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, "1 hour")
+            out.iterator
+          }
+        })
+  }
+
+  /** Tag-and-union two streams into the [[asOfStream]] input shape.
+    * `series` needs (`doc_id`, `tsv`, `value`, `ts`); `probes` needs
+    * (`doc_id`, `tsv`, `ts`). Both narrow projections — the single
+    * shuffle is the stateful key exchange inside [[asOfStream]]. */
+  def asOfUnion(probes: DataFrame, series: DataFrame): Dataset[AsOfIn] = {
+    import probes.sparkSession.implicits._
+    series.select(col("doc_id"), lit(0).as("side"), col("tsv"),
+        col("value").cast("double").as("value"), col("ts").cast("timestamp").as("ts"))
+      .unionByName(
+        probes.select(col("doc_id"), lit(1).as("side"), col("tsv"),
+          lit(0.0).as("value"), col("ts").cast("timestamp").as("ts")))
+      .as[AsOfIn]
+  }
+
   /** Tumbling frame aggregation on the token clock: pos → event time via
     * `timestamp_micros`, hop-sized tumbling windows — the streaming analog
     * of the batch framing (`window($"ts", frame, hop)` would give the

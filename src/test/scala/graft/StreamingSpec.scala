@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -213,6 +214,105 @@ class StreamingSpec extends AnyFunSuite {
         .flatMap { case (k, ps) => ps.map(k -> _) }
       assert(out.toSeq == expected)
     } finally q.stop()
+  }
+
+  test("streaming as-of join == batch AsOfJoin across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    // series/probe rows as (doc_id, tsv, value) / (doc_id, tsv)
+    val seriesRows = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0))
+    val probeRows = Seq(("A", 5L), ("A", 10L), ("A", 25L), ("A", 30L),
+      ("A", 40L), ("B", 10L), ("B", 15L))
+
+    // batch reference: the union-window sort-merge as-of
+    val batchOut = graft.operators.AsOfJoin.asOf(
+        probeRows.toDF("doc_id", "tsv"),
+        seriesRows.toDF("doc_id", "tsv", "value"),
+        "doc_id", "tsv", "tsv", Seq("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // asOfUnion's tagging projection, checked on static frames (the
+    // streaming run below drives ONE MemoryStream of pre-unioned rows so
+    // the micro-batch boundaries are exactly controlled — two independent
+    // MemoryStreams can be pulled in separate batches, which would break
+    // the per-key cross-batch ordering contract the operator documents)
+    val unioned = StreamOps.asOfUnion(
+        probeRows.map { case (d, t) => (d, t, ts(t)) }
+          .toDF("doc_id", "tsv", "ts"),
+        seriesRows.map { case (d, t, v) => (d, t, v, ts(t)) }
+          .toDF("doc_id", "tsv", "value", "ts"))
+      .collect()
+    assert(unioned.count(_.side == 0) == seriesRows.length)
+    assert(unioned.count(_.side == 1) == probeRows.length)
+    assert(unioned.filter(_.side == 0).map(r => (r.doc_id, r.tsv, r.value))
+      .sortBy(t => (t._1, t._2)).toSeq == seriesRows.sortBy(t => (t._1, t._2)))
+
+    val mem = MemoryStream[(String, Int, Long, Double, Timestamp)]
+    val in = mem.toDF().toDF("doc_id", "side", "tsv", "value", "ts")
+      .as[StreamOps.AsOfIn]
+    val q = StreamOps.asOfStream(in, "1 hour")
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: per-key prefixes in (tsv, side) order
+      mem.addData(("A", 0, 10L, 1.0, ts(10)), ("A", 0, 20L, 2.0, ts(20)),
+        ("A", 1, 5L, 0.0, ts(5)), ("A", 1, 10L, 0.0, ts(10)),
+        ("B", 1, 10L, 0.0, ts(10)))
+      q.processAllAvailable()
+      // batch 2: the rest (still non-decreasing per key)
+      mem.addData(("A", 0, 30L, 3.0, ts(30)), ("B", 0, 15L, 9.0, ts(15)),
+        ("A", 1, 25L, 0.0, ts(25)), ("A", 1, 30L, 0.0, ts(30)),
+        ("A", 1, 40L, 0.0, ts(40)), ("B", 1, 15L, 0.0, ts(15)))
+      q.processAllAvailable()
+      val out = spark.table("asof")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(out == batchOut)
+      // tie semantics: the series row AT the probe ts is visible
+      assert(out.contains(("A", 10L, Some(1.0))))
+      assert(out.contains(("B", 15L, Some(9.0))))
+      // probes before any series row carry None (caller applies defaults)
+      assert(out.contains(("A", 5L, None)))
+      assert(out.contains(("B", 10L, None)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch exactly-once upsert: replayed batch ids are skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("graft-stream-sink").toString
+    val mem = MemoryStream[(String, Int, Double)]
+    val q = mem.toDF().toDF("doc_id", "v", "x")
+      .writeStream
+      .foreachBatch(graft.sink.KeyedSink.foreachBatchUpsert(path, "doc_id"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(("a", 1, 10.0), ("b", 1, 20.0))
+      q.processAllAvailable()
+      mem.addData(("b", 2, 99.0), ("c", 1, 30.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = graft.sink.KeyedSink.read(spark, path).get.orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 1, 10.0), ("b", 2, 99.0), ("c", 1, 30.0)))
+    val lastBatch = graft.sink.KeyedSink.lastStreamBatch(path)
+    assert(lastBatch.contains(1L))
+    val snapBefore = graft.sink.KeyedSink.latestSnapshot(path).get
+    // simulate the restart replay: Spark re-runs the last batch id
+    val replayed = graft.sink.KeyedSink.upsertStreamBatch(spark, path, 1L,
+      Seq(("b", 3, 777.0)).toDF("doc_id", "v", "x"), "doc_id")
+    assert(replayed.isEmpty) // skipped — no new snapshot, no data change
+    assert(graft.sink.KeyedSink.latestSnapshot(path).get == snapBefore)
+    // a genuinely new batch commits and advances the recorded id
+    val st = graft.sink.KeyedSink.upsertStreamBatch(spark, path, 2L,
+      Seq(("d", 1, 40.0)).toDF("doc_id", "v", "x"), "doc_id")
+    assert(st.nonEmpty)
+    assert(graft.sink.KeyedSink.lastStreamBatch(path).contains(2L))
+    assert(graft.sink.KeyedSink.read(spark, path).get.count() == 4)
   }
 
   test("streaming tumbling frame agg produces exact integer energies") {
