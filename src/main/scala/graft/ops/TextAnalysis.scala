@@ -110,6 +110,88 @@ object TextAnalysis {
        |      THEN n_chars END) AS p99_chars
        |FROM r GROUP BY lang""".stripMargin
 
+  /** Repetition-based quality stats (the Gopher/RefinedWeb-style repetition
+    * filters): per doc, unigram and bigram duplication — `dup_word_frac`
+    * (fraction of word occurrences that are repeats) and `top_bigram_frac`
+    * (share of the most frequent bigram), the signals used to drop
+    * boilerplate/spam docs before training.
+    *
+    * == Shape ==
+    * A single NARROW projection — all counts are per-doc array expressions,
+    * so there is no explode and no shuffle at any corpus size; cost per doc
+    * is O(uniq·n) via the distinct-scan count, with n capped by the
+    * analysis-length cap. (For uncapped multi-MB docs the same stats come
+    * from the explode → count → max relational shape at one extra exchange;
+    * this corpus caps n, so the zero-shuffle form wins.) The two fractions
+    * are single IEEE divisions of exact integers — bitwise across engines. */
+  def repetitionStats(documents0: DataFrame): DataFrame = {
+    val documents = graft.core.Partitioning.balance(documents0, "doc_id")
+    documents
+      .withColumn("words", expr(wordsExpr))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(words) >= 2 THEN
+          |  transform(sequence(0, size(words) - 2),
+          |    i -> concat(words[i], ' ', words[i + 1]))
+          |ELSE array() END""".stripMargin))
+      .withColumn("n_words", expr("CAST(size(words) AS INT)"))
+      .withColumn("n_uniq_words",
+        expr("CAST(size(array_distinct(words)) AS INT)"))
+      .withColumn("top_word_n", expr(
+        """CAST(IF(n_words = 0, 0, array_max(
+          |  transform(array_distinct(words),
+          |    d -> size(filter(words, g -> g = d))))) AS INT)""".stripMargin))
+      .withColumn("n_bigrams", expr("CAST(size(bigrams) AS INT)"))
+      .withColumn("n_uniq_bigrams",
+        expr("CAST(size(array_distinct(bigrams)) AS INT)"))
+      .withColumn("top_bigram_n", expr(
+        """CAST(IF(n_bigrams = 0, 0, array_max(
+          |  transform(array_distinct(bigrams),
+          |    d -> size(filter(bigrams, g -> g = d))))) AS INT)""".stripMargin))
+      .withColumn("dup_word_frac", expr(
+        "IF(n_words = 0, CAST(0.0 AS DOUBLE), CAST(n_words - n_uniq_words AS DOUBLE) / n_words)"))
+      .withColumn("top_bigram_frac", expr(
+        "IF(n_bigrams = 0, CAST(0.0 AS DOUBLE), CAST(top_bigram_n AS DOUBLE) / n_bigrams)"))
+      .select("doc_id", "n_words", "n_uniq_words", "top_word_n",
+        "dup_word_frac", "n_bigrams", "n_uniq_bigrams", "top_bigram_n",
+        "top_bigram_frac")
+  }
+
+  /** DuckDB mirror of [[repetitionStats]]. */
+  val duckRepetitionSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, $duckWordsExpr AS words FROM documents),
+       |b AS (
+       |  SELECT doc_id, words,
+       |    CASE WHEN len(words) >= 2 THEN
+       |      list_transform(range(CAST(len(words) - 1 AS BIGINT)),
+       |        i -> concat(words[i + 1], ' ', words[i + 2]))
+       |    ELSE [] END AS bigrams
+       |  FROM w),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS INTEGER) AS n_words,
+       |    CAST(len(list_distinct(words)) AS INTEGER) AS n_uniq_words,
+       |    CAST(CASE WHEN len(words) = 0 THEN 0 ELSE list_max(
+       |      list_transform(list_distinct(words),
+       |        d -> len(list_filter(words, g -> g = d)))) END AS INTEGER)
+       |      AS top_word_n,
+       |    CAST(len(bigrams) AS INTEGER) AS n_bigrams,
+       |    CAST(len(list_distinct(bigrams)) AS INTEGER) AS n_uniq_bigrams,
+       |    CAST(CASE WHEN len(bigrams) = 0 THEN 0 ELSE list_max(
+       |      list_transform(list_distinct(bigrams),
+       |        d -> len(list_filter(bigrams, g -> g = d)))) END AS INTEGER)
+       |      AS top_bigram_n
+       |  FROM b)
+       |SELECT doc_id, n_words, n_uniq_words, top_word_n,
+       |  CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(n_words - n_uniq_words AS DOUBLE) / n_words END
+       |    AS dup_word_frac,
+       |  n_bigrams, n_uniq_bigrams, top_bigram_n,
+       |  CASE WHEN n_bigrams = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(top_bigram_n AS DOUBLE) / n_bigrams END
+       |    AS top_bigram_frac
+       |FROM c""".stripMargin
+
   /** DuckDB mirror of [[analyze]] over the `documents` view. */
   val duckAnalyzeSql: String = duckAnalyzeSqlFrom("documents")
 

@@ -33,6 +33,9 @@ object CurationQueries {
   // stratified-sample rates: cap the over-represented 'en', keep all 'zh'
   val StratRates = Map("en" -> 200, "zh" -> 1000, "de" -> 500)
   val StratDefault = 800
+  // decontamination: word-trigram overlap vs the doc_id % 97 = 0 eval slice
+  val ContamN = 3
+  val ContamMinHits = 1L
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -215,6 +218,23 @@ object CurationQueries {
     // corpus length-distribution report: per-lang discrete p50/p90/p99
     "length_report" -> ((s, dir) =>
       graft.ops.TextAnalysis.lengthReport(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
+    // train/eval decontamination: training docs sharing >= 1 word trigram
+    // with the held-out slice (doc_id % 97 = 0) — broadcast eval-gram set,
+    // zero train-side shuffle before the per-doc count
+    "decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.Contamination.flagContaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        n = ContamN, minHits = ContamMinHits)
+    }),
+
+    // Gopher-style repetition quality stats (dup-word / top-bigram share),
+    // zero-shuffle narrow projection
+    "repetition_stats" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetitionStats(
         s.read.parquet(s"$dir/documents.parquet")))
   )
 
@@ -263,6 +283,9 @@ object CurationQueries {
          |  < ${graft.ops.Sampling.duckStratumThreshold("lang", StratRates,
                StratDefault)}""".stripMargin,
     "length_report" -> graft.ops.TextAnalysis.duckLengthReportSql,
+    "decontaminate" -> graft.ops.Contamination.duckSql(
+      ContamN, "doc_id % 97 = 0", ContamMinHits),
+    "repetition_stats" -> graft.ops.TextAnalysis.duckRepetitionSql,
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

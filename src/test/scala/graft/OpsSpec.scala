@@ -480,6 +480,43 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.mixdown(Array[Short](5, -7), 1).toSeq == Seq(5, -7))
   }
 
+  test("decontamination: trigram overlap vs the eval slice, hand-computed") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // eval
+      (2L, "zeta alpha beta gamma"),      // train: shares "alpha beta gamma"
+      (3L, "beta gamma delta epsilon"),   // train: shares "beta gamma delta"
+      (4L, "one two three four"),         // train: no overlap
+      (5L, "alpha beta gamma delta five") // train: shares BOTH eval trigrams
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Contamination.flagContaminated(
+        docs.filter(col("doc_id") =!= 1), docs.filter(col("doc_id") === 1),
+        n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 1L, 3L -> 1L, 5L -> 2L))
+    // per-doc grams are distinct: a repeated trigram counts once
+    val rep = Seq((1L, "a b c"), (2L, "a b c x a b c")).toDF("doc_id", "text")
+    val out2 = graft.ops.Contamination.flagContaminated(
+        rep.filter(col("doc_id") === 2), rep.filter(col("doc_id") === 1), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(2L -> 1L))
+  }
+
+  test("repetition stats: dup-word and top-bigram shares, hand-computed") {
+    val docs = Seq((1L, "x x x y"), (2L, "a b c d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4),
+          r.getInt(5), r.getInt(6), r.getInt(7), r.getDouble(8))).toMap
+    // "x x x y": words 4/2 uniq, top "x"=3, dup 0.5;
+    // bigrams ["x x","x x","x y"]: 3/2 uniq, top "x x"=2, share 2/3
+    assert(out(1L) == ((4, 2, 3, 0.5, 3, 2, 2, 2.0 / 3.0)))
+    // all-distinct doc: zero duplication
+    assert(out(2L) == ((4, 4, 1, 0.0, 3, 3, 1, 1.0 / 3.0)))
+    // empty doc: guarded zeros, no division blowup
+    assert(out(3L) == ((0, 0, 0, 0.0, 0, 0, 0, 0.0)))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
