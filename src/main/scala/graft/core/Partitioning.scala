@@ -61,4 +61,28 @@ object Partitioning {
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))
       .agg(merge.head, merge.tail: _*)
+
+  /** Bucketed persistent write: pre-shuffles ONCE at write time so every
+    * later equi-join or aggregation on `key` against a co-bucketed table
+    * runs with ZERO exchange — the standing-layout answer to the north
+    * rule's repeated feature↔probe joins (Iceberg: a `bucket(N, key)`
+    * partition transform; no Iceberg jars in this sandbox, so the same
+    * contract via the session catalog's bucketed parquet). At 100 TB the
+    * one-time write shuffle is amortized over every downstream run that
+    * would otherwise re-shuffle both sides. `sortBy(key)` additionally
+    * lets sort-merge joins skip the per-task sort when Spark can prove
+    * per-bucket file order. Both tables MUST use the same `buckets` count
+    * (bucket alignment is what removes the exchange; PartitioningSpec
+    * pins the exchange-free plan). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Equi-join of two co-bucketed catalog tables on `key` — plans as a
+    * sort-merge join with NO ShuffleExchange on either side. */
+  def bucketedJoin(spark: SparkSession, tableA: String, tableB: String,
+                   key: String): DataFrame =
+    spark.table(tableA).join(spark.table(tableB), Seq(key))
 }

@@ -90,6 +90,29 @@ object TextAnalysis {
         pick(0.99).as("p99_chars"))
   }
 
+  /** Sketch-based variant of [[lengthReport]] for the uncapped-scale path:
+    * `approx_percentile` (Greenwald–Khanna) replaces the exact rank
+    * selection, turning the per-lang full window SORT into a mergeable
+    * sketch aggregation — map-side partials, no per-lang ordering, bounded
+    * memory per sketch regardless of group size. At 100 TB the exact
+    * report's `row_number` window must sort every group; the sketch is
+    * the right default there, with [[lengthReport]] as the exact backstop
+    * (and the oracle query). `accuracy` trades sketch size for error
+    * (1/accuracy relative-rank error); OpsSpec pins the sketch within
+    * tolerance of the exact report on the test corpus. */
+  def lengthReportApprox(documents: DataFrame,
+                         accuracy: Int = 10000): DataFrame =
+    documents
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        expr(s"approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), $accuracy)")
+          .as("pcts"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("pcts")(0).as("p50_chars"),
+        col("pcts")(1).as("p90_chars"),
+        col("pcts")(2).as("p99_chars"))
+
   /** DuckDB mirror of [[lengthReport]] (exponent-form literals force
     * DOUBLE arithmetic — see the Scaladoc there). */
   val duckLengthReportSql: String =

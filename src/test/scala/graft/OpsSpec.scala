@@ -517,6 +517,63 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0, 0.0, 0, 0, 0, 0.0)))
   }
 
+  test("bucketed co-located join plans with zero shuffle exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.core.Partitioning
+    val a = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("doc_id", "x")
+    val b = (1 to 100).map(i => (i.toLong, s"s$i")).toDF("doc_id", "y")
+    Partitioning.writeBucketed(a, "bkt_a", "doc_id", 4)
+    Partitioning.writeBucketed(b, "bkt_b", "doc_id", 4)
+    // force the sort-merge path (tiny test tables would broadcast, which
+    // hides exactly the exchange the bucketing is supposed to remove)
+    val thrBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count() // materialize so AQE finalizes the plan
+        val p = df.queryExecution.executedPlan match {
+          case ad: AdaptiveSparkPlanExec => ad.executedPlan
+          case p => p
+        }
+        p.collect { case e: ShuffleExchangeLike => e }.size
+      }
+      val j = Partitioning.bucketedJoin(spark, "bkt_a", "bkt_b", "doc_id")
+      assert(j.count() == 100)
+      assert(shuffles(j) == 0) // co-bucketed: join needs NO exchange
+      // control: the same join on raw (unbucketed) frames shuffles both sides
+      assert(shuffles(a.join(b, Seq("doc_id"))) == 2)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thrBefore)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("sketch length report within tolerance of the exact rank selection") {
+    val docs = (1 to 900).map { i =>
+      (i.toLong, Seq("en", "de", "zh")(i % 3), (i * 37) % 1000 + 1)
+    }.toDF("doc_id", "lang", "n_chars")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val exact = asMap(graft.ops.TextAnalysis.lengthReport(docs)
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("p50_chars").cast("long"), col("p90_chars").cast("long"),
+        col("p99_chars").cast("long")))
+    val approx = asMap(graft.ops.TextAnalysis.lengthReportApprox(docs)
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("p50_chars").cast("long"), col("p90_chars").cast("long"),
+        col("p99_chars").cast("long")))
+    assert(approx.keySet == exact.keySet)
+    for (k <- exact.keys) {
+      val (e50, e90, e99) = exact(k); val (a50, a90, a99) = approx(k)
+      def close(e: Long, a: Long) = math.abs(e - a) <= math.max(1L, e / 20)
+      assert(close(e50, a50) && close(e90, a90) && close(e99, a99),
+        s"$k exact=($e50,$e90,$e99) approx=($a50,$a90,$a99)")
+    }
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
