@@ -264,7 +264,14 @@ object StreamOps {
     * `(tsv, side)` order ACROSS micro-batches (any order within a batch —
     * the group sorts before folding); an emitted enrichment is final in
     * Append mode. Parity: equal to [[graft.operators.AsOfJoin.asOf]] on
-    * in-order-per-key input across any micro-batch split (StreamingSpec). */
+    * in-order-per-key input across any micro-batch split (StreamingSpec).
+    *
+    * Payload width: the state machine is payload-agnostic — `value` is one
+    * Double here because the typed state must have a concrete encoder;
+    * wider payloads ride the same operator by packing them on the series
+    * side (e.g. a serialized struct / the feature-vector array index) or
+    * by keying a second pass per column — state stays one observation per
+    * key either way. */
   def asOfStream(rows: Dataset[AsOfIn],
                  watermark: String): Dataset[AsOfOut] = {
     import rows.sparkSession.implicits._
