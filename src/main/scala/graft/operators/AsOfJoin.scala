@@ -139,4 +139,39 @@ object AsOfJoin {
     asOfKeys(p, s, Seq(key, saltCol), probeTs, seriesTs, payload, defaults)
       .drop(saltCol)
   }
+
+  /** Staleness-bounded as-of join (pandas `merge_asof(tolerance=...)` /
+    * Flink temporal-join-with-TTL semantics): identical to [[asOf]] except
+    * a match older than `tolerance` time units (probe ts − series ts,
+    * in the ts columns' own scale) is treated as NO match — the payload
+    * falls back to `defaults` (or null). A feature older than its
+    * freshness budget is worse than no feature: serving it would train on
+    * state the production system would never see.
+    *
+    * Plan shape: exactly [[asOf]]'s single exchange + sort — the matched
+    * series timestamp rides the same window fill as one extra payload
+    * column, and the staleness test is a projection on top. `tolerance`
+    * is inclusive (`age <= tolerance` keeps the match; ties at the probe
+    * ts have age 0). */
+  def asOfTolerance(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      payload: Seq[String],
+      tolerance: Long,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val matched = "__asof_matched_ts"
+    val s = series.withColumn(matched, col(seriesTs).cast("double"))
+    val joined = asOfKeys(probes, s, Seq(key), probeTs, seriesTs,
+      payload :+ matched)
+    val stale = col(matched).isNull ||
+      col(probeTs).cast("double") - col(matched) > tolerance
+    joined.select(probes.columns.map(col) ++ payload.map { c =>
+      when(stale,
+        defaults.getOrElse(c, lit(null).cast(series.schema(c).dataType)))
+        .otherwise(col(c)).as(c)
+    }: _*)
+  }
 }

@@ -16,6 +16,9 @@ object EventQueries {
   /** Session gap: 30 minutes, in microseconds. */
   val SessionGapUs: Long = 30L * 60 * 1000000
 
+  /** As-of freshness budget: 1 hour, in microseconds. */
+  val AsOfTolUs: Long = 60L * 60 * 1000000
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // gap-based sessionization per user (session_window batch analog)
@@ -43,6 +46,19 @@ object EventQueries {
         .select(col("user_id"), col("ts_us").as("v_us"), col("value"))
       AsOfJoin.asOf(probes, series, "user_id", "ts_us", "v_us", Seq("value"))
         .withColumnRenamed("value", "last_view_value")
+    }),
+
+    // staleness-bounded as-of: a view older than 1 h is no feature at all
+    "events_asof_tol" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val series = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"), col("value"))
+      AsOfJoin.asOfTolerance(probes, series, "user_id", "ts_us", "v_us",
+          Seq("value"), tolerance = AsOfTolUs)
+        .withColumnRenamed("value", "fresh_view_value")
     }),
 
     // lag / lead / rank / running exact-integer sum per user
@@ -82,6 +98,16 @@ object EventQueries {
         |probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
         |ser AS (SELECT user_id, ts_us AS v_us, value FROM ev WHERE event_type = 'view')
         |SELECT p.user_id, p.event_id, p.ts_us, s.value AS last_view_value
+        |FROM probes p ASOF LEFT JOIN ser s
+        |  ON p.user_id = s.user_id AND p.ts_us >= s.v_us""".stripMargin,
+
+    "events_asof_tol" ->
+      s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+        |ser AS (SELECT user_id, ts_us AS v_us, value FROM ev WHERE event_type = 'view')
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  CASE WHEN p.ts_us - s.v_us <= ${AsOfTolUs}
+        |       THEN s.value END AS fresh_view_value
         |FROM probes p ASOF LEFT JOIN ser s
         |  ON p.user_id = s.user_id AND p.ts_us >= s.v_us""".stripMargin,
 

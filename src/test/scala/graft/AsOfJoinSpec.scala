@@ -41,6 +41,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).isNullAt(2))
   }
 
+  test("tolerance: stale matches fall back like missing history") {
+    // tolerance 10: probe 99 finds series 30 (age 69 > 10) -> stale
+    val out = AsOfJoin.asOfTolerance(probes, series, "k", "t", "ts",
+        Seq("v"), tolerance = 10L, defaults = Map("v" -> lit(-1.0)))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("a", 9L, -1.0),  // no history at all -> default
+      ("a", 10L, 1.0),  // tie: age 0 -> fresh
+      ("a", 25L, 2.0),  // age 5 -> fresh
+      ("a", 99L, -1.0), // age 69 > 10 -> STALE, default (asOf keeps 3.0)
+      ("b", 4L, -1.0),
+      ("b", 5L, 9.0)))
+    // boundary is inclusive: age exactly == tolerance keeps the match
+    val edge = AsOfJoin.asOfTolerance(
+        Seq(("a", 30L)).toDF("k", "t"), series, "k", "t", "ts",
+        Seq("v"), tolerance = 10L).collect()
+    assert(edge.length == 1 && edge(0).getDouble(2) == 3.0)
+    val edge2 = AsOfJoin.asOfTolerance(
+        Seq(("a", 40L)).toDF("k", "t"), series, "k", "t", "ts",
+        Seq("v"), tolerance = 10L).collect()
+    assert(edge2.length == 1 && edge2(0).getDouble(2) == 3.0) // age == tol
+    // without defaults a stale match nulls, preserving the payload type
+    val n = AsOfJoin.asOfTolerance(
+        Seq(("a", 99L)).toDF("k", "t"), series, "k", "t", "ts",
+        Seq("v"), tolerance = 10L).collect()
+    assert(n.length == 1 && n(0).isNullAt(2))
+  }
+
   test("probe columns preserved; zero row multiplication") {
     val p2 = probes.withColumn("tag", concat(col("k"), lit("#"), col("t")))
     val out = AsOfJoin.asOf(p2, series, "k", "t", "ts", Seq("v"))
