@@ -174,4 +174,65 @@ object AsOfJoin {
         .otherwise(col(c)).as(c)
     }: _*)
   }
+
+  /** Forward as-of / label-attribution join: for every probe `(key, t)`,
+    * the FIRST series row STRICTLY after `t` and within `horizon`
+    * (`series ts − t ∈ (0, horizon]`) — how outcomes become training
+    * labels ("did a purchase follow this click within a day?"). Strictly
+    * after, not at-or-after: a simultaneous outcome cannot have been
+    * caused by the probe, so counting it would leak the label into the
+    * features; beyond-horizon outcomes fall back to `defaults` (an
+    * unconverted example, not a missing row).
+    *
+    * Implementation mirrors [[asOf]] with the window reversed: same
+    * union-tagging (`side 0` = series — at equal ts it sorts BEFORE the
+    * probe and the `[current row, following)` frame therefore EXCLUDES it,
+    * giving the strict inequality), `first(payload) OVER (... ROWS BETWEEN
+    * CURRENT ROW AND UNBOUNDED FOLLOWING)` — still ONE hash exchange on
+    * the key + one sort, linear, no row multiplication. Series rows should
+    * be unique per `(key, ts)` (duplicates make the picked row
+    * order-dependent — same contract as [[asOf]]). */
+  def leadJoin(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      payload: Seq[String],
+      horizon: Long,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val ts = "__lead_ts"
+    val side = "__lead_side"
+    val matched = "__lead_matched"
+    val nonKey = probeCols.filterNot(_ == key)
+
+    val s = series.select(
+      col(key) +: col(seriesTs).cast("double").as(ts) +: lit(0).as(side) +:
+        (payload.map(c => col(c).as(s"__p_$c")) ++
+          nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c))): _*)
+    val p = probes.select(
+      col(key) +: col(probeTs).cast("double").as(ts) +: lit(1).as(side) +:
+        (payload.map(c =>
+          lit(null).cast(series.schema(c).dataType).as(s"__p_$c")) ++
+          nonKey.map(col)): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val filled = s.unionByName(p).select(
+      col("*") +:
+        (payload.map(c =>
+          first(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"__f_$c")) :+
+          first(when(col(side) === 0, col(ts)), ignoreNulls = true).over(w)
+            .as(matched)): _*)
+
+    val miss = col(matched).isNull || (col(matched) - col(ts) > horizon)
+    filled.filter(col(side) === 1)
+      .select(probeCols.map(col) ++ payload.map { c =>
+        when(miss,
+          defaults.getOrElse(c, lit(null).cast(series.schema(c).dataType)))
+          .otherwise(col(s"__f_$c")).as(c)
+      }: _*)
+  }
 }

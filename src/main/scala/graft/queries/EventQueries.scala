@@ -19,6 +19,9 @@ object EventQueries {
   /** As-of freshness budget: 1 hour, in microseconds. */
   val AsOfTolUs: Long = 60L * 60 * 1000000
 
+  /** Label-attribution horizon: 1 day, in microseconds. */
+  val LabelHorizonUs: Long = 24L * 60 * 60 * 1000000
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // gap-based sessionization per user (session_window batch analog)
@@ -59,6 +62,21 @@ object EventQueries {
       AsOfJoin.asOfTolerance(probes, series, "user_id", "ts_us", "v_us",
           Seq("value"), tolerance = AsOfTolUs)
         .withColumnRenamed("value", "fresh_view_value")
+    }),
+
+    // label attribution: first purchase strictly after each click, within
+    // 1 day — the outcome-join that turns events into training labels
+    "events_label_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val outcomes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("o_us"), col("value"))
+      AsOfJoin.leadJoin(probes, outcomes, "user_id", "ts_us", "o_us",
+          Seq("value"), horizon = LabelHorizonUs,
+          defaults = Map("value" -> lit(0.0)))
+        .withColumnRenamed("value", "label_purchase_value")
     }),
 
     // lag / lead / rank / running exact-integer sum per user
@@ -110,6 +128,16 @@ object EventQueries {
         |       THEN s.value END AS fresh_view_value
         |FROM probes p ASOF LEFT JOIN ser s
         |  ON p.user_id = s.user_id AND p.ts_us >= s.v_us""".stripMargin,
+
+    "events_label_join" ->
+      s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+        |outc AS (SELECT user_id, ts_us AS o_us, value FROM ev WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_us,
+        |  CASE WHEN o.o_us IS NOT NULL AND o.o_us - p.ts_us <= ${LabelHorizonUs}
+        |       THEN o.value ELSE 0.0e0 END AS label_purchase_value
+        |FROM probes p ASOF LEFT JOIN outc o
+        |  ON p.user_id = o.user_id AND p.ts_us < o.o_us""".stripMargin,
 
     "events_window" ->
       """WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,

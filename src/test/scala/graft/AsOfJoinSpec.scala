@@ -70,6 +70,30 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(n.length == 1 && n(0).isNullAt(2))
   }
 
+  test("leadJoin: first outcome strictly after, within horizon") {
+    val out = AsOfJoin.leadJoin(probes, series, "k", "t", "ts",
+        Seq("v"), horizon = 100L, defaults = Map("v" -> lit(0.0)))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("a", 9L, 1.0),   // next outcome at 10
+      ("a", 10L, 2.0),  // STRICTLY after: same-ts 10 excluded -> 20
+      ("a", 25L, 3.0),  // next at 30
+      ("a", 99L, 0.0),  // no later outcome -> default (unconverted)
+      ("b", 4L, 9.0),
+      ("b", 5L, 0.0)))  // 5 itself excluded, nothing later
+    // horizon is inclusive and bounds attribution
+    val h = AsOfJoin.leadJoin(
+        Seq(("a", 9L), ("a", 5L)).toDF("k", "t"), series, "k", "t", "ts",
+        Seq("v"), horizon = 1L, defaults = Map("v" -> lit(0.0)))
+      .orderBy("t").collect().map(_.getDouble(2))
+    assert(h.toSeq == Seq(0.0, 1.0)) // t=5: 10 is 5 away > 1 -> 0; t=9: 10 in budget
+    // no defaults -> typed null on unconverted probes
+    val n = AsOfJoin.leadJoin(Seq(("a", 99L)).toDF("k", "t"), series,
+      "k", "t", "ts", Seq("v"), horizon = 10L).collect()
+    assert(n.length == 1 && n(0).isNullAt(2))
+  }
+
   test("probe columns preserved; zero row multiplication") {
     val p2 = probes.withColumn("tag", concat(col("k"), lit("#"), col("t")))
     val out = AsOfJoin.asOf(p2, series, "k", "t", "ts", Seq("v"))
