@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trailing event-time window features: for every probe `(key, t)`, count
+  * and sum the series events with `ts ∈ [t − window, t)` — "purchases in
+  * the 7 days before this click", the standard point-in-time aggregate
+  * feature next to the as-of join's "latest value". The upper bound is
+  * STRICTLY before `t`: an event simultaneous with the probe is not part
+  * of its history (zero temporal leakage, the same causality rule as
+  * [[AsOfJoin.leadJoin]]'s strict lower bound).
+  *
+  * == Plan shape ==
+  * The same union-tagging as [[AsOfJoin]]: series rows carry the value,
+  * probe rows ride along, ONE hash exchange on the key + one sort on
+  * `(ts, side)`, then a `RANGE BETWEEN window PRECEDING AND 1 PRECEDING`
+  * frame — Spark's window operator keeps a sliding frame over the sorted
+  * run, so cost is linear in events per key, never probe × series. The
+  * range frame needs an integer timestamp (`-1` = strictly before); use
+  * microsecond longs. Aggregates over exact integers (counts, integer
+  * cents) are order-independent — bitwise across engines and
+  * partitionings. */
+object WindowFeatures {
+
+  /** @param probes  `key`, `probeTs` (+ any other columns, preserved)
+    * @param series  `key`, `seriesTs`, `valueCol` (integer-exact — cents,
+    *                counts; float sums would be order-dependent)
+    * @param window  trailing width in ts units (inclusive lower bound)
+    * @return probes + `w_n` (event count) + `w_sum` (value sum, 0 when
+    *         empty — an empty history is a real feature value, not null)
+    */
+  def trailingAgg(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      valueCol: String,
+      window: Long): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val ts = "__w_ts"
+    val side = "__w_side"
+    val v = "__w_v"
+    val nonKey = probeCols.filterNot(_ == key)
+
+    val s = series.select(
+      col(key) +: col(seriesTs).cast("long").as(ts) +: lit(0).as(side) +:
+        col(valueCol).cast("long").as(v) +:
+        nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val p = probes.select(
+      col(key) +: col(probeTs).cast("long").as(ts) +: lit(1).as(side) +:
+        lit(null).cast("long").as(v) +:
+        nonKey.map(col): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rangeBetween(-window, -1L)
+
+    s.unionByName(p)
+      .select(col("*"),
+        count(col(v)).over(w).as("w_n"),
+        coalesce(sum(col(v)).over(w), lit(0L)).as("w_sum"))
+      .filter(col(side) === 1)
+      .select(probeCols.map(col) :+ col("w_n") :+ col("w_sum"): _*)
+  }
+
+  /** DuckDB mirror over the `events` view: probes = `probeType` events,
+    * series = `seriesType` events valued in exact integer cents. */
+  def duckTrailingSql(probeType: String, seriesType: String,
+                      window: Long): String =
+    s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,
+       |                    CAST(round(value * 100) AS BIGINT) AS cents
+       |            FROM events),
+       |u AS (
+       |  SELECT user_id, ts_us, 0 AS side, cents,
+       |         CAST(NULL AS BIGINT) AS event_id
+       |  FROM ev WHERE event_type = '$seriesType'
+       |  UNION ALL
+       |  SELECT user_id, ts_us, 1 AS side, NULL AS cents, event_id
+       |  FROM ev WHERE event_type = '$probeType'),
+       |f AS (
+       |  SELECT *,
+       |    count(cents) OVER w AS w_n,
+       |    coalesce(sum(cents) OVER w, 0) AS w_sum
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |    RANGE BETWEEN $window PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, ts_us,
+       |  CAST(w_n AS BIGINT) AS w_n, CAST(w_sum AS BIGINT) AS w_sum
+       |FROM f WHERE side = 1""".stripMargin
+}

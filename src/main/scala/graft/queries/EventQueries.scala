@@ -79,6 +79,20 @@ object EventQueries {
         .withColumnRenamed("value", "label_purchase_value")
     }),
 
+    // trailing point-in-time window feature: purchases in the 24 h before
+    // each click (count + exact-cents sum; empty history = 0, not null)
+    "events_trailing" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val series = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"), col("cents"))
+      graft.operators.WindowFeatures.trailingAgg(probes, series,
+        "user_id", "ts_us", "p_us", "cents", window = LabelHorizonUs)
+    }),
+
     // lag / lead / rank / running exact-integer sum per user
     "events_window" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -138,6 +152,9 @@ object EventQueries {
         |       THEN o.value ELSE 0.0e0 END AS label_purchase_value
         |FROM probes p ASOF LEFT JOIN outc o
         |  ON p.user_id = o.user_id AND p.ts_us < o.o_us""".stripMargin,
+
+    "events_trailing" -> graft.operators.WindowFeatures.duckTrailingSql(
+      "click", "purchase", LabelHorizonUs),
 
     "events_window" ->
       """WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,

@@ -94,6 +94,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(n.length == 1 && n(0).isNullAt(2))
   }
 
+  test("trailingAgg: strictly-before range window, hand-computed") {
+    val ser = Seq(("a", 10L, 5L), ("a", 20L, 7L), ("a", 30L, 11L))
+      .toDF("k", "ts", "cents")
+    val prb = Seq(("a", 10L), ("a", 20L), ("a", 25L), ("a", 31L), ("a", 200L),
+      ("b", 50L)).toDF("k", "t")
+    val out = graft.operators.WindowFeatures
+      .trailingAgg(prb, ser, "k", "t", "ts", "cents", window = 15L)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", 10L, 0L, 0L),   // event AT t excluded (strictly before)
+      ("a", 20L, 1L, 5L),   // [5, 19] -> the 10
+      ("a", 25L, 2L, 12L),  // [10, 24] -> 10 and 20
+      ("a", 31L, 2L, 18L),  // [16, 30] -> 20 and 30
+      ("a", 200L, 0L, 0L),  // empty history = 0, not null
+      ("b", 50L, 0L, 0L)))  // key with no series at all
+  }
+
   test("probe columns preserved; zero row multiplication") {
     val p2 = probes.withColumn("tag", concat(col("k"), lit("#"), col("t")))
     val out = AsOfJoin.asOf(p2, series, "k", "t", "ts", Seq("v"))
