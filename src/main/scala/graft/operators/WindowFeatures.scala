@@ -65,6 +65,79 @@ object WindowFeatures {
       .select(probeCols.map(col) :+ col("w_n") :+ col("w_sum"): _*)
   }
 
+  /** Multi-horizon form: one `(w_n_<i>, w_sum_<i>)` pair per window width,
+    * ALL from a single exchange + sort — every frame shares the same
+    * `(PARTITION BY key ORDER BY ts)` spec, so Catalyst collapses them
+    * into ONE Window operator with k sliding frames over one sorted run
+    * (the feature-store shape: 1 h / 1 d / 7 d trailing features priced at
+    * one shuffle, not k). Same strictly-before bound as [[trailingAgg]]. */
+  def trailingAggMulti(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      valueCol: String,
+      windows: Seq[Long]): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val ts = "__w_ts"
+    val side = "__w_side"
+    val v = "__w_v"
+    val nonKey = probeCols.filterNot(_ == key)
+
+    val s = series.select(
+      col(key) +: col(seriesTs).cast("long").as(ts) +: lit(0).as(side) +:
+        col(valueCol).cast("long").as(v) +:
+        nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val p = probes.select(
+      col(key) +: col(probeTs).cast("long").as(ts) +: lit(1).as(side) +:
+        lit(null).cast("long").as(v) +:
+        nonKey.map(col): _*)
+
+    val aggCols = windows.zipWithIndex.flatMap { case (win, i) =>
+      val w = Window.partitionBy(col(key)).orderBy(col(ts))
+        .rangeBetween(-win, -1L)
+      Seq(count(col(v)).over(w).as(s"w_n_$i"),
+        coalesce(sum(col(v)).over(w), lit(0L)).as(s"w_sum_$i"))
+    }
+    s.unionByName(p)
+      .select(col("*") +: aggCols: _*)
+      .filter(col(side) === 1)
+      .select(probeCols.map(col) ++ windows.indices.flatMap(i =>
+        Seq(col(s"w_n_$i"), col(s"w_sum_$i"))): _*)
+  }
+
+  /** DuckDB mirror of [[trailingAggMulti]] over the `events` view. */
+  def duckTrailingMultiSql(probeType: String, seriesType: String,
+                           windows: Seq[Long]): String = {
+    val aggs = windows.indices.flatMap { i =>
+      Seq(s"CAST(count(cents) OVER w$i AS BIGINT) AS w_n_$i",
+        s"CAST(coalesce(sum(cents) OVER w$i, 0) AS BIGINT) AS w_sum_$i")
+    }.mkString(",\n    ")
+    val frames = windows.zipWithIndex.map { case (win, i) =>
+      s"w$i AS (PARTITION BY user_id ORDER BY ts_us " +
+        s"RANGE BETWEEN $win PRECEDING AND 1 PRECEDING)"
+    }.mkString(", ")
+    s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,
+       |                    CAST(round(value * 100) AS BIGINT) AS cents
+       |            FROM events),
+       |u AS (
+       |  SELECT user_id, ts_us, 0 AS side, cents,
+       |         CAST(NULL AS BIGINT) AS event_id
+       |  FROM ev WHERE event_type = '$seriesType'
+       |  UNION ALL
+       |  SELECT user_id, ts_us, 1 AS side, NULL AS cents, event_id
+       |  FROM ev WHERE event_type = '$probeType'),
+       |f AS (
+       |  SELECT *,
+       |    $aggs
+       |  FROM u
+       |  WINDOW $frames)
+       |SELECT user_id, event_id, ts_us, ${windows.indices
+        .flatMap(i => Seq(s"w_n_$i", s"w_sum_$i")).mkString(", ")}
+       |FROM f WHERE side = 1""".stripMargin
+  }
+
   /** DuckDB mirror over the `events` view: probes = `probeType` events,
     * series = `seriesType` events valued in exact integer cents. */
   def duckTrailingSql(probeType: String, seriesType: String,

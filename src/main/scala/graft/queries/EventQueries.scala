@@ -22,6 +22,10 @@ object EventQueries {
   /** Label-attribution horizon: 1 day, in microseconds. */
   val LabelHorizonUs: Long = 24L * 60 * 60 * 1000000
 
+  /** Multi-horizon trailing feature widths: 1 h, 1 d, 7 d (microseconds). */
+  val TrailingWindowsUs: Seq[Long] =
+    Seq(AsOfTolUs, LabelHorizonUs, 7L * LabelHorizonUs)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // gap-based sessionization per user (session_window batch analog)
@@ -93,6 +97,19 @@ object EventQueries {
         "user_id", "ts_us", "p_us", "cents", window = LabelHorizonUs)
     }),
 
+    // multi-horizon trailing features (1 h / 1 d / 7 d) in ONE window pass
+    "events_trailing_multi" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val series = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"), col("cents"))
+      graft.operators.WindowFeatures.trailingAggMulti(probes, series,
+        "user_id", "ts_us", "p_us", "cents", TrailingWindowsUs)
+    }),
+
     // lag / lead / rank / running exact-integer sum per user
     "events_window" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -155,6 +172,10 @@ object EventQueries {
 
     "events_trailing" -> graft.operators.WindowFeatures.duckTrailingSql(
       "click", "purchase", LabelHorizonUs),
+
+    "events_trailing_multi" ->
+      graft.operators.WindowFeatures.duckTrailingMultiSql(
+        "click", "purchase", TrailingWindowsUs),
 
     "events_window" ->
       """WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,

@@ -112,6 +112,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("b", 50L, 0L, 0L)))  // key with no series at all
   }
 
+  test("trailingAggMulti == per-window singles, in ONE window operator") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ser = Seq(("a", 10L, 5L), ("a", 20L, 7L), ("a", 30L, 11L),
+      ("b", 8L, 3L)).toDF("k", "ts", "cents")
+    val prb = Seq(("a", 15L), ("a", 31L), ("b", 9L)).toDF("k", "t")
+    val wins = Seq(5L, 15L, 100L)
+    val multi = graft.operators.WindowFeatures
+      .trailingAggMulti(prb, ser, "k", "t", "ts", "cents", wins)
+    val got = multi.orderBy("k", "t").collect()
+      .map(r => (0 until r.length).map(i => r.get(i)).toList)
+    val singles = wins.map(w => graft.operators.WindowFeatures
+      .trailingAgg(prb, ser, "k", "t", "ts", "cents", w)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(2), r.getLong(3))))
+    for (row <- got.indices; wi <- wins.indices)
+      assert((got(row)(2 + 2 * wi), got(row)(3 + 2 * wi)) ==
+        (singles(wi)(row)._1, singles(wi)(row)._2))
+    // all three frames share one sort: exactly ONE window op, ONE exchange
+    multi.count()
+    val plan = multi.queryExecution.executedPlan match {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case w: WindowExec => w }.size == 1)
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.size == 1)
+  }
+
   test("probe columns preserved; zero row multiplication") {
     val p2 = probes.withColumn("tag", concat(col("k"), lit("#"), col("t")))
     val out = AsOfJoin.asOf(p2, series, "k", "t", "ts", Seq("v"))
