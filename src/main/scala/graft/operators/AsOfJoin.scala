@@ -162,16 +162,21 @@ object AsOfJoin {
       payload: Seq[String],
       tolerance: Long,
       defaults: Map[String, Column] = Map.empty): DataFrame = {
-    val matched = "__asof_matched_ts"
-    val s = series.withColumn(matched, col(seriesTs).cast("double"))
-    val joined = asOfKeys(probes, s, Seq(key), probeTs, seriesTs,
-      payload :+ matched)
-    val stale = col(matched).isNull ||
-      col(probeTs).cast("double") - col(matched) > tolerance
+    // the matched timestamp and the served values travel as ONE struct, so
+    // they always come from the SAME series row — per-column ignoreNulls
+    // fills could serve an older non-null value under a fresh matched ts,
+    // silently bypassing the staleness bound this operator exists to
+    // enforce (a NULL payload at the matched row is served as NULL)
+    val pack = "__asof_pack"
+    val s = series.withColumn(pack,
+      struct(col(seriesTs).cast("double").as("__ts") +: payload.map(col): _*))
+    val joined = asOfKeys(probes, s, Seq(key), probeTs, seriesTs, Seq(pack))
+    val stale = col(pack).isNull ||
+      col(probeTs).cast("double") - col(pack)("__ts") > tolerance
     joined.select(probes.columns.map(col) ++ payload.map { c =>
       when(stale,
         defaults.getOrElse(c, lit(null).cast(series.schema(c).dataType)))
-        .otherwise(col(c)).as(c)
+        .otherwise(col(pack)(c)).as(c)
     }: _*)
   }
 
@@ -204,35 +209,35 @@ object AsOfJoin {
     val probeCols = probes.columns.toSeq
     val ts = "__lead_ts"
     val side = "__lead_side"
-    val matched = "__lead_matched"
+    val pack = "__lead_pack"
     val nonKey = probeCols.filterNot(_ == key)
 
+    // matched ts + payloads as ONE struct (see asOfTolerance: per-column
+    // fills could serve a later row's value under an in-horizon matched
+    // ts, leaking a beyond-horizon outcome into the label)
     val s = series.select(
       col(key) +: col(seriesTs).cast("double").as(ts) +: lit(0).as(side) +:
-        (payload.map(c => col(c).as(s"__p_$c")) ++
-          nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c))): _*)
+        struct(col(seriesTs).cast("double").as("__ts") +: payload.map(col): _*)
+          .as(pack) +:
+        nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
     val p = probes.select(
       col(key) +: col(probeTs).cast("double").as(ts) +: lit(1).as(side) +:
-        (payload.map(c =>
-          lit(null).cast(series.schema(c).dataType).as(s"__p_$c")) ++
-          nonKey.map(col)): _*)
+        lit(null).cast(s.schema(pack).dataType).as(pack) +:
+        nonKey.map(col): _*)
 
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val filled = s.unionByName(p).select(
-      col("*") +:
-        (payload.map(c =>
-          first(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"__f_$c")) :+
-          first(when(col(side) === 0, col(ts)), ignoreNulls = true).over(w)
-            .as(matched)): _*)
+    val filled = s.unionByName(p).select(col("*"),
+      first(col(pack), ignoreNulls = true).over(w).as(s"__f_$pack"))
 
-    val miss = col(matched).isNull || (col(matched) - col(ts) > horizon)
+    val f = col(s"__f_$pack")
+    val miss = f.isNull || (f("__ts") - col(ts) > horizon)
     filled.filter(col(side) === 1)
       .select(probeCols.map(col) ++ payload.map { c =>
         when(miss,
           defaults.getOrElse(c, lit(null).cast(series.schema(c).dataType)))
-          .otherwise(col(s"__f_$c")).as(c)
+          .otherwise(f(c)).as(c)
       }: _*)
   }
 }

@@ -478,7 +478,17 @@ object Similarity {
     * [[embedDedupRecall]]. Everything is keyed off the ORIGINAL vec_id and
     * pure integer/double arithmetic, so the DuckDB mirror is bitwise. */
   def plantNearDups(embeddings0: DataFrame, plantMod: Int): DataFrame = {
-    val base = embeddings0.select(col("vec_id"),
+    // fail LOUDLY if a real id would collide with the twin id space
+    // (vec_id + PlantIdOffset): a collision would silently fan out every
+    // downstream join by id and corrupt both the near-dup output and the
+    // recall ground truth. The guard rides the vec_id projection itself so
+    // column pruning can never drop it.
+    val base = embeddings0.select(
+      expr(s"""IF(vec_id >= 0 AND vec_id < $PlantIdOffset, vec_id,
+              |   raise_error(concat('plantNearDups: vec_id ',
+              |     CAST(vec_id AS STRING),
+              |     ' outside [0, $PlantIdOffset) collides with twin ids')))"""
+        .stripMargin).as("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
     val twins = embeddings0.filter(expr(s"vec_id % $plantMod = 0"))
       .select((col("vec_id") + PlantIdOffset).as("vec_id"),

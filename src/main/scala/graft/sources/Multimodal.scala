@@ -155,26 +155,35 @@ object Multimodal {
     // decode: ImageIO.read allocates the whole raster from the header, so
     // a tiny crafted payload claiming 30000x30000 would drive a multi-GB
     // allocation (executor OOM — not the contracted salvage IAE) otherwise.
+    // NonFatal (not just IOException): the JDK plugins throw unchecked
+    // exceptions (ArrayIndexOutOfBounds, NegativeArraySize, ...) on crafted
+    // chunk data — those must become the contracted salvage IAE too, never
+    // a task-killing escape. Own IAEs pass through unwrapped.
     val img =
       try {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext)
-          throw new IllegalArgumentException(
-            "image: no registered decoder matched")
-        val reader = readers.next()
         try {
-          reader.setInput(iis)
-          val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
-          if (hw <= 0 || hh <= 0 || hw > 32768 || hh > 32768 ||
-              hw.toLong * hh > (1L << 26))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
             throw new IllegalArgumentException(
-              s"image: implausible dimensions ${hw}x$hh")
-          reader.read(0)
-        } finally { reader.dispose(); iis.close() }
-      } catch { case e: java.io.IOException =>
-        throw new IllegalArgumentException(s"image: ${e.getMessage}")
+              "image: no registered decoder matched")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+            if (hw <= 0 || hh <= 0 || hw > 32768 || hh > 32768 ||
+                hw.toLong * hh > (1L << 26))
+              throw new IllegalArgumentException(
+                s"image: implausible dimensions ${hw}x$hh")
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close()
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"image: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     if (img == null)
       throw new IllegalArgumentException("image: no registered decoder matched")
@@ -275,6 +284,19 @@ object Multimodal {
     * IllegalArgumentException on malformed input — same salvage contract:
     * the caller turns it into a status row, never a dropped record. */
   def decodeAvi(bytes: Array[Byte]): (Int, Int, Int, Array[Array[Int]]) = {
+    val (w, h, fps, _, frames) = decodeAviFrames(bytes, _ => true)
+    (w, h, fps, frames.map(_._2))
+  }
+
+  /** [[decodeAvi]] with per-frame selection: pixel extraction (the
+    * dominant decode cost — a per-pixel copy plus a w·h·4-byte allocation
+    * per frame) runs ONLY for frame indices `keep` accepts; rejected
+    * frames are chunk-skipped. At the realistic every-k-th sampling ratios
+    * the frame-sample operator advertises, eager full decode would throw
+    * away (k−1)/k of the work. Returns (width, height, fps, TOTAL frame
+    * count, kept (frame_id, gray) pairs in stream order). */
+  def decodeAviFrames(bytes: Array[Byte], keep: Int => Boolean)
+      : (Int, Int, Int, Int, Array[(Int, Array[Int])]) = {
     def fail(msg: String) = throw new IllegalArgumentException(s"AVI: $msg")
     if (bytes.length < 12) fail("truncated header")
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -288,7 +310,8 @@ object Multimodal {
     var width = -1; var height = -1; var fps = -1
     var scale = 0; var rate = 0
     var lastStrh = "" // stream type of the most recent strh (vids/auds/...)
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var nFrames = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
     // walk(limit): parse sibling chunks until `limit`; LIST recurses.
     def walk(limit: Int): Unit = {
       while (buf.position() + 8 <= limit) {
@@ -338,18 +361,21 @@ object Multimodal {
             if (width < 0) fail("frame before stream format")
             val stride = (width * 3 + 3) & ~3
             if (size < stride * height) fail("truncated frame")
-            val px = new Array[Int](width * height)
-            var y = height - 1
-            while (y >= 0) {
-              val row = buf.position() + (height - 1 - y) * stride
-              var x = 0
-              while (x < width) {
-                px(y * width + x) = bytes(row + x * 3) & 0xff // blue
-                x += 1
+            if (keep(nFrames)) {
+              val px = new Array[Int](width * height)
+              var y = height - 1
+              while (y >= 0) {
+                val row = buf.position() + (height - 1 - y) * stride
+                var x = 0
+                while (x < width) {
+                  px(y * width + x) = bytes(row + x * 3) & 0xff // blue
+                  x += 1
+                }
+                y -= 1
               }
-              y -= 1
+              frames += ((nFrames, px))
             }
-            frames += px
+            nFrames += 1
             buf.position(end)
           case _ =>
             buf.position(end)
@@ -360,8 +386,8 @@ object Multimodal {
     }
     walk(bytes.length)
     if (width < 0) fail("no video stream format")
-    if (frames.isEmpty) fail("no frame chunks")
-    (width, height, fps, frames.toArray)
+    if (nFrames == 0) fail("no frame chunks")
+    (width, height, fps, nFrames, frames.toArray)
   }
 
   /** Deterministic synthetic corpus (no external data): audio records carry
@@ -441,6 +467,24 @@ object Multimodal {
     }.toDF("doc_id", "tokens", "n_tok", "source")
   }
 
+  /** 16-bin gray histogram + integer sum/sumsq of one pixel array,
+    * accumulated INTO the caller's counters (so multi-frame callers share
+    * one histogram) — the single implementation behind every gray
+    * featurizer here; counts/sums are exact Longs, divided once at the
+    * boundary. */
+  private[sources] def accumGray(gray: Array[Int],
+                                 hist: Array[Long]): (Long, Long) = {
+    var sum = 0L; var sumsq = 0L
+    var i = 0
+    while (i < gray.length) {
+      val g = gray(i)
+      hist(g >> 4) += 1L
+      sum += g; sumsq += g.toLong * g
+      i += 1
+    }
+    (sum, sumsq)
+  }
+
   /** Decode one record. Audio payloads go through the REAL WAV parser
     * (features = decoded-sample histogram + moments on the token scale);
     * image payloads through the REAL ImageIO PNG decoder (gray histogram +
@@ -450,19 +494,13 @@ object Multimodal {
   private def decode(r: MediaRecord): MediaFeatures =
     if (r.meta.kind == "image") {
       val (w, h, gray) = decodeImage(r.payload)
-      val hist = new Array[Double](16)
-      var sum = 0L; var sumsq = 0L
-      var i = 0
-      while (i < gray.length) {
-        val g = gray(i)
-        hist(g >> 4) += 1.0
-        sum += g; sumsq += g.toLong * g
-        i += 1
-      }
+      val hist = new Array[Long](16)
+      val (sum, sumsq) = accumGray(gray, hist)
       val n = w * h
       val mean = sum.toDouble / n
       MediaFeatures(r.doc_id, r.meta.kind, r.payload.length,
-        hist.map(_ / n) ++ Array(mean, sumsq.toDouble / n - mean * mean))
+        hist.map(_.toDouble / n) ++
+          Array(mean, sumsq.toDouble / n - mean * mean))
     } else if (r.meta.kind == "audio") {
       val (_, _, pcm) = decodeWav(r.payload)
       val hist = new Array[Double](16)
@@ -480,21 +518,17 @@ object Multimodal {
         hist.map(_ / n) ++ Array(mean, sumsq / n - mean * mean))
     } else {
       val (w, h, _, frames) = decodeAvi(r.payload)
-      val hist = new Array[Double](16)
+      val hist = new Array[Long](16)
       var sum = 0L; var sumsq = 0L
       for (fr <- frames) {
-        var i = 0
-        while (i < fr.length) {
-          val g = fr(i)
-          hist(g >> 4) += 1.0
-          sum += g; sumsq += g.toLong * g
-          i += 1
-        }
+        val (s, sq) = accumGray(fr, hist)
+        sum += s; sumsq += sq
       }
       val n = w * h * frames.length
       val mean = sum.toDouble / n
       MediaFeatures(r.doc_id, r.meta.kind, r.payload.length,
-        hist.map(_ / n) ++ Array(mean, sumsq.toDouble / n - mean * mean))
+        hist.map(_.toDouble / n) ++
+          Array(mean, sumsq.toDouble / n - mean * mean))
     }
 
   /** Batch feature extraction: mapPartitions keeps codec state (a real
@@ -529,14 +563,7 @@ object Multimodal {
     records.filter(_.meta.kind == "image").map { r =>
       val (w, h, gray) = decodeImage(r.payload)
       val histC = new Array[Long](16)
-      var sum = 0L; var sumsq = 0L
-      var i = 0
-      while (i < gray.length) {
-        val g = gray(i)
-        histC(g >> 4) += 1L
-        sum += g; sumsq += g.toLong * g
-        i += 1
-      }
+      val (sum, sumsq) = accumGray(gray, histC)
       val n = w * h
       val mean = sum.toDouble / n
       (r.doc_id, w, h, mean, sumsq.toDouble / n - mean * mean,
@@ -595,21 +622,16 @@ object Multimodal {
     require(sampleEvery > 0, s"bad sampleEvery: $sampleEvery")
     import records.sparkSession.implicits._
     records.filter(_.meta.kind == "video").flatMap { r =>
-      val (w, h, _, frames) = decodeAvi(r.payload)
-      for {
-        f <- frames.indices
-        if f % sampleEvery == 0
-      } yield {
-        val px = frames(f)
-        var sum = 0L; var sumsq = 0L
-        var i = 0
-        while (i < px.length) {
-          sum += px(i); sumsq += px(i).toLong * px(i)
-          i += 1
-        }
+      // selective decode: skipped frames are chunk-skipped, never
+      // pixel-copied (at 1-in-k sampling that is (k-1)/k of decode cost)
+      val (w, h, _, nFrames, frames) =
+        decodeAviFrames(r.payload, _ % sampleEvery == 0)
+      frames.toSeq.map { case (f, px) =>
+        val hist = new Array[Long](16) // scratch; only the moments are kept
+        val (sum, sumsq) = accumGray(px, hist)
         val n = w * h
         val mean = sum.toDouble / n
-        (r.doc_id, f, w, h, frames.length, mean,
+        (r.doc_id, f, w, h, nFrames, mean,
           sumsq.toDouble / n - mean * mean)
       }
     }.toDF("doc_id", "frame_id", "width", "height", "n_frames",

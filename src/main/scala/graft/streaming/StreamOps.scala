@@ -54,14 +54,20 @@ object StreamOps {
     * batches, buffer frames upstream until the watermark passes before
     * feeding this operator (the [[rollingMedianStream]] /
     * [[refractoryStream]] state pattern extends to such a buffer).
-    * State expires via event-time timeout once the watermark passes a
-    * key's last activity — bounded state at any stream scale.
+    * State expires via event-time timeout `stateTtl` after a key's last
+    * activity (watermark clock) — bounded state at any stream scale. The
+    * TTL is the parity/memory dial shared by every stateful op here: a
+    * key quiet for longer than `stateTtl` has its state evicted and its
+    * NEXT frame restarts the recursion from the initial state, so choose
+    * `stateTtl` ≥ the maximum per-key quiet gap where exact batch parity
+    * must hold (the batch kernels carry state across arbitrary gaps).
     *
     * Parity: on in-order-per-key input (any micro-batch split) the emitted
     * series is bitwise-equal to the batch kernel
     * [[graft.functions.expressions.EnvelopeScan]] (StreamingSpec). */
   def envelopeStream(frames: Dataset[FrameIn], coef: Double,
-                     watermark: String): Dataset[EnvOut] = {
+                     watermark: String,
+                     stateTtl: String = "1 hour"): Dataset[EnvOut] = {
     import frames.sparkSession.implicits._
     frames
       .withWatermark("ts", watermark)
@@ -84,7 +90,7 @@ object StreamOps {
             }
             state.update(st)
             if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
-              state.setTimeoutTimestamp(maxTs, "1 hour")
+              state.setTimeoutTimestamp(maxTs, stateTtl)
             out.iterator
           }
         })
@@ -107,7 +113,8 @@ object StreamOps {
     * on in-order-per-key input across any micro-batch split
     * (StreamingSpec). */
   def forwardFillStream(rows: Dataset[FfIn],
-                        watermark: String): Dataset[FfOut] = {
+                        watermark: String,
+                        stateTtl: String = "1 hour"): Dataset[FfOut] = {
     import rows.sparkSession.implicits._
     rows
       .withWatermark("ts", watermark)
@@ -132,7 +139,7 @@ object StreamOps {
             }
             state.update(st)
             if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
-              state.setTimeoutTimestamp(maxTs, "1 hour")
+              state.setTimeoutTimestamp(maxTs, stateTtl)
             out.iterator
           }
         })
@@ -155,7 +162,8 @@ object StreamOps {
     * any order is fine). Parity: bitwise-equal to the batch kernel on
     * in-order-per-key input across any micro-batch split (StreamingSpec). */
   def rollingMedianStream(frames: Dataset[FrameIn], span: Int,
-                          watermark: String): Dataset[MedOut] = {
+                          watermark: String,
+                          stateTtl: String = "1 hour"): Dataset[MedOut] = {
     import frames.sparkSession.implicits._
     frames
       .withWatermark("ts", watermark)
@@ -180,7 +188,7 @@ object StreamOps {
             }
             state.update(st)
             if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
-              state.setTimeoutTimestamp(maxTs, "1 hour")
+              state.setTimeoutTimestamp(maxTs, stateTtl)
             out.iterator
           }
         })
@@ -203,7 +211,8 @@ object StreamOps {
     * Append mode. Parity: bitwise-equal to the batch array fold on
     * in-order-per-key input across any micro-batch split (StreamingSpec). */
   def refractoryStream(events: Dataset[EvIn], gap: Long,
-                       watermark: String): Dataset[EvOut] = {
+                       watermark: String,
+                       stateTtl: String = "1 hour"): Dataset[EvOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
@@ -228,7 +237,7 @@ object StreamOps {
             }
             state.update(st)
             if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
-              state.setTimeoutTimestamp(maxTs, "1 hour")
+              state.setTimeoutTimestamp(maxTs, stateTtl)
             out.iterator
           }
         })
@@ -263,8 +272,13 @@ object StreamOps {
     * [[envelopeStream]]: each key's rows must arrive in non-decreasing
     * `(tsv, side)` order ACROSS micro-batches (any order within a batch —
     * the group sorts before folding); an emitted enrichment is final in
-    * Append mode. Parity: equal to [[graft.operators.AsOfJoin.asOf]] on
-    * in-order-per-key input across any micro-batch split (StreamingSpec).
+    * Append mode. Duplicate `(tsv, side)` tuples WITHIN one batch are
+    * legal and all emit (matching the batch operator); a tuple at or
+    * behind a previous batch's frontier is dropped (indistinguishable
+    * from a replay — give duplicates that must survive batch boundaries
+    * distinct timestamps). Parity: equal to
+    * [[graft.operators.AsOfJoin.asOf]] on in-order-per-key input across
+    * any micro-batch split (StreamingSpec).
     *
     * Payload width: the state machine is payload-agnostic — `value` is one
     * Double here because the typed state must have a concrete encoder;
@@ -273,7 +287,8 @@ object StreamOps {
     * by keying a second pass per column — state stays one observation per
     * key either way. */
   def asOfStream(rows: Dataset[AsOfIn],
-                 watermark: String): Dataset[AsOfOut] = {
+                 watermark: String,
+                 stateTtl: String = "1 hour"): Dataset[AsOfOut] = {
     import rows.sparkSession.implicits._
     rows
       .withWatermark("ts", watermark)
@@ -290,9 +305,15 @@ object StreamOps {
               AsOfState(Long.MinValue, -1, 0L, 0.0, seen = false))
             val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
             var maxTs = Long.MinValue
+            // the cross-batch ordering guard compares against the state AS
+            // OF BATCH START, not the evolving fold state: two probes at
+            // the SAME (tsv, side) within one batch are both legal input
+            // (the batch operator enriches both) and must both emit —
+            // only rows at-or-behind a PREVIOUS batch's frontier drop
+            val (floorTsv, floorSide) = (st.lastTsv, st.lastSide)
             for (r <- sorted
-                 if r.tsv > st.lastTsv ||
-                   (r.tsv == st.lastTsv && r.side > st.lastSide)) {
+                 if r.tsv > floorTsv ||
+                   (r.tsv == floorTsv && r.side > floorSide)) {
               if (r.side == 0)
                 st = AsOfState(r.tsv, 0, r.tsv, r.value, seen = true)
               else {
@@ -305,7 +326,7 @@ object StreamOps {
             }
             state.update(st)
             if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
-              state.setTimeoutTimestamp(maxTs, "1 hour")
+              state.setTimeoutTimestamp(maxTs, stateTtl)
             out.iterator
           }
         })

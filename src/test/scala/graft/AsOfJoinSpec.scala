@@ -94,6 +94,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(n.length == 1 && n(0).isNullAt(2))
   }
 
+  test("tolerance/lead serve the MATCHED row's value even when it is null") {
+    // series: t=100 v=5.0, t=200 v=NULL; per-column ignoreNulls fill would
+    // serve the stale 5.0 under the fresh matched ts 200 — the staleness
+    // bound must apply to the value actually served
+    val ser = Seq[(String, Long, Option[Double])](
+      ("a", 100L, Some(5.0)), ("a", 200L, None)).toDF("k", "ts", "v")
+    val tol = AsOfJoin.asOfTolerance(
+        Seq(("a", 210L)).toDF("k", "t"), ser, "k", "t", "ts",
+        Seq("v"), tolerance = 50L, defaults = Map("v" -> lit(-1.0)))
+      .collect()
+    // matched row (200, NULL) is fresh -> serve ITS value (null), never 5.0
+    assert(tol.length == 1 && tol(0).isNullAt(2))
+    // leadJoin: series (5, NULL), (50, 7.0); probe 0, horizon 10 — the
+    // matched row is 5 (in horizon) with value NULL; 7.0 at t=50 is beyond
+    // the horizon and must NOT leak in as the label
+    val ser2 = Seq[(String, Long, Option[Double])](
+      ("a", 5L, None), ("a", 50L, Some(7.0))).toDF("k", "ts", "v")
+    val lead = AsOfJoin.leadJoin(
+        Seq(("a", 0L)).toDF("k", "t"), ser2, "k", "t", "ts",
+        Seq("v"), horizon = 10L).collect()
+    assert(lead.length == 1 && lead(0).isNullAt(2))
+  }
+
   test("trailingAgg: strictly-before range window, hand-computed") {
     val ser = Seq(("a", 10L, 5L), ("a", 20L, 7L), ("a", 30L, 11L))
       .toDF("k", "ts", "cents")

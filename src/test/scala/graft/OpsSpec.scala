@@ -574,6 +574,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("plantNearDups fails loudly when a real id collides with twin ids") {
+    val bad = Seq((graft.ops.Similarity.PlantIdOffset + 7, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      graft.ops.Similarity.plantNearDups(bad, 5).count()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("plantNearDups"))
+  }
+
+  test("decodeAviFrames: selective decode keeps ids and total frame count") {
+    val (w, h) = (6, 4)
+    val nF = 7
+    val frames = Array.tabulate(nF) { f =>
+      Array.tabulate(w * h)(i => (f * 31 + (i % w) * 7 + (i / w) * 13) & 0xff)
+    }
+    val avi = Multimodal.encodeAvi(w, h, frames)
+    val (dw, dh, _, total, kept) =
+      Multimodal.decodeAviFrames(avi, _ % 3 == 0)
+    assert(dw == w && dh == h && total == nF)
+    assert(kept.map(_._1).toSeq == Seq(0, 3, 6))
+    // kept frames are pixel-identical to a full decode
+    val (_, _, _, all) = Multimodal.decodeAvi(avi)
+    for ((f, px) <- kept) assert(px.sameElements(all(f)))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()

@@ -282,6 +282,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of: duplicate same-ts probes in one batch all emit") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    val mem = MemoryStream[(String, Int, Long, Double, Timestamp)]
+    val in = mem.toDF().toDF("doc_id", "side", "tsv", "value", "ts")
+      .as[StreamOps.AsOfIn]
+    val q = StreamOps.asOfStream(in, "1 hour")
+      .writeStream.format("memory").queryName("asof_dup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two clicks in the same microsecond: the batch operator enriches
+      // both — the stream must too (in-batch duplicates are legal input)
+      mem.addData(("A", 0, 10L, 1.0, ts(10)),
+        ("A", 1, 20L, 0.0, ts(20)), ("A", 1, 20L, 0.0, ts(20)))
+      q.processAllAvailable()
+      val out = spark.table("asof_dup").collect()
+        .map(r => (r.getLong(1), r.getDouble(3)))
+      assert(out.length == 2 && out.forall(_ == ((20L, 1.0))))
+    } finally q.stop()
+  }
+
   test("foreachBatch exactly-once upsert: replayed batch ids are skipped") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("graft-stream-sink").toString
