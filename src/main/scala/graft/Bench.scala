@@ -34,6 +34,9 @@ object Bench {
     "embed_topk",         // similarity search
     "dedup_embed",        // banded sign-LSH near-dup (round-3 scale fix)
     "gbdt_score_large",   // node-table ensemble walk (500-tree path)
+    "events_label_join",  // forward as-of (label attribution)
+    "events_trailing_multi", // 3-horizon trailing features, one window pass
+    "decontaminate",      // broadcast eval-gram contamination check
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
