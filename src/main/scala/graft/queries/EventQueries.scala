@@ -110,6 +110,27 @@ object EventQueries {
         "user_id", "ts_us", "p_us", "cents", TrailingWindowsUs)
     }),
 
+    // FLAGSHIP composition: leakage-free training-set assembly — as-of
+    // state feature (1 h freshness) + 3-horizon trailing history + 1-day
+    // forward label, all from one declarative plan
+    "training_set" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      graft.features.TrainingSet.assemble(
+        probes = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts_us")),
+        state = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us").as("v_us"), col("value")),
+        stateTs = "v_us", stateVal = "value",
+        outcomes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("o_us"), col("cents")),
+        outcomeTs = "o_us", outcomeVal = "cents",
+        key = "user_id", probeTs = "ts_us",
+        freshness = AsOfTolUs, horizons = TrailingWindowsUs,
+        labelH = LabelHorizonUs)
+    }),
+
     // lag / lead / rank / running exact-integer sum per user
     "events_window" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -176,6 +197,39 @@ object EventQueries {
     "events_trailing_multi" ->
       graft.operators.WindowFeatures.duckTrailingMultiSql(
         "click", "purchase", TrailingWindowsUs),
+
+    "training_set" -> {
+      val histCols = TrailingWindowsUs.indices
+        .flatMap(i => Seq(s"w_n_$i", s"w_sum_$i")).mkString(", ")
+      s"""WITH st AS (
+         |  WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+         |  probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+         |  ser AS (SELECT user_id, ts_us AS v_us, value FROM ev WHERE event_type = 'view')
+         |  SELECT p.user_id, p.event_id, p.ts_us,
+         |    CASE WHEN p.ts_us - s.v_us <= $AsOfTolUs THEN s.value END AS f_state
+         |  FROM probes p ASOF LEFT JOIN ser s
+         |    ON p.user_id = s.user_id AND p.ts_us >= s.v_us),
+         |hist AS (
+         |  ${graft.operators.WindowFeatures
+                .duckTrailingMultiSql("click", "purchase", TrailingWindowsUs)
+                .replace("\n", "\n  ")}),
+         |lab AS (
+         |  WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,
+         |                     CAST(round(value * 100) AS BIGINT) AS cents
+         |             FROM events),
+         |  probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+         |  outc AS (SELECT user_id, ts_us AS o_us, cents FROM ev WHERE event_type = 'purchase')
+         |  SELECT p.event_id,
+         |    CASE WHEN o.o_us IS NOT NULL AND o.o_us - p.ts_us <= $LabelHorizonUs
+         |         THEN o.cents ELSE CAST(0 AS BIGINT) END AS label
+         |  FROM probes p ASOF LEFT JOIN outc o
+         |    ON p.user_id = o.user_id AND p.ts_us < o.o_us)
+         |SELECT st.user_id, st.event_id, st.ts_us, st.f_state,
+         |  $histCols, lab.label
+         |FROM st
+         |JOIN hist ON hist.event_id = st.event_id
+         |JOIN lab ON lab.event_id = st.event_id""".stripMargin
+    },
 
     "events_window" ->
       """WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,

@@ -164,6 +164,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.collect { case e: ShuffleExchangeLike => e }.size == 1)
   }
 
+  test("training-set assembly: zero temporal leakage by construction") {
+    def assemble(outcomes: Seq[(String, Long, Long)]) =
+      graft.features.TrainingSet.assemble(
+        probes = Seq(("u", 1L, 100L)).toDF("k", "event_id", "t"),
+        state = Seq(("u", 90L, 5.0)).toDF("k", "sts", "sv"),
+        stateTs = "sts", stateVal = "sv",
+        outcomes = outcomes.toDF("k", "ots", "cents"),
+        outcomeTs = "ots", outcomeVal = "cents",
+        key = "k", probeTs = "t",
+        freshness = 50L, horizons = Seq(30L), labelH = 20L)
+        .collect().map(r => (r.getDouble(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).head
+    // baseline: one past outcome (in history), no future outcome
+    val base = assemble(Seq(("u", 80L, 7L)))
+    assert(base == ((5.0, 1L, 7L, 0L))) // state 5.0, history (1, 7), label 0
+    // appending a FUTURE outcome changes ONLY the label, never a feature
+    val withFuture = assemble(Seq(("u", 80L, 7L), ("u", 110L, 9L)))
+    assert(withFuture == ((5.0, 1L, 7L, 9L)))
+    // an outcome AT the probe timestamp is neither feature nor label
+    val simultaneous = assemble(Seq(("u", 80L, 7L), ("u", 100L, 99L)))
+    assert(simultaneous == ((5.0, 1L, 7L, 0L)))
+  }
+
   test("probe columns preserved; zero row multiplication") {
     val p2 = probes.withColumn("tag", concat(col("k"), lit("#"), col("t")))
     val out = AsOfJoin.asOf(p2, series, "k", "t", "ts", Seq("v"))
