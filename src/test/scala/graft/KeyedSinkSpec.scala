@@ -47,6 +47,29 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("a", 1, 10.0), ("b", 2, 99.0)))
   }
 
+  test("drift report between two snapshots: exact hand-computed moments") {
+    val path = freshPath()
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 2.0, 10.0), ("b", 4.0, 10.0)).toDF("doc_id", "x", "y"),
+      "doc_id")
+    // snapshot 2: x shifts up by 1 on one key, y unchanged, one new key
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 3.0, 10.0), ("c", 3.0, 10.0)).toDF("doc_id", "x", "y"),
+      "doc_id")
+    val rep = graft.sink.Drift.report(spark, path, 1, 2, Seq("x", "y")).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // snap 1: x in {2,4} -> mean 3, var_pop 1; snap 2: x in {3,4,3} ->
+    // mean 10/3, var_pop 2/9
+    assert(rep("x")._1 == 2L && rep("x")._2 == 3.0 && rep("x")._3 == 1.0)
+    assert(rep("x")._4 == 3L && rep("x")._5 == 10.0 / 3.0)
+    assert(math.abs(rep("x")._6 - 2.0 / 9.0) < 1e-15)
+    assert(rep("y")._2 == 10.0 && rep("y")._5 == 10.0) // y undrifted
+    // uncommitted snapshot -> None, never a wrong report
+    assert(graft.sink.Drift.report(spark, path, 1, 9, Seq("x")).isEmpty)
+  }
+
   test("pending: version-diff resume semantics (modtime analog)") {
     val path = freshPath()
     val v1 = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x")
