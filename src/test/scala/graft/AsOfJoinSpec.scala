@@ -187,6 +187,50 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(simultaneous == ((5.0, 1L, 7L, 0L)))
   }
 
+  test("randomized brute-force parity: tolerance / lead / trailing") {
+    // 60 random keys (= trials), all evaluated in ONE job per operator by
+    // baking the trial into the join key; reference = O(n^2) scan
+    val rnd = new scala.util.Random(20260817L)
+    val Tol = 37L; val Hor = 23L; val Win = 41L
+    val series = for {
+      t <- 0 until 60
+      ts <- rnd.shuffle((0L until 300L).toList).take(rnd.nextInt(25))
+    } yield (s"k$t", ts, (rnd.nextInt(199) + 1).toLong)
+    val probes = for {
+      t <- 0 until 60
+      _ <- 0 until (rnd.nextInt(10) + 1)
+    } yield (s"k$t", rnd.nextInt(320).toLong)
+    val serByK = series.groupBy(_._1)
+    val serDf = series.toDF("k", "ts", "cents")
+    val prbDf = probes.distinct.toDF("k", "t")
+
+    val tol = AsOfJoin.asOfTolerance(prbDf, serDf, "k", "t", "ts",
+        Seq("cents"), Tol).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val lead = AsOfJoin.leadJoin(prbDf, serDf, "k", "t", "ts",
+        Seq("cents"), Hor).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val trail = graft.operators.WindowFeatures
+      .trailingAgg(prbDf, serDf, "k", "t", "ts", "cents", Win).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+
+    for ((k, t) <- probes.distinct) {
+      val ser = serByK.getOrElse(k, Seq.empty)
+      val expTol = ser.filter(_._2 <= t).sortBy(_._2).lastOption
+        .filter(s => t - s._2 <= Tol).map(_._3)
+      assert(tol((k, t)) == expTol, s"tol k=$k t=$t")
+      val expLead = ser.filter(_._2 > t).sortBy(_._2).headOption
+        .filter(s => s._2 - t <= Hor).map(_._3)
+      assert(lead((k, t)) == expLead, s"lead k=$k t=$t")
+      val inWin = ser.filter(s => s._2 >= t - Win && s._2 < t)
+      assert(trail((k, t)) == ((inWin.size.toLong, inWin.map(_._3).sum)),
+        s"trail k=$k t=$t")
+    }
+  }
+
   test("probe columns preserved; zero row multiplication") {
     val p2 = probes.withColumn("tag", concat(col("k"), lit("#"), col("t")))
     val out = AsOfJoin.asOf(p2, series, "k", "t", "ts", Seq("v"))
