@@ -34,6 +34,28 @@ object TokenQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // corpus vocabulary report: top-100 token values by frequency with
+    // rank and cumulative coverage — the "what covers X% of the corpus"
+    // query run before choosing a tokenizer/vocab cut. One exchange
+    // (token-keyed count with map-side partials); the ranking window runs
+    // over the VOCAB (<= 2^11 distinct values here, bounded by the token
+    // alphabet at any corpus size), not the corpus
+    "token_vocab" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = seqs(s, dir)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val ord = Window.orderBy(col("cnt").desc, col("token"))
+      counts
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum_frac",
+          (sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("double") /
+            sum(col("cnt")).over(Window.partitionBy())).cast("double"))
+        .filter(col("rank") <= 100)
+        .select(col("token"), col("cnt"), col("rank"), col("cum_frac"))
+    }),
+
     // analyser finalize: silent lead/trail strip + zero-pad to frame
     // boundaries + the recorded analyzation offset (SampleAnalyser.cpp:
     // 679-718). All-integer -> the padded array verifies via md5 digest.
@@ -252,6 +274,20 @@ object TokenQueries {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "token_vocab" ->
+      s"""WITH seqs AS (${Seqs.duckSql}),
+         |t AS (SELECT unnest(tokens) AS token FROM seqs),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |r AS (
+         |  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+         |      AS rank,
+         |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) / CAST(sum(cnt) OVER () AS DOUBLE) AS cum_frac
+         |  FROM c)
+         |SELECT token, cnt, rank, cum_frac FROM r WHERE rank <= 100""".stripMargin,
 
     "pad_frames" -> {
       val F = Seqs.FrameSize
