@@ -180,6 +180,76 @@ object AsOfJoin {
     }: _*)
   }
 
+  /** Nearest-neighbor as-of join (pandas `merge_asof(direction='nearest')`):
+    * for every probe `(key, t)` the series row whose timestamp is CLOSEST
+    * to `t` in either direction, optionally within `tolerance`; exact ties
+    * in distance resolve to the earlier (backward) row, matching pandas.
+    * Completes the direction family next to [[asOf]] (backward),
+    * [[asOfTolerance]] (backward + staleness bound) and [[leadJoin]]
+    * (forward + horizon). Unlike those two this operator READS THE FUTURE
+    * by design — it is a gap-repair / alignment tool for non-label
+    * covariates (sensor resampling, clock alignment), never a training
+    * feature source; the Scaladoc contract is the leakage warning.
+    *
+    * Plan shape: the SAME single hash exchange + one sort as [[asOf]] —
+    * both direction fills are window functions over the identical
+    * `(PARTITION BY key ORDER BY ts, side)` spec (backward `last` over
+    * `(unbounded preceding, current)`, forward `first` over `(current,
+    * unbounded following)`), so Catalyst plans ONE Window operator with two
+    * frames over one sorted run. Matched ts + payload travel as one struct
+    * per direction (same same-row guarantee as [[asOfTolerance]]). */
+  def asOfNearest(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      payload: Seq[String],
+      tolerance: Long = Long.MaxValue,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val ts = "__nr_ts"
+    val side = "__nr_side"
+    val pack = "__nr_pack"
+    val nonKey = probeCols.filterNot(_ == key)
+
+    val packed = struct(col(seriesTs).cast("double").as("__ts") +:
+      payload.map(col): _*)
+    val s = series.select(
+      col(key) +: col(seriesTs).cast("double").as(ts) +: lit(0).as(side) +:
+        packed.as(pack) +:
+        nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val p = probes.select(
+      col(key) +: col(probeTs).cast("double").as(ts) +: lit(1).as(side) +:
+        lit(null).cast(s.schema(pack).dataType).as(pack) +:
+        nonKey.map(col): _*)
+
+    val base = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val filled = s.unionByName(p).select(col("*"),
+      last(col(pack), ignoreNulls = true).over(wb).as("__b"),
+      first(col(pack), ignoreNulls = true).over(wf).as("__f"))
+
+    // distances: backward is at-or-before (>= 0); forward is strictly after
+    // (the equal-ts series row sorts before the probe, so the forward frame
+    // excludes it — it is already the backward candidate at distance 0)
+    val bDist = col(ts) - col("__b")("__ts")
+    val fDist = col("__f")("__ts") - col(ts)
+    val bOk = col("__b").isNotNull && bDist <= tolerance
+    val fOk = col("__f").isNotNull && fDist <= tolerance
+    val pickB = bOk && (!fOk || bDist <= fDist)
+
+    filled.filter(col(side) === 1)
+      .select(probeCols.map(col) ++ payload.map { c =>
+        val miss = defaults.getOrElse(c, lit(null).cast(series.schema(c).dataType))
+        when(pickB, col("__b")(c))
+          .when(fOk, col("__f")(c))
+          .otherwise(miss).as(c)
+      }: _*)
+  }
+
   /** Forward as-of / label-attribution join: for every probe `(key, t)`,
     * the FIRST series row STRICTLY after `t` and within `horizon`
     * (`series ts − t ∈ (0, horizon]`) — how outcomes become training

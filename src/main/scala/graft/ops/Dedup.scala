@@ -250,6 +250,60 @@ object Dedup {
        |SELECT src AS doc_id, min(lab) AS cluster
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Corpus-duplicated n-gram statistics (the document-level signal of
+    * Lee et al.'s "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): for every document, the fraction of its
+    * token k-gram OCCURRENCES whose k-gram also appears in at least one
+    * OTHER document. High `dup_frac` = boilerplate / template / near-copy
+    * mass; the per-doc fraction is the filter axis, and the `n_docs >= 2`
+    * gram set is the span-removal candidate list.
+    *
+    * Grams are exact packed identities ([[graft.functions.expressions
+    * .PackNgrams]], k ≤ 4) — no collision noise. Plan: one narrow explode
+    * (doc_id-only payload) → per-(doc, gram) partial agg → gram-keyed
+    * doc-frequency agg → join back + doc-keyed agg. Two gram exchanges +
+    * one doc exchange, all with map-side partials; the Zipf-head gram rows
+    * are bounded by the per-(doc,gram) pre-aggregation (join input is
+    * distinct docs per gram, never raw occurrences). */
+  def duplicatedNgramStats(seqs: DataFrame, k: Int): DataFrame = {
+    val perDocGram = LanguageModel.gramInstances(seqs, k)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+    val docFreq = perDocGram.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+    perDocGram.join(docFreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("n_occ")).otherwise(0L)).as("n_dup"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_distinct"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** DuckDB mirror of [[duplicatedNgramStats]] for k = 4 (vectorized
+    * 4-slice zip — per-gram string lambdas are ~1000× slower there). */
+  def duckDupNgramsSql(seqsSql: String): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ((((z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048)) * 4096
+       |       + (z[3] + 2048)) * 4096 + (z[4] + 2048)) AS gram
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(tokens[1:-4], tokens[2:-3],
+       |                          tokens[3:-2], tokens[4:-1])) AS z
+       |        FROM seqs)),
+       |pdg AS (SELECT doc_id, gram, count(*) AS n_occ FROM inst GROUP BY 1, 2),
+       |df AS (SELECT gram, count(*) AS n_docs FROM pdg GROUP BY 1)
+       |SELECT pdg.doc_id,
+       |  CAST(sum(pdg.n_occ) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN pdg.n_occ ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_distinct,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN pdg.n_occ ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(pdg.n_occ) AS DOUBLE) AS dup_frac
+       |FROM pdg JOIN df USING (gram)
+       |GROUP BY pdg.doc_id""".stripMargin
+
   /** Word-trigram Jaccard over candidate pairs blocked by `source` (exact
     * verifier; at scale feed it LSH candidates instead of the block join). */
   def ngramJaccard(documents0: DataFrame, minJaccard: Double): DataFrame = {

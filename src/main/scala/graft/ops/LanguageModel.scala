@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical language modeling for data curation: add-one
+  * smoothed bigram cross-entropy scoring (the CCNet-style "perplexity
+  * filter" that ranks documents by how well a reference LM predicts them)
+  * and DSIR-style importance weighting (per-doc average token log-ratio
+  * between a target subcorpus and the raw corpus — the importance-resampling
+  * score of Xie et al.'s "Data Selection for Language Models via Importance
+  * Resampling", arXiv:2302.03169).
+  *
+  * Token n-grams are the EXACT 48-bit packed identities of
+  * `graft_pack_ngrams` ([[graft.functions.expressions.PackNgrams]]) — no
+  * hash-collision noise, and the DuckDB mirrors stay pure vectorized zip
+  * arithmetic (no per-gram lambdas).
+  *
+  * == Determinism (bitwise across engines and partitionings) ==
+  * Every per-gram log value is converted to exact integer MICRO-NATS
+  * (`CAST(round(ln(·) · 10^6) AS BIGINT)`) before any aggregation: sums of
+  * int64 are order-free, so repartitioning can never flip a low bit. The
+  * ln argument is always ONE double division of two exact int64 products —
+  * a single libm call per distinct gram (parity corpus-verified, same
+  * status as the mfcc/gmean oracles).
+  *
+  * == Plan shape / scale ==
+  * Fit = explode (narrow, doc_id-only payload) + one gram-keyed exchange
+  * with map-side partials. Score = per-(doc, gram) pre-aggregation, one
+  * shuffle join on gram, one doc-keyed agg. Hot grams (Zipf head) land
+  * whole on one reducer at the join — bounded by the per-gram instance
+  * count; for 10^12-token corpora pre-aggregate instances per
+  * (gram, doc-bucket) or salt the join ([[graft.core.Partitioning]]). The
+  * count tables are O(vocab²) ≪ corpus and never leave the cluster.
+  */
+object LanguageModel {
+
+  /** Per-occurrence packed k-gram instances: `(doc_id, gram)` — explode
+    * carries only the doc id, never the token array. */
+  def gramInstances(seqs: DataFrame, k: Int): DataFrame =
+    seqs.select(col("doc_id"),
+      explode(expr(s"graft_pack_ngrams(tokens, $k)")).as("gram"))
+
+  /** Bigram model: `(gram, t1, c12, c1)` — bigram count and left-context
+    * count, both exact int64. One gram exchange + one (tiny) t1 exchange +
+    * a broadcast join of contexts back onto grams. */
+  def bigramCounts(seqs: DataFrame): DataFrame = {
+    val c12 = gramInstances(seqs, 2)
+      .groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+      .withColumn("t1", expr("gram div 4096"))
+    val c1 = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
+    c12.join(broadcast(c1), Seq("t1"))
+  }
+
+  /** Per-document add-one-smoothed bigram negative log-likelihood:
+    * `avg_nll = (1/n) Σ ln((c1 + V) / (c12 + 1))` in nats, with `V` the
+    * unigram vocabulary size and the model fit on `seqs` itself (the
+    * self-scoring form; to score against a reference corpus, fit
+    * [[bigramCounts]] there and join here). Low = predictable, fluent
+    * under the corpus model; high = outlier (the filter threshold axis).
+    * `n_bigrams` rides along so callers can re-weight. */
+  def scoreBigramNll(seqs: DataFrame): DataFrame = {
+    val v = gramInstances(seqs, 1)
+      .agg(countDistinct(col("gram")).as("__v"))
+    val nll = bigramCounts(seqs).crossJoin(broadcast(v))
+      .select(col("gram"),
+        expr("CAST(round(ln(CAST(c1 + __v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("nll_micro"))
+    gramInstances(seqs, 2)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+      .join(nll, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_bigrams"),
+        sum(col("n_occ") * col("nll_micro")).as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sum").cast("double") /
+          (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_nll"))
+  }
+
+  /** DuckDB mirror of [[scoreBigramNll]] (seqsSql = a CTE body yielding
+    * (doc_id, tokens)). */
+  def duckBigramNllSql(seqsSql: String): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)),
+       |c12 AS (SELECT gram, gram // 4096 AS t1, count(*) AS c12
+       |        FROM inst GROUP BY 1, 2),
+       |c1 AS (SELECT t1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT t + 2048) AS v
+       |      FROM (SELECT unnest(tokens) AS t FROM seqs)),
+       |nll AS (
+       |  SELECT c12.gram,
+       |    CAST(round(ln(CAST(c1.c1 + v.v AS DOUBLE)
+       |                  / CAST(c12.c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+       |      AS nll_micro
+       |  FROM c12 JOIN c1 USING (t1) CROSS JOIN v),
+       |dg AS (SELECT doc_id, gram, count(*) AS n_occ
+       |       FROM inst GROUP BY 1, 2)
+       |SELECT dg.doc_id,
+       |  CAST(sum(dg.n_occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(dg.n_occ * nll.nll_micro) AS DOUBLE)
+       |    / CAST(sum(dg.n_occ) * 1000000 AS DOUBLE) AS avg_nll
+       |FROM dg JOIN nll USING (gram)
+       |GROUP BY dg.doc_id""".stripMargin
+
+  /** DSIR importance weight per document: average per-token log-ratio
+    * `(1/n) Σ_tok ln(p_target(tok) / p_raw(tok))` with add-one smoothing,
+    * `p_target` fit on the rows satisfying `targetPred` (the high-quality
+    * reference slice) and `p_raw` on all of `seqs`. Positive = looks like
+    * the target distribution; the resampling step keeps documents with
+    * probability ∝ exp(weight) (here we emit the weight — sampling policy
+    * is the caller's). Smoothed ratio:
+    * `((ct + 1) · (Nr + V)) / ((Nt + V) · (cr + 1))` — one double division
+    * of exact int64 products per distinct token. */
+  def importanceWeights(seqs: DataFrame, targetPred: org.apache.spark.sql.Column): DataFrame = {
+    val inst = gramInstances(seqs, 1)
+    val raw = inst.groupBy(col("gram")).agg(count(lit(1)).as("cr"))
+    val tgt = gramInstances(seqs.filter(targetPred), 1)
+      .groupBy(col("gram")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("__nr"),
+        count(lit(1)).cast("long").as("__v"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("__nt")))
+    // every scored token exists in raw (the model's support); absent-in-
+    // target tokens smooth to ct = 0
+    val lr = raw.join(tgt, Seq("gram"), "left_outer")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("gram"),
+        expr("""CAST(round(ln(CAST((ct + 1) * (__nr + __v) AS DOUBLE)
+                / CAST((__nt + __v) * (cr + 1) AS DOUBLE)) * 1000000) AS BIGINT)""")
+          .as("lr_micro"))
+    inst.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+      .join(lr, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_tok"),
+        sum(col("n_occ") * col("lr_micro")).as("__sum"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("__sum").cast("double") /
+          (col("n_tok") * lit(1000000L)).cast("double")).as("avg_llr"))
+  }
+
+  /** DuckDB mirror of [[importanceWeights]] (targetWhere filters the seqs
+    * CTE rows that define the target distribution). */
+  def duckImportanceSql(seqsSql: String, targetWhere: String): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, source, (t + 2048)::BIGINT AS gram
+       |  FROM (SELECT doc_id, source, unnest(tokens) AS t FROM seqs)),
+       |raw AS (SELECT gram, count(*) AS cr FROM inst GROUP BY 1),
+       |tgt AS (SELECT gram, count(*) AS ct FROM inst
+       |        WHERE $targetWhere GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+       |               (SELECT count(*) FROM raw) AS v,
+       |               (SELECT sum(ct) FROM tgt) AS nt),
+       |lr AS (
+       |  SELECT raw.gram,
+       |    CAST(round(ln(CAST((coalesce(tgt.ct, 0) + 1) * (tot.nr + tot.v) AS DOUBLE)
+       |         / CAST((tot.nt + tot.v) * (raw.cr + 1) AS DOUBLE)) * 1000000) AS BIGINT)
+       |      AS lr_micro
+       |  FROM raw LEFT JOIN tgt USING (gram) CROSS JOIN tot),
+       |dg AS (SELECT doc_id, gram, count(*) AS n_occ FROM inst GROUP BY 1, 2)
+       |SELECT dg.doc_id,
+       |  CAST(sum(dg.n_occ) AS BIGINT) AS n_tok,
+       |  CAST(sum(dg.n_occ * lr.lr_micro) AS DOUBLE)
+       |    / CAST(sum(dg.n_occ) * 1000000 AS DOUBLE) AS avg_llr
+       |FROM dg JOIN lr USING (gram)
+       |GROUP BY dg.doc_id""".stripMargin
+}

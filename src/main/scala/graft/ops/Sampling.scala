@@ -93,6 +93,35 @@ object Sampling {
       .map { case (s, m) => s"WHEN $stratum = '$s' THEN $m" }
       .mkString("CASE ", " ", s" ELSE $defaultMille END")
 
+  /** Purged + embargoed TIME split (the leakage-safe form of a temporal
+    * train/test cut, cf. de Prado's purged k-fold): hash splits are wrong
+    * for time-series supervision because a training row whose LABEL WINDOW
+    * crosses the boundary has seen test-period outcomes. Given a boundary
+    * `B`, a label horizon `purge` and an `embargo` width:
+    *
+    *   - `train`:   `ts <  B − purge`   (its forward label, drawn from
+    *                `(ts, ts + purge]`, closes before the boundary)
+    *   - `purged`:  `B − purge ≤ ts < B` (label window crosses the cut —
+    *                dropped from BOTH sides)
+    *   - `embargo`: `B ≤ ts < B + embargo` (test rows whose trailing
+    *                features still overlap training-time state — dropped)
+    *   - `test`:    `ts ≥ B + embargo`
+    *
+    * Pure narrow projection (one CASE over the scan) — zero shuffle; the
+    * assignment is a pure function of `(ts, B, purge, embargo)`, so it is
+    * stable under reruns, repartitioning and corpus growth, like
+    * [[assignSplit]]. */
+  def purgedTimeSplit(df: DataFrame, ts: Column, boundary: Column,
+                      purge: Long, embargo: Long): DataFrame = {
+    require(purge >= 0 && embargo >= 0,
+      s"purge/embargo must be non-negative: $purge / $embargo")
+    df.withColumn("split",
+      when(ts < boundary - purge, "train")
+        .when(ts < boundary, "purged")
+        .when(ts < boundary + embargo, "embargo")
+        .otherwise("test"))
+  }
+
   /** DuckDB mirror of [[assignSplit]] over the documents table. */
   def duckSplitSql(spec: SplitSpec = SplitSpec()): String =
     s"""SELECT doc_id, ${duckMilleSlot("doc_id")} AS bucket,

@@ -36,6 +36,9 @@ object CurationQueries {
   // decontamination: word-trigram overlap vs the doc_id % 97 = 0 eval slice
   val ContamN = 3
   val ContamMinHits = 1L
+  // DSIR target slice + duplicated-n-gram width (k <= 4: exact packing)
+  val DsirTargetSource = "src0"
+  val DupNgramK = 4
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -235,7 +238,23 @@ object CurationQueries {
     // zero-shuffle narrow projection
     "repetition_stats" -> ((s, dir) =>
       graft.ops.TextAnalysis.repetitionStats(
-        s.read.parquet(s"$dir/documents.parquet")))
+        s.read.parquet(s"$dir/documents.parquet"))),
+
+    // CCNet-style perplexity filter: per-doc add-one bigram cross-entropy
+    // under the corpus model, exact micro-nat sums (order-free)
+    "lm_bigram_nll" -> ((s, dir) =>
+      graft.ops.LanguageModel.scoreBigramNll(Seqs.fromDocuments(s, dir))),
+
+    // DSIR importance weights: avg token log-ratio target-vs-raw; target
+    // distribution = the 'src0' slice (a stand-in reference corpus)
+    "dsir_weights" -> ((s, dir) =>
+      graft.ops.LanguageModel.importanceWeights(
+        Seqs.fromDocuments(s, dir), col("source") === DsirTargetSource)),
+
+    // corpus-duplicated 4-gram occurrence fraction per doc (Lee et al.
+    // dedup signal) — exact packed gram identities, no collision noise
+    "dup_ngrams" -> ((s, dir) =>
+      Dedup.duplicatedNgramStats(Seqs.fromDocuments(s, dir), DupNgramK))
   )
 
   def oracles: Map[String, String] = Map(
@@ -286,6 +305,11 @@ object CurationQueries {
     "decontaminate" -> graft.ops.Contamination.duckSql(
       ContamN, "doc_id % 97 = 0", ContamMinHits),
     "repetition_stats" -> graft.ops.TextAnalysis.duckRepetitionSql,
+    "lm_bigram_nll" ->
+      graft.ops.LanguageModel.duckBigramNllSql(Seqs.duckSql),
+    "dsir_weights" -> graft.ops.LanguageModel.duckImportanceSql(
+      Seqs.duckSql, s"source = '$DsirTargetSource'"),
+    "dup_ngrams" -> Dedup.duckDupNgramsSql(Seqs.duckSql),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -26,6 +26,9 @@ object EventQueries {
   val TrailingWindowsUs: Seq[Long] =
     Seq(AsOfTolUs, LabelHorizonUs, 7L * LabelHorizonUs)
 
+  /** Target-encoding smoothing pseudo-count (prior weight). */
+  val TargetEncodePrior = 20
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // gap-based sessionization per user (session_window batch analog)
@@ -66,6 +69,21 @@ object EventQueries {
       AsOfJoin.asOfTolerance(probes, series, "user_id", "ts_us", "v_us",
           Seq("value"), tolerance = AsOfTolUs)
         .withColumnRenamed("value", "fresh_view_value")
+    }),
+
+    // nearest-direction as-of (merge_asof direction='nearest'): clock
+    // alignment / gap repair for non-label covariates — reads the future
+    // by design, so it is NOT a training-feature path (see asOfNearest doc)
+    "events_asof_nearest" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val series = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"), col("value"))
+      AsOfJoin.asOfNearest(probes, series, "user_id", "ts_us", "v_us",
+          Seq("value"), tolerance = AsOfTolUs)
+        .withColumnRenamed("value", "nearest_view_value")
     }),
 
     // label attribution: first purchase strictly after each click, within
@@ -131,6 +149,37 @@ object EventQueries {
         labelH = LabelHorizonUs)
     }),
 
+    // leakage-free expanding target encoding: each purchase gets the
+    // smoothed mean of the SAME user's strictly-earlier purchases
+    // (empirical-Bayes prior weight 20) — the "entity's historical average
+    // outcome" feature, computed without reading the present or future
+    "target_encode" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("cents"))
+      graft.operators.TargetEncode.expandingMean(
+          purchases, "user_id", "ts_us", "cents", m = TargetEncodePrior)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_past"), col("enc"))
+    }),
+
+    // purged + embargoed time split: boundary at 70% of the observed time
+    // span, purge = the 1-day label horizon (train rows whose labels cross
+    // the cut are dropped), embargo = 1 h of post-boundary test rows
+    "purged_split" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"), col("ts_us"))
+      val bounds = ev.agg(min(col("ts_us")).as("__lo"), max(col("ts_us")).as("__hi"))
+      val b = ev.crossJoin(broadcast(bounds))
+        .withColumn("__b", expr("__lo + ((__hi - __lo) * 7) div 10"))
+      graft.ops.Sampling.purgedTimeSplit(b, col("ts_us"), col("__b"),
+          purge = LabelHorizonUs, embargo = AsOfTolUs)
+        .select(col("event_id"), col("ts_us"), col("split"))
+    }),
+
     // lag / lead / rank / running exact-integer sum per user
     "events_window" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -181,6 +230,29 @@ object EventQueries {
         |FROM probes p ASOF LEFT JOIN ser s
         |  ON p.user_id = s.user_id AND p.ts_us >= s.v_us""".stripMargin,
 
+    "events_asof_nearest" ->
+      s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+        |probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
+        |ser AS (SELECT user_id, ts_us AS v_us, value FROM ev WHERE event_type = 'view'),
+        |bwd AS (
+        |  SELECT p.user_id, p.event_id, p.ts_us, s.v_us AS b_us, s.value AS b_val
+        |  FROM probes p ASOF LEFT JOIN ser s
+        |    ON p.user_id = s.user_id AND p.ts_us >= s.v_us),
+        |fwd AS (
+        |  SELECT p.event_id, s.v_us AS f_us, s.value AS f_val
+        |  FROM probes p ASOF LEFT JOIN ser s
+        |    ON p.user_id = s.user_id AND p.ts_us < s.v_us)
+        |SELECT b.user_id, b.event_id, b.ts_us,
+        |  CASE
+        |    WHEN b.b_us IS NOT NULL AND b.ts_us - b.b_us <= $AsOfTolUs
+        |         AND (f.f_us IS NULL OR f.f_us - b.ts_us > $AsOfTolUs
+        |              OR b.ts_us - b.b_us <= f.f_us - b.ts_us)
+        |    THEN b.b_val
+        |    WHEN f.f_us IS NOT NULL AND f.f_us - b.ts_us <= $AsOfTolUs
+        |    THEN f.f_val
+        |  END AS nearest_view_value
+        |FROM bwd b JOIN fwd f ON f.event_id = b.event_id""".stripMargin,
+
     "events_label_join" ->
       s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
         |probes AS (SELECT user_id, event_id, ts_us FROM ev WHERE event_type = 'click'),
@@ -230,6 +302,37 @@ object EventQueries {
          |JOIN hist ON hist.event_id = st.event_id
          |JOIN lab ON lab.event_id = st.event_id""".stripMargin
     },
+
+    "target_encode" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT CAST(sum(cents) AS BIGINT) AS g_sum,
+         |             CAST(count(cents) AS BIGINT) AS g_cnt FROM p),
+         |w AS (
+         |  SELECT event_id, user_id, ts_us,
+         |    CAST(count(cents) OVER win AS BIGINT) AS n_past,
+         |    CAST(coalesce(sum(cents) OVER win, 0) AS BIGINT) AS cum
+         |  FROM p
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT w.event_id, w.user_id, w.ts_us, w.n_past,
+         |  CAST($TargetEncodePrior * g.g_sum + w.cum * g.g_cnt AS DOUBLE)
+         |    / CAST(g.g_cnt * ($TargetEncodePrior + w.n_past) AS DOUBLE) AS enc
+         |FROM w CROSS JOIN g""".stripMargin,
+
+    "purged_split" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+         |g AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+         |b AS (SELECT ev.*, g.lo + ((g.hi - g.lo) * 7) // 10 AS bnd
+         |      FROM ev CROSS JOIN g)
+         |SELECT event_id, ts_us,
+         |  CASE WHEN ts_us < bnd - $LabelHorizonUs THEN 'train'
+         |       WHEN ts_us < bnd THEN 'purged'
+         |       WHEN ts_us < bnd + $AsOfTolUs THEN 'embargo'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "events_window" ->
       """WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,

@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, TargetEncode}
+import graft.ops.{Dedup, LanguageModel, Sampling}
+
+/** Round-4 feature-engineering additions: nearest-direction as-of join,
+  * leakage-free expanding target encoding, purged time split, packed
+  * n-grams, bigram-LM scoring, DSIR importance weights, duplicated-n-gram
+  * stats. Reference semantics are pinned by in-memory brute force. */
+class FeatureEngSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def microNat(x: Double): Long =
+    // mirror Spark's round(double, 0): shortest-decimal BigDecimal HALF_UP
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  // ------------------------------------------------------------ as-of nearest
+
+  test("asOfNearest: direction pick, backward tie, tolerance, defaults") {
+    val series = Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0))
+      .toDF("k", "ts", "v")
+    val probes = Seq(("a", 9L), ("a", 14L), ("a", 15L), ("a", 16L),
+      ("a", 30L), ("a", 99L), ("b", 5L)).toDF("k", "t")
+    val out = AsOfJoin.asOfNearest(probes, series, "k", "t", "ts", Seq("v"),
+        tolerance = 40L, defaults = Map("v" -> lit(-1.0)))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("a", 9L, 1.0),   // forward 10 (dist 1) beats nothing-backward
+      ("a", 14L, 1.0),  // backward 10 (4) beats forward 20 (6)
+      ("a", 15L, 1.0),  // exact tie 5/5 -> backward (pandas semantics)
+      ("a", 16L, 2.0),  // forward 20 (4) beats backward 10 (6)
+      ("a", 30L, 3.0),  // at-match: distance 0 backward
+      ("a", 99L, -1.0), // nearest is 30 at dist 69 > tolerance -> default
+      ("b", 5L, -1.0))) // no series at all -> default
+  }
+
+  test("asOfNearest randomized brute-force parity") {
+    val rnd = new scala.util.Random(20260818L)
+    val Tol = 29L
+    val series = for {
+      t <- 0 until 50
+      ts <- rnd.shuffle((0L until 300L).toList).take(rnd.nextInt(20))
+    } yield (s"k$t", ts, ts * 1000 + 7)
+    val probes = (for {
+      t <- 0 until 50
+      _ <- 0 until (rnd.nextInt(8) + 1)
+    } yield (s"k$t", rnd.nextInt(320).toLong)).distinct
+    val serByK = series.groupBy(_._1)
+    val got = AsOfJoin.asOfNearest(probes.toDF("k", "t"),
+        series.toDF("k", "ts", "v"), "k", "t", "ts", Seq("v"), Tol)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    for ((k, t) <- probes) {
+      val cand = serByK.getOrElse(k, Seq.empty)
+        .filter(s => math.abs(s._2 - t) <= Tol)
+      // nearest by |distance|, backward (smaller ts) wins exact ties
+      val exp = if (cand.isEmpty) None
+        else Some(cand.minBy(s => (math.abs(s._2 - t), s._2 > t))._3)
+      assert(got((k, t)) == exp, s"k=$k t=$t")
+    }
+  }
+
+  // ------------------------------------------------------- target encoding
+
+  test("expanding target encode: prior fallback, strict past, tie exclusion") {
+    val m = 4
+    val rows = Seq( // (event, key, ts, cents) with a simultaneous pair at 30
+      (1L, "u1", 10L, 100L), (2L, "u1", 20L, 200L),
+      (3L, "u1", 30L, 300L), (4L, "u1", 30L, 700L),
+      (5L, "u1", 40L, 400L), (6L, "u2", 15L, 900L))
+    val gSum = rows.map(_._4).sum; val gCnt = rows.size.toLong
+    val out = TargetEncode.expandingMean(
+        rows.toDF("id", "k", "ts", "cents"), "k", "ts", "cents", m)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_past"), r.getAs[Double]("enc")))).toMap
+    def enc(past: Seq[Long]): Double =
+      (m * gSum + past.sum * gCnt).toDouble / (gCnt * (m + past.size)).toDouble
+    assert(out(1L) == ((0L, enc(Seq.empty))))        // first row = pure prior
+    assert(out(2L) == ((1L, enc(Seq(100L)))))
+    assert(out(3L) == ((2L, enc(Seq(100L, 200L)))))  // 700 at same ts EXCLUDED
+    assert(out(4L) == ((2L, enc(Seq(100L, 200L)))))  // 300 at same ts EXCLUDED
+    assert(out(5L) == ((4L, enc(Seq(100L, 200L, 300L, 700L)))))
+    assert(out(6L) == ((0L, enc(Seq.empty))))        // other key: own history
+  }
+
+  // ------------------------------------------------------------ purged split
+
+  test("purged time split boundaries") {
+    val b = 1000L; val purge = 100L; val embargo = 10L
+    val rows = Seq(0L, 899L, 900L, 999L, 1000L, 1009L, 1010L, 5000L)
+    val out = Sampling.purgedTimeSplit(rows.toDF("ts"), col("ts"), lit(b),
+        purge, embargo)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "train" && out(899L) == "train")
+    assert(out(900L) == "purged" && out(999L) == "purged")
+    assert(out(1000L) == "embargo" && out(1009L) == "embargo")
+    assert(out(1010L) == "test" && out(5000L) == "test")
+  }
+
+  // ----------------------------------------------------------- packed grams
+
+  test("packed n-grams: exact values, injectivity, short arrays") {
+    graft.functions.expressions.register(spark)
+    val df = Seq((1L, Seq(-2048, 0, 5, 2047))).toDF("doc_id", "tokens")
+    def packed(k: Int): Seq[Long] =
+      df.select(expr(s"graft_pack_ngrams(tokens, $k)")).collect()(0)
+        .getSeq[Long](0)
+    assert(packed(1) == Seq(0L, 2048L, 2053L, 4095L))
+    assert(packed(2) == Seq(2048L, 2048L * 4096 + 2053, 2053L * 4096 + 4095))
+    assert(packed(4) == Seq(((0L * 4096 + 2048) * 4096 + 2053) * 4096 + 4095))
+    // k > array length -> empty, not error
+    val short = Seq((1L, Seq(7))).toDF("doc_id", "tokens")
+      .select(expr("graft_pack_ngrams(tokens, 4)")).collect()(0).getSeq[Long](0)
+    assert(short.isEmpty)
+    // injectivity over a brute slice of the domain
+    val all = for (a <- -4 to 4; b <- -4 to 4) yield (a + 2048L) * 4096 + (b + 2048)
+    assert(all.distinct.size == all.size)
+  }
+
+  // ------------------------------------------------------------- LM scoring
+
+  private lazy val toyCorpus = Seq(
+    ("d1", Seq(1, 2, 1, 2, 3), "src0"),
+    ("d2", Seq(1, 2, 3, 3, 3), "src1"),
+    ("d3", Seq(2, 1, 2, 1, 2), "src1")
+  ).toDF("doc_id", "tokens", "source")
+
+  test("bigram NLL matches in-memory brute force") {
+    graft.functions.expressions.register(spark)
+    val docs = Map(
+      "d1" -> Seq(1, 2, 1, 2, 3), "d2" -> Seq(1, 2, 3, 3, 3),
+      "d3" -> Seq(2, 1, 2, 1, 2))
+    val bigrams = docs.values.flatMap(t => t.zip(t.tail)).toSeq
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = docs.values.flatten.toSet.size.toLong
+    val exp = docs.map { case (d, toks) =>
+      val gs = toks.zip(toks.tail)
+      val sum = gs.map(g =>
+        microNat(math.log((c1(g._1) + v).toDouble / (c12(g) + 1).toDouble)
+          * 1000000)).sum
+      d -> ((gs.size.toLong, sum.toDouble / (gs.size * 1000000L).toDouble))
+    }
+    val got = LanguageModel.scoreBigramNll(toyCorpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("DSIR importance weights match in-memory brute force") {
+    graft.functions.expressions.register(spark)
+    val docs = Map(
+      "d1" -> Seq(1, 2, 1, 2, 3), "d2" -> Seq(1, 2, 3, 3, 3),
+      "d3" -> Seq(2, 1, 2, 1, 2))
+    val tgt = docs("d1") // source == src0
+    val all = docs.values.flatten.toSeq
+    val cr = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nr = all.size.toLong; val nt = tgt.size.toLong
+    val v = cr.size.toLong
+    val exp = docs.map { case (d, toks) =>
+      val sum = toks.map { t =>
+        val num = (ct.getOrElse(t, 0L) + 1) * (nr + v)
+        val den = (nt + v) * (cr(t) + 1)
+        microNat(math.log(num.toDouble / den.toDouble) * 1000000)
+      }.sum
+      d -> ((toks.size.toLong, sum.toDouble / (toks.size * 1000000L).toDouble))
+    }
+    val got = LanguageModel.importanceWeights(toyCorpus, col("source") === "src0")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == exp)
+    // target-like doc scores highest
+    assert(got("d1")._2 > got("d2")._2)
+  }
+
+  test("duplicated n-gram stats: shared 4-gram counted, unique not") {
+    graft.functions.expressions.register(spark)
+    // d1/d2 share the 4-gram (9,8,7,6); d1 contains it twice (both count as
+    // dup OCCURRENCES, one distinct dup gram); d3 shares nothing
+    val corpus = Seq(
+      ("d1", Seq(9, 8, 7, 6, 9, 8, 7, 6)), // grams: 5, dup occurrences: 9876 x2 + 8769? no: exact list below
+      ("d2", Seq(0, 9, 8, 7, 6)),
+      ("d3", Seq(5, 5, 5, 5, 5))
+    ).toDF("doc_id", "tokens")
+    val got = Dedup.duplicatedNgramStats(corpus, 4).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // d1 grams: (9876),(8769),(7698),(6987),(9876) -> only 9876 shared w/ d2
+    assert(got("d1") == ((5L, 2L, 1L, 0.4)))
+    // d2 grams: (0987),(9876) -> 9876 dup
+    assert(got("d2") == ((2L, 1L, 1L, 0.5)))
+    // d3 grams: (5555) x2 -> within-doc repetition only, NOT corpus-dup
+    assert(got("d3") == ((2L, 0L, 0L, 0.0)))
+  }
+}
