@@ -68,6 +68,7 @@ object SparkEntry {
       graft.queries.TokenQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.CurationQueries.defs ++
+      graft.queries.PackingQueries.defs ++
       graft.queries.RelationalQueries.defs ++
       graft.queries.HlQueries.defs ++
       graft.queries.VectorQueries.defs ++
@@ -80,6 +81,7 @@ object SparkEntry {
       graft.queries.TokenQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
+      graft.queries.PackingQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.HlQueries.oracles ++
       graft.queries.VectorQueries.oracles ++

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: concat-and-chunk assembly of pre-tokenized documents
+  * into fixed-capacity training windows (the GPT-style pretraining batch
+  * layout — concatenate every document in a deterministic corpus order,
+  * then cut the global token stream into `capacity`-sized chunks).
+  *
+  * The reference's analog is the fixed analysis frame clock cut from the
+  * continuous sample stream (`SampleAnalyser.cpp:760-814`: a single running
+  * sample cursor chunked into frame/hop windows); here the "stream" is the
+  * corpus-ordered token concatenation and the "frame" is the training
+  * context window.
+  *
+  * Output is the (doc × chunk) SEGMENT MAP — one row per overlap of a
+  * document with a chunk:
+  *
+  * {{{ (doc_id, chunk_id, doc_off, chunk_off, seg_len) }}}
+  *
+  * so `tokens[doc_off, doc_off+seg_len)` of `doc_id` lands at
+  * `chunk[chunk_off, chunk_off+seg_len)`. The map is exactly what a
+  * downstream materializer needs to gather token slices; emitting the map
+  * instead of materialized chunks keeps the operator a pure metadata
+  * computation (no token bytes move through the shuffle).
+  *
+  * == Scale design (the 100 TB story) ==
+  * The only global object in the computation is the PREFIX SUM of document
+  * lengths in corpus order. A naive `Window.orderBy(doc)` with no
+  * partitioning funnels the whole corpus through one task; instead the
+  * engine runs the classic two-pass distributed scan:
+  *
+  *   1. range-partition by the order key (`buckets` splits);
+  *   2. per-bucket token totals (one tiny agg, `buckets` rows);
+  *   3. running bucket base offsets — a window over the BUCKET table
+  *      (bounded by the bucket count, never the corpus), broadcast back;
+  *   4. intra-bucket running sum (`Window.partitionBy(bucket)`), each
+  *      partition bounded by corpus_size / buckets.
+  *
+  * The result is invariant to the bucketing (any contiguous range split
+  * yields the same prefix sums — OpsSpec pins buckets=1 == buckets=8), so
+  * the nondeterminism of range-boundary sampling cannot leak into output.
+  * Chunk arithmetic is exact int64; no floats anywhere.
+  */
+object Packing {
+
+  /** Segment map of packing `seqs` (ordered by `ord`) into chunks of
+    * `capacity` tokens. `lenCol` is the per-row token count; rows with
+    * zero length vanish (they occupy no positions). */
+  def packChunks(seqs: DataFrame, ord: String, lenCol: String,
+                 capacity: Long, buckets: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val bucketed = seqs
+      .repartitionByRange(buckets, col(ord))
+      .withColumn("__b", spark_partition_id())
+    // per-bucket totals + running base offset over the (tiny) bucket table.
+    // Buckets are range-ordered by construction (partition 0 = lowest keys),
+    // so ordering by __b IS the corpus order.
+    val wb = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketed.groupBy(col("__b"))
+      .agg(sum(col(lenCol).cast("long")).as("__bsum"))
+      .withColumn("__base", coalesce(sum(col("__bsum")).over(wb), lit(0L)))
+      .select(col("__b"), col("__base"))
+    // intra-bucket exclusive running sum: partitions bounded by bucket size
+    val wi = Window.partitionBy(col("__b")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val started = bucketed.join(broadcast(bases), "__b")
+      .withColumn("doc_start",
+        col("__base") + coalesce(sum(col(lenCol).cast("long")).over(wi), lit(0L)))
+      .filter(col(lenCol) > 0)
+    started
+      .withColumn("__len", col(lenCol).cast("long"))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(doc_start div $capacity, (doc_start + __len - 1) div $capacity)")))
+      .withColumn("__g0", greatest(col("doc_start"), col("chunk_id") * capacity))
+      .withColumn("__g1", least(col("doc_start") + col("__len"),
+        (col("chunk_id") + 1) * capacity))
+      .select(col(ord), col("chunk_id"),
+        (col("__g0") - col("doc_start")).as("doc_off"),
+        (col("__g0") - col("chunk_id") * capacity).as("chunk_off"),
+        (col("__g1") - col("__g0")).as("seg_len"))
+  }
+
+  /** Per-chunk packing report over the segment map: how many documents
+    * contribute, boundary fragmentation, and fill (only the final chunk may
+    * be partial — the invariant a packer must prove). One keyed agg. */
+  def packStats(segments: DataFrame, capacity: Long): DataFrame =
+    segments.groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("seg_len")).as("fill"),
+        max(when(col("doc_off") > 0, 1).otherwise(0)).as("has_head_frag"),
+        sum(when(col("chunk_off") === 0, 1).otherwise(0)).as("n_starts"))
+      .withColumn("is_full", when(col("fill") === capacity, 1).otherwise(0))
+
+  /** DuckDB mirror of [[packChunks]] (single-window prefix sum — the
+    * oracle does not need the distributed two-pass). `prelude` must bind a
+    * `seqs` CTE (no leading WITH). */
+  def duckPackSql(prelude: String, capacity: Long): String =
+    s"""WITH $prelude,
+       |c AS (
+       |  SELECT doc_id, CAST(n_tok AS BIGINT) AS len,
+       |    CAST(coalesce(sum(CAST(n_tok AS BIGINT)) OVER (
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS doc_start
+       |  FROM seqs),
+       |e AS (
+       |  SELECT doc_id, len, doc_start,
+       |    unnest(generate_series(doc_start // $capacity,
+       |                           (doc_start + len - 1) // $capacity))
+       |      AS chunk_id
+       |  FROM c WHERE len > 0)
+       |SELECT doc_id, chunk_id,
+       |  greatest(doc_start, chunk_id * $capacity) - doc_start AS doc_off,
+       |  greatest(doc_start, chunk_id * $capacity) - chunk_id * $capacity
+       |    AS chunk_off,
+       |  least(doc_start + len, (chunk_id + 1) * $capacity)
+       |    - greatest(doc_start, chunk_id * $capacity) AS seg_len
+       |FROM e""".stripMargin
+
+  /** DuckDB mirror of [[packStats]] over [[duckPackSql]]'s output. */
+  def duckPackStatsSql(prelude: String, capacity: Long): String =
+    s"""WITH seg AS (
+       |${duckPackSql(prelude, capacity).replace("\n", "\n  ")}
+       |)
+       |SELECT chunk_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(seg_len) AS BIGINT) AS fill,
+       |  CAST(max(CASE WHEN doc_off > 0 THEN 1 ELSE 0 END) AS INTEGER)
+       |    AS has_head_frag,
+       |  CAST(sum(CASE WHEN chunk_off = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_starts,
+       |  CAST(CASE WHEN sum(seg_len) = $capacity THEN 1 ELSE 0 END AS INTEGER)
+       |    AS is_full
+       |FROM seg GROUP BY chunk_id""".stripMargin
+}

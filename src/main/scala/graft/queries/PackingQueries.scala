@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Packing
+import graft.sources.Seqs
+
+/** Oracle-checked queries for the sequence-packing operator family
+  * (training-window assembly over the token table). */
+object PackingQueries {
+
+  /** Training context-window capacity (tokens per packed chunk). */
+  val ChunkCapacity = 512L
+
+  private val duckSeqs = s"seqs AS (${Seqs.duckSql})"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // concat-and-chunk segment map: which slice of which doc lands where
+    // in the fixed-capacity training windows (distributed prefix sum)
+    "seq_pack" -> ((s, dir) =>
+      Packing.packChunks(Seqs.fromDocuments(s, dir), "doc_id", "n_tok",
+        ChunkCapacity)),
+
+    // per-chunk packing report: fill, fragmentation, doc starts — proves
+    // every chunk except the last is exactly full
+    "pack_stats" -> ((s, dir) =>
+      Packing.packStats(
+        Packing.packChunks(Seqs.fromDocuments(s, dir), "doc_id", "n_tok",
+          ChunkCapacity),
+        ChunkCapacity))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "seq_pack" -> Packing.duckPackSql(duckSeqs, ChunkCapacity),
+    "pack_stats" -> Packing.duckPackStatsSql(duckSeqs, ChunkCapacity)
+  )
+}
