@@ -69,6 +69,7 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.CurationQueries.defs ++
       graft.queries.PackingQueries.defs ++
+      graft.queries.TokenizerQueries.defs ++
       graft.queries.RelationalQueries.defs ++
       graft.queries.HlQueries.defs ++
       graft.queries.VectorQueries.defs ++
@@ -82,6 +83,7 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.PackingQueries.oracles ++
+      graft.queries.TokenizerQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++
       graft.queries.HlQueries.oracles ++
       graft.queries.VectorQueries.oracles ++

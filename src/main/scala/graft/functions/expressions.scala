@@ -79,6 +79,8 @@ object expressions {
       es => PadFrames(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_pack_ngrams",
       es => PackNgrams(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bpe_apply",
+      es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
     spectral.register(spark)
     rhythm.register(spark)
     fvkernel.register(spark)
@@ -188,6 +190,64 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), kE = c(1))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_bpe_apply(tokens ARRAY<INT>, as ARRAY<INT>, bs ARRAY<INT>,
+    * ms ARRAY<INT>) → ARRAY<INT>
+    *
+    * Applies BPE merge rules in order: rule r rewrites every
+    * non-overlapping left-to-right occurrence of the adjacent pair
+    * (as(r), bs(r)) to the single token ms(r) in one greedy pass, then the
+    * next rule runs over the rewritten stream — the standard byte-pair
+    * tokenizer application order. Greedy-left resolves self-overlap the
+    * way every BPE implementation does: [a,a,a] with rule (a,a)→m yields
+    * [m,a]. Relational mirror (for the DuckDB oracle): candidate
+    * positions grouped into consecutive-run islands, keep even offsets —
+    * see [[graft.ops.Tokenizer.duckMergeOnceSql]].
+    *
+    * The rule arrays are per-row column arguments (typically a broadcast
+    * 1-row dimension or a foldable literal), so the kernel composes with
+    * data-derived rules without a driver collect in the query plan. */
+  case class BpeApplyMerges(tokens: Expression, as: Expression,
+      bs: Expression, ms: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, as, bs, ms)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val aArr = as.eval(input).asInstanceOf[ArrayData].toIntArray()
+      val bArr = bs.eval(input).asInstanceOf[ArrayData].toIntArray()
+      val mArr = ms.eval(input).asInstanceOf[ArrayData].toIntArray()
+      require(aArr.length == bArr.length && bArr.length == mArr.length,
+        s"merge rule arrays must align: ${aArr.length}/${bArr.length}/${mArr.length}")
+      var cur = tAny.asInstanceOf[ArrayData].toIntArray()
+      var r = 0
+      while (r < aArr.length) {
+        cur = mergeOnce(cur, aArr(r), bArr(r), mArr(r))
+        r += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(cur)
+    }
+    private def mergeOnce(xs: Array[Int], a: Int, b: Int, m: Int): Array[Int] = {
+      val n = xs.length
+      val out = new Array[Int](n)
+      var i = 0; var o = 0
+      while (i < n) {
+        if (i + 1 < n && xs(i) == a && xs(i + 1) == b) {
+          out(o) = m; i += 2
+        } else {
+          out(o) = xs(i); i += 1
+        }
+        o += 1
+      }
+      if (o == n) out else java.util.Arrays.copyOf(out, o)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), as = c(1), bs = c(2), ms = c(3))
   }
 
   // ------------------------------------------------------------------

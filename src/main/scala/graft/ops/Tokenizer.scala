@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training: iterative adjacent-pair counting +
+  * greedy merge over the pre-tokenized corpus.
+  *
+  * The reference ships a fixed front-end vocabulary (its classification
+  * models consume fixed descriptor vectors, `Classification/Source/Models/
+  * GBDT.cpp`); a training-data pipeline at 100 TB instead LEARNS the
+  * subword vocabulary from the corpus. The distributed part of BPE
+  * training is exactly one primitive repeated k times: count adjacent
+  * pairs over the current token streams (a map-side-combined groupBy —
+  * the same shuffle shape as `token_vocab`), pick the argmax pair, and
+  * rewrite every stream with the new merge (embarrassingly parallel
+  * per-row kernel, [[graft.functions.expressions.BpeApplyMerges]]).
+  *
+  * == Scale design (the 100 TB story) ==
+  * Each round is one shuffle of (pair → partial count) — the pair alphabet
+  * is bounded by (vocab + k)², and partial aggregation collapses the
+  * per-token stream to distinct-pair cardinality BEFORE the exchange, so
+  * the shuffle never carries per-token rows. The merge rewrite is a
+  * narrow per-row pass (O(k·n_tok) worst case). Two entry points:
+  *
+  *  - [[bpeTrain]] — the production driver loop: k rounds, each ONE tiny
+  *    action (`head` of a 1-row argmax), merge rules accumulate on the
+  *    driver (O(k) state, like the k-means round loop in
+  *    [[Similarity.ivfTrainCells]] and the star-contraction convergence
+  *    probe in [[Dedup.resolveClustersStar]]).
+  *  - [[mergeTable]] — the same computation composed as ONE lazy plan
+  *    with zero driver actions: round r's argmax is a 1-row broadcast
+  *    crossJoined into round r+1's rewrite. Plan depth grows O(k²), so
+  *    it is the oracle-friendly form for small k; the driver loop is the
+  *    production form for real vocabularies.
+  *
+  * Greedy-left overlap semantics ([a,a,a] with rule (a,a)→m gives [m,a])
+  * match every mainstream BPE implementation; the DuckDB mirror expresses
+  * the same rule relationally (consecutive-candidate islands, keep even
+  * offsets — [[duckTrainSql]]).
+  */
+object Tokenizer {
+
+  /** First merged-token id — far above the synthetic alphabet (±4096). */
+  val NewIdBase: Int = 1 << 20
+
+  /** Adjacent-pair counts (a, b, cnt) over `tokensCol`. Pairs are built
+    * with slice+arrays_zip (codegen'd, no per-token lambda dispatch) and
+    * partially aggregated map-side, so the exchange carries distinct
+    * pairs, not tokens. */
+  def pairCounts(seqs: DataFrame, tokensCol: String = "tokens"): DataFrame = {
+    val t = col(tokensCol)
+    seqs
+      .select(t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1))).as("z"))
+      .select(col("z.0").as("a"), col("z.1").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Ranked pair report: top `k` pairs by count (full deterministic
+    * tiebreak cnt desc, a, b). The ranking window runs over the DISTINCT
+    * PAIR table (bounded by the squared alphabet), never the corpus. */
+  def pairReport(seqs: DataFrame, k: Int,
+                 tokensCol: String = "tokens"): DataFrame = {
+    val ord = Window.orderBy(col("cnt").desc, col("a"), col("b"))
+    pairCounts(seqs, tokensCol)
+      .withColumn("rank", row_number().over(ord))
+      .filter(col("rank") <= k)
+      .select(col("a"), col("b"), col("cnt"), col("rank"))
+  }
+
+  private def top1(stream: DataFrame): DataFrame =
+    pairCounts(stream)
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+
+  /** k-round merge table (rank, a, b, new_id, cnt) as ONE composed plan —
+    * zero driver actions; see the scale-design note above for when to
+    * prefer [[bpeTrain]]. */
+  def mergeTable(seqs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need at least one merge round: $k")
+    var stream = seqs.select(col("doc_id"), col("tokens"))
+    var rules = Vector.empty[DataFrame]
+    var r = 0
+    while (r < k) {
+      val t = top1(stream)
+      rules :+= t.select(lit(r + 1).as("rank"), col("a"), col("b"),
+        lit(NewIdBase + r).as("new_id"), col("cnt"))
+      stream = stream
+        .crossJoin(broadcast(t.select(col("a").as("__a"), col("b").as("__b"))))
+        .withColumn("tokens", expr(
+          s"graft_bpe_apply(tokens, array(__a), array(__b), array(${NewIdBase + r}))"))
+        .select(col("doc_id"), col("tokens"))
+      r += 1
+    }
+    rules.reduce(_ unionByName _)
+  }
+
+  /** A learned merge rule: `rank`-th merge rewrites adjacent (a, b) to
+    * `newId`; `cnt` is the pair's count at learn time. */
+  final case class MergeRule(rank: Int, a: Int, b: Int, newId: Int, cnt: Long)
+
+  /** Production BPE training driver loop: k rounds, each one pair-count
+    * shuffle + a 1-row argmax action. Rules accumulate on the driver
+    * (O(k) state); each round re-applies the accumulated rules from the
+    * source stream, so the loop is stateless between actions and
+    * resumable from any prefix of the rule list. */
+  def bpeTrain(seqs: DataFrame, k: Int): Seq[MergeRule] = {
+    require(k >= 1, s"need at least one merge round: $k")
+    val src = seqs.select(col("doc_id"), col("tokens"))
+    var rules = Vector.empty[MergeRule]
+    while (rules.length < k) {
+      val applied =
+        if (rules.isEmpty) src
+        else src.withColumn("tokens", applyMergesExpr("tokens", rules))
+      val row = top1(applied).head()
+      rules :+= MergeRule(rules.length + 1, row.getInt(0), row.getInt(1),
+        NewIdBase + rules.length, row.getLong(2))
+    }
+    rules
+  }
+
+  /** Column expression applying `rules` (in rank order) to `tokensCol`
+    * via the native kernel. */
+  def applyMergesExpr(tokensCol: String,
+                      rules: Seq[MergeRule]): org.apache.spark.sql.Column = {
+    require(rules.nonEmpty, "no merge rules to apply")
+    val as = rules.map(_.a).mkString(",")
+    val bs = rules.map(_.b).mkString(",")
+    val ms = rules.map(_.newId).mkString(",")
+    expr(s"graft_bpe_apply($tokensCol, array($as), array($bs), array($ms))")
+  }
+
+  // ---------------------------------------------------------------- Duck
+
+  /** DuckDB pair-count fragment over a CTE named `src` holding
+    * (tokens, n_tok). */
+  private def duckPairCounts(src: String): String =
+    s"""SELECT p.a AS a, p.b AS b, count(*) AS cnt FROM (
+       |  SELECT unnest(list_transform(range(CAST(n_tok AS BIGINT) - 1),
+       |    i -> struct_pack(a := tokens[i + 1], b := tokens[i + 2]))) AS p
+       |  FROM $src WHERE n_tok >= 2) GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB mirror of [[pairReport]]. `prelude` binds a `seqs` CTE body
+    * (no leading WITH). */
+  def duckPairsSql(prelude: String, k: Int): String =
+    s"""WITH $prelude,
+       |c AS (${duckPairCounts("seqs")})
+       |SELECT a, b, cnt, rank FROM (
+       |  SELECT a, b, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS INTEGER)
+       |      AS rank
+       |  FROM c)
+       |WHERE rank <= $k""".stripMargin
+
+  /** DuckDB mirror of [[mergeTable]]/[[bpeTrain]]: k unrolled rounds of
+    * the RELATIONAL form of the greedy merge. The engine's kernel walks
+    * each array left-to-right; the mirror derives the identical result
+    * set-wise — candidate positions (v=a ∧ next=b), grouped into
+    * consecutive-run islands, keeping even island offsets (greedy
+    * self-overlap: [a,a,a] → [m,a]), consumed successors dropped, stream
+    * positions re-densified per round. An independent derivation, so
+    * oracle parity genuinely cross-checks the kernel's overlap semantics
+    * rather than re-running them. */
+  def duckTrainSql(prelude: String, k: Int): String = {
+    require(k >= 1)
+    val sb = new StringBuilder
+    sb.append(s"WITH $prelude,\n")
+    // dense 1-based stream positions
+    sb.append(
+      s"""s0 AS (
+         |  SELECT doc_id, q.i + 1 AS i, q.t AS v FROM (
+         |    SELECT doc_id, unnest(list_transform(range(CAST(n_tok AS BIGINT)),
+         |      i -> struct_pack(i := i, t := tokens[i + 1]))) AS q
+         |    FROM seqs)),
+         |""".stripMargin)
+    for (r <- 1 to k) {
+      val newId = NewIdBase + r - 1
+      sb.append(
+        s"""pt$r AS (
+           |  SELECT doc_id, i, v,
+           |    lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS vn
+           |  FROM s${r - 1}),
+           |t$r AS (
+           |  SELECT v AS a, vn AS b, count(*) AS cnt FROM pt$r
+           |  WHERE vn IS NOT NULL GROUP BY 1, 2
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |cand$r AS (
+           |  SELECT pt.doc_id, pt.i FROM pt$r pt, t$r t
+           |  WHERE pt.v = t.a AND pt.vn = t.b),
+           |st$r AS (
+           |  SELECT doc_id, i FROM (
+           |    SELECT doc_id, i,
+           |      row_number() OVER (PARTITION BY doc_id, g ORDER BY i) AS rr
+           |    FROM (SELECT doc_id, i,
+           |            i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+           |              AS g
+           |          FROM cand$r))
+           |  WHERE (rr - 1) % 2 = 0),
+           |s$r AS (
+           |  SELECT pt.doc_id,
+           |    row_number() OVER (PARTITION BY pt.doc_id ORDER BY pt.i) AS i,
+           |    CASE WHEN s.i IS NOT NULL THEN $newId ELSE pt.v END AS v
+           |  FROM pt$r pt
+           |  LEFT JOIN st$r s ON s.doc_id = pt.doc_id AND s.i = pt.i
+           |  LEFT JOIN st$r c ON c.doc_id = pt.doc_id AND c.i = pt.i - 1
+           |  WHERE c.i IS NULL),
+           |""".stripMargin)
+    }
+    val rows = (1 to k).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS rank, a, b,
+         |  CAST(${NewIdBase + r - 1} AS INTEGER) AS new_id,
+         |  CAST(cnt AS BIGINT) AS cnt FROM t$r""".stripMargin
+    }
+    // trim the trailing ",\n" of the last CTE
+    sb.setLength(sb.length - 2)
+    sb.append("\n").append(rows.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+}

@@ -1,0 +1,42 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Tokenizer
+import graft.sources.Seqs
+
+/** Oracle-checked queries for the BPE tokenizer-training family. */
+object TokenizerQueries {
+
+  /** Pairs reported by `bpe_pairs` (top-k by count). */
+  val PairTopK = 50
+
+  /** Merge rounds learned by `bpe_train`. Small on purpose: the oracle
+    * unrolls the relational merge per round ([[Tokenizer.duckTrainSql]]),
+    * and the no-collect composed plan is O(k²) deep; [[Tokenizer.bpeTrain]]
+    * is the production loop for real vocabulary sizes. */
+  val TrainRounds = 3
+
+  private val duckSeqs = s"seqs AS (${Seqs.duckSql})"
+  private val duckSeqsSub = s"seqs AS (${Seqs.duckSqlSub})"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // adjacent-pair frequency report over the full corpus — round 0 of
+    // BPE training (the distributed primitive: one map-side-combined
+    // groupBy; the ranking window runs over distinct pairs, never tokens)
+    "bpe_pairs" -> ((s, dir) =>
+      Tokenizer.pairReport(Seqs.fromDocuments(s, dir), PairTopK)),
+
+    // k learned merge rules (rank, a, b, new_id, cnt) as one composed
+    // zero-collect plan; subsampled docs (the LSH-family oracle pattern)
+    // because the oracle unrolls k relational merge rounds
+    "bpe_train" -> ((s, dir) =>
+      Tokenizer.mergeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "bpe_pairs" -> Tokenizer.duckPairsSql(duckSeqs, PairTopK),
+    "bpe_train" -> Tokenizer.duckTrainSql(duckSeqsSub, TrainRounds)
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tokenizer
+
+/** BPE tokenizer training: the greedy merge kernel vs a scalar reference
+  * implementation (overlap semantics), and the two training entry points
+  * (composed zero-collect plan vs driver loop) vs a brute-force trainer. */
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Scalar reference of one greedy-left merge pass. */
+  private def mergeRef(xs: List[Int], a: Int, b: Int, m: Int): List[Int] =
+    xs match {
+      case x :: y :: rest if x == a && y == b => m :: mergeRef(rest, a, b, m)
+      case x :: rest => x :: mergeRef(rest, a, b, m)
+      case Nil => Nil
+    }
+
+  /** Scalar reference BPE trainer (count pairs, argmax with (cnt desc,
+    * a, b) tiebreak, rewrite, repeat). */
+  private def trainRef(docs: Seq[List[Int]], k: Int): Seq[(Int, Int, Int, Long)] = {
+    var cur = docs
+    (0 until k).map { r =>
+      val counts = cur.flatMap(d => d.zip(d.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      val m = Tokenizer.NewIdBase + r
+      cur = cur.map(d => mergeRef(d, a, b, m))
+      (a, b, m, cnt)
+    }
+  }
+
+  private def applyKernel(docs: Seq[Seq[Int]], a: Int, b: Int, m: Int): Seq[Seq[Int]] =
+    docs.zipWithIndex.map { case (d, i) => (i.toString, d) }
+      .toDF("doc_id", "tokens")
+      .withColumn("out", expr(s"graft_bpe_apply(tokens, array($a), array($b), array($m))"))
+      .orderBy("doc_id").collect()
+      .map(_.getSeq[Int](2).toSeq).toSeq
+
+  test("merge kernel matches the scalar reference, including self-overlap") {
+    graft.functions.expressions.register(spark)
+    val cases = Seq(
+      Seq(1, 2, 1, 2),          // disjoint repeats -> [m, m]
+      Seq(7, 7, 7),             // self-overlap -> [m, 7]
+      Seq(7, 7, 7, 7),          // -> [m, m]
+      Seq(1, 1, 2, 2),          // only the middle pair for (1,2)
+      Seq(2, 1),                // reversed, no match
+      Seq(1),                   // too short
+      Seq.empty[Int]
+    )
+    for ((a, b) <- Seq((1, 2), (7, 7))) {
+      val got = applyKernel(cases, a, b, 99)
+      val want = cases.map(c => mergeRef(c.toList, a, b, 99))
+      assert(got.map(_.toList) == want, s"pair ($a,$b)")
+    }
+    // merges apply IN ORDER: second rule sees the first rule's output
+    val chained = applyKernel(Seq(Seq(1, 2, 3)), 1, 2, 99)
+    assert(chained.head == Seq(99, 3))
+    val both = Seq(Seq(1, 2, 3)).zipWithIndex
+      .map { case (d, i) => (i.toString, d) }.toDF("doc_id", "tokens")
+      .withColumn("out", expr(
+        "graft_bpe_apply(tokens, array(1, 99), array(2, 3), array(99, 100))"))
+      .head().getSeq[Int](2)
+    assert(both == Seq(100), "rule 2 consumes rule 1's merged token")
+  }
+
+  private val corpus: Seq[List[Int]] = Seq(
+    List(5, 6, 5, 6, 5, 6, 2),
+    List(5, 6, 2, 5, 6, 2),
+    List(9, 9, 9, 9, 9),
+    List(2, 5, 6),
+    List(1),
+    List(5, 6, 5, 6)
+  )
+
+  private def corpusDf = corpus.zipWithIndex
+    .map { case (d, i) => (f"t$i%03d", d, d.length) }
+    .toDF("doc_id", "tokens", "n_tok")
+
+  test("composed mergeTable == driver-loop bpeTrain == scalar trainer") {
+    graft.functions.expressions.register(spark)
+    val k = 3
+    val want = trainRef(corpus, k)
+    val loop = Tokenizer.bpeTrain(corpusDf, k)
+      .map(r => (r.a, r.b, r.newId, r.cnt))
+    assert(loop == want, "driver loop vs scalar")
+    val composed = Tokenizer.mergeTable(corpusDf, k)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq
+    assert(composed == want, "composed plan vs scalar")
+  }
+
+  test("pairReport ranks with the full deterministic tiebreak") {
+    val rep = Tokenizer.pairReport(corpusDf, 100).orderBy("rank").collect()
+    val counts = corpus.flatMap(d => d.zip(d.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }
+    assert(rep.map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toSeq == counts)
+    assert(rep.map(_.getInt(3)).toSeq == (1 to counts.length))
+  }
+}
