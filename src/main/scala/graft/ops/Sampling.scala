@@ -122,6 +122,100 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Temperature-based domain mixture rates (τ = 0.5): per-stratum keep
+    * rates that rebalance the corpus toward `share^τ` — the multilingual-
+    * pretraining reweighting that upsamples rare domains relative to
+    * dominant ones (exponentiated smoothing of the source distribution).
+    *
+    * With τ = 0.5 the algebra collapses: the target-over-actual ratio is
+    * `share^(τ−1) = share^(−1/2)`, and normalizing so the rarest stratum
+    * keeps everything gives `rate_d = sqrt(min_tokens / tokens_d)` — the
+    * normalizing constant and the corpus total both cancel. That form is
+    * two correctly-rounded IEEE ops (one divide, one sqrt) over EXACT
+    * integer token sums, so the rate is bitwise-reproducible across
+    * engines — no float accumulation order anywhere (why τ is fixed at
+    * 0.5 rather than a parameter: `pow` carries no cross-libm guarantee).
+    *
+    * One tiny aggregation (strata cardinality rows); the ranking windows
+    * run over the per-stratum table, never the corpus. */
+  def mixtureRates(seqs: DataFrame, stratum: String = "source",
+                   weightCol: String = "n_tok"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    seqs.groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("n_tok"))
+      .withColumn("share",
+        col("n_tok").cast("double") / sum("n_tok").over(w).cast("double"))
+      .withColumn("rate_mille",
+        floor(lit(1000.0) * sqrt(min("n_tok").over(w).cast("double") /
+          col("n_tok").cast("double"))).cast("int"))
+  }
+
+  /** Apply [[mixtureRates]]: keep a row iff its key's [[milleSlot]] falls
+    * under its stratum's rate — deterministic per key, broadcast-joined
+    * (the rate table is strata-sized), narrow filter after the join. */
+  def mixtureSample(seqs: DataFrame, rates: DataFrame, key: Column,
+                    stratum: String = "source"): DataFrame =
+    seqs.join(broadcast(rates.select(col(stratum), col("rate_mille"))),
+        Seq(stratum))
+      .filter(milleSlot(key) < col("rate_mille"))
+      .drop("rate_mille")
+
+  /** Before/after mixture report: per stratum, corpus share, keep rate,
+    * and the achieved post-sampling share. Exact-integer counts; the only
+    * doubles are single divisions of exact sums. */
+  def mixtureReport(seqs: DataFrame, key: Column,
+                    stratum: String = "source",
+                    weightCol: String = "n_tok"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = mixtureRates(seqs, stratum, weightCol)
+    val kept = mixtureSample(seqs, rates, key, stratum)
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col(weightCol).cast("long")).as("kept_tok"))
+    rates.join(kept, Seq(stratum), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tok", coalesce(col("kept_tok"), lit(0L)))
+      .withColumn("share_after",
+        col("kept_tok").cast("double") /
+          sum("kept_tok").over(w).cast("double"))
+      .select(col(stratum), col("n_docs"), col("n_tok"), col("share"),
+        col("rate_mille"), col("kept_docs"), col("kept_tok"),
+        col("share_after"))
+  }
+
+  /** DuckDB mirror of [[mixtureReport]] over a `seqs` CTE body bound by
+    * `prelude` (no leading WITH). */
+  def duckMixtureSql(prelude: String, stratum: String = "source",
+                     weightCol: String = "n_tok"): String =
+    s"""WITH $prelude,
+       |per AS (
+       |  SELECT $stratum, count(*) AS n_docs,
+       |    CAST(sum($weightCol) AS BIGINT) AS n_tok
+       |  FROM seqs GROUP BY $stratum),
+       |r AS (
+       |  SELECT $stratum, n_docs, n_tok,
+       |    CAST(n_tok AS DOUBLE) / CAST(sum(n_tok) OVER () AS DOUBLE)
+       |      AS share,
+       |    CAST(floor(CAST(1000 AS DOUBLE) *
+       |        sqrt(CAST(min(n_tok) OVER () AS DOUBLE) /
+       |             CAST(n_tok AS DOUBLE))) AS INTEGER) AS rate_mille
+       |  FROM per),
+       |k AS (
+       |  SELECT s.$stratum, count(*) AS kept_docs,
+       |    CAST(sum(s.$weightCol) AS BIGINT) AS kept_tok
+       |  FROM seqs s JOIN r ON r.$stratum = s.$stratum
+       |  WHERE ${duckMilleSlot("s.doc_id")} < r.rate_mille
+       |  GROUP BY s.$stratum)
+       |SELECT r.$stratum AS $stratum, r.n_docs, r.n_tok, r.share,
+       |  r.rate_mille,
+       |  coalesce(k.kept_docs, 0) AS kept_docs,
+       |  coalesce(k.kept_tok, 0) AS kept_tok,
+       |  CAST(coalesce(k.kept_tok, 0) AS DOUBLE) /
+       |    CAST(sum(coalesce(k.kept_tok, 0)) OVER () AS DOUBLE)
+       |    AS share_after
+       |FROM r LEFT JOIN k ON k.$stratum = r.$stratum""".stripMargin
+
   /** DuckDB mirror of [[assignSplit]] over the documents table. */
   def duckSplitSql(spec: SplitSpec = SplitSpec()): String =
     s"""SELECT doc_id, ${duckMilleSlot("doc_id")} AS bucket,

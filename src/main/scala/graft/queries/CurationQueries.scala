@@ -223,6 +223,14 @@ object CurationQueries {
       graft.ops.TextAnalysis.lengthReport(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // temperature-0.5 domain mixture: per-source keep rates rebalancing
+    // token mass toward share^0.5 (rare domains upweighted), applied via
+    // the deterministic hash slot; rates are sqrt of exact integer-sum
+    // ratios, so bitwise-reproducible across engines
+    "mix_report" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureReport(
+        Seqs.fromDocuments(s, dir), col("doc_id"))),
+
     // train/eval decontamination: training docs sharing >= 1 word trigram
     // with the held-out slice (doc_id % 97 = 0) — broadcast eval-gram set,
     // zero train-side shuffle before the per-doc count
@@ -302,6 +310,8 @@ object CurationQueries {
          |  < ${graft.ops.Sampling.duckStratumThreshold("lang", StratRates,
                StratDefault)}""".stripMargin,
     "length_report" -> graft.ops.TextAnalysis.duckLengthReportSql,
+    "mix_report" ->
+      graft.ops.Sampling.duckMixtureSql(s"seqs AS (${Seqs.duckSql})"),
     "decontaminate" -> graft.ops.Contamination.duckSql(
       ContamN, "doc_id % 97 = 0", ContamMinHits),
     "repetition_stats" -> graft.ops.TextAnalysis.duckRepetitionSql,

@@ -444,6 +444,40 @@ class OpsSpec extends AnyFunSuite {
     once.unpersist()
   }
 
+  test("temperature mixture: sqrt rates, rarest stratum kept whole, determinism") {
+    import graft.ops.Sampling
+    // 3 strata with 10:4:1 token mass
+    val df = spark.range(1500).toDF("id")
+      .withColumn("doc_id", concat(lit("m"), col("id").cast("string")))
+      .withColumn("source",
+        when(col("id") % 15 < 10, "big")
+          .when(col("id") % 15 < 14, "mid").otherwise("rare"))
+      .withColumn("n_tok", lit(100))
+    val rep = Sampling.mixtureReport(df, col("doc_id")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // rarest stratum: rate = floor(1000*sqrt(min/min)) = 1000 -> all kept
+    assert(rep("rare").getInt(4) == 1000)
+    assert(rep("rare").getLong(5) == 100L, "rare keeps every doc")
+    // sqrt scaling: big is 10x rare's mass -> rate floor(1000/sqrt(10))=316
+    assert(rep("big").getInt(4) == math.floor(1000.0 / math.sqrt(10.0)).toInt)
+    assert(rep("mid").getInt(4) == 500)
+    // post-sampling share compresses toward uniform: ordering preserved,
+    // spread narrowed
+    val before = rep.view.mapValues(_.getDouble(3)).toMap
+    val after = rep.view.mapValues(_.getDouble(7)).toMap
+    assert(after("big") < before("big") && after("rare") > before("rare"))
+    assert(after("big") > after("mid") && after("mid") > after("rare"))
+    // deterministic: the kept set is a pure function of keys
+    val rates = Sampling.mixtureRates(df)
+    val k1 = Sampling.mixtureSample(df, rates, col("doc_id"))
+      .select("doc_id").as[String].collect().toSet
+    val k2 = Sampling.mixtureSample(df.repartition(13), rates, col("doc_id"))
+      .select("doc_id").as[String].collect().toSet
+    assert(k1 == k2)
+    // sampled counts match the report
+    assert(k1.size == rep.values.map(_.getLong(5)).sum)
+  }
+
   test("curation pipeline: stages compose with their individual semantics") {
     import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
