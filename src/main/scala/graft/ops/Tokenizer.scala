@@ -78,10 +78,11 @@ object Tokenizer {
       .orderBy(col("cnt").desc, col("a"), col("b"))
       .limit(1)
 
-  /** k-round merge table (rank, a, b, new_id, cnt) as ONE composed plan —
-    * zero driver actions; see the scale-design note above for when to
-    * prefer [[bpeTrain]]. */
-  def mergeTable(seqs: DataFrame, k: Int): DataFrame = {
+  /** The k composed merge rounds: per round, the learned 1-row rule plus
+    * the stream rewritten by it. Shared core of [[mergeTable]] and
+    * [[encodeTable]]; returns (per-round rule rows, final encoded
+    * stream). */
+  private def rounds(seqs: DataFrame, k: Int): (Vector[DataFrame], DataFrame) = {
     require(k >= 1, s"need at least one merge round: $k")
     var stream = seqs.select(col("doc_id"), col("tokens"))
     var rules = Vector.empty[DataFrame]
@@ -97,8 +98,27 @@ object Tokenizer {
         .select(col("doc_id"), col("tokens"))
       r += 1
     }
-    rules.reduce(_ unionByName _)
+    (rules, stream)
   }
+
+  /** k-round merge table (rank, a, b, new_id, cnt) as ONE composed plan —
+    * zero driver actions; see the scale-design note above for when to
+    * prefer [[bpeTrain]]. */
+  def mergeTable(seqs: DataFrame, k: Int): DataFrame =
+    rounds(seqs, k)._1.reduce(_ unionByName _)
+
+  /** Train-and-encode as ONE composed zero-collect plan: the same k merge
+    * rounds as [[mergeTable]], returning the final encoded stream —
+    * (doc_id, tokens_enc array<int>, n_enc int). Plan depth is O(k²) like
+    * [[mergeTable]] (each round's broadcast top-1 hangs off the previous
+    * stream), so this form is for small k / oracle checks; production
+    * vocabulary sizes run [[bpeTrain]] (k driver actions, O(k) rule
+    * state) then encode the corpus with ONE narrow [[applyMergesExpr]]
+    * projection — no shuffle on the encode pass at any corpus size. */
+  def encodeTable(seqs: DataFrame, k: Int): DataFrame =
+    rounds(seqs, k)._2.select(col("doc_id"),
+      col("tokens").as("tokens_enc"),
+      size(col("tokens")).as("n_enc"))
 
   /** A learned merge rule: `rank`-th merge rewrites adjacent (a, b) to
     * `newId`; `cnt` is the pair's count at learn time. */
@@ -167,6 +187,36 @@ object Tokenizer {
     * oracle parity genuinely cross-checks the kernel's overlap semantics
     * rather than re-running them. */
   def duckTrainSql(prelude: String, k: Int): String = {
+    val sb = duckMergeChain(prelude, k)
+    val rows = (1 to k).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS rank, a, b,
+         |  CAST(${NewIdBase + r - 1} AS INTEGER) AS new_id,
+         |  CAST(cnt AS BIGINT) AS cnt FROM t$r""".stripMargin
+    }
+    sb.append(rows.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[encodeTable]]: the same k relational merge rounds
+    * ([[duckTrainSql]] chain), final stream re-aggregated into per-doc
+    * token arrays — an independent derivation of the kernel's full encode
+    * output, not just its learned rules. */
+  def duckEncodeSql(prelude: String, k: Int): String = {
+    val sb = duckMergeChain(prelude, k)
+    sb.append(
+      s"""SELECT doc_id,
+         |  list(CAST(v AS INTEGER) ORDER BY i) AS tokens_enc,
+         |  CAST(count(*) AS INTEGER) AS n_enc
+         |FROM s$k GROUP BY doc_id""".stripMargin)
+    sb.toString
+  }
+
+  /** Shared CTE chain for [[duckTrainSql]]/[[duckEncodeSql]]: stream
+    * positions s0, then per round r the pair table pt_r, top-1 t_r,
+    * candidate/greedy-island start positions, and the rewritten stream
+    * s_r. Returned builder ends after the last CTE, ready for a final
+    * SELECT. */
+  private def duckMergeChain(prelude: String, k: Int): StringBuilder = {
     require(k >= 1)
     val sb = new StringBuilder
     sb.append(s"WITH $prelude,\n")
@@ -211,14 +261,9 @@ object Tokenizer {
            |  WHERE c.i IS NULL),
            |""".stripMargin)
     }
-    val rows = (1 to k).map { r =>
-      s"""SELECT CAST($r AS INTEGER) AS rank, a, b,
-         |  CAST(${NewIdBase + r - 1} AS INTEGER) AS new_id,
-         |  CAST(cnt AS BIGINT) AS cnt FROM t$r""".stripMargin
-    }
     // trim the trailing ",\n" of the last CTE
     sb.setLength(sb.length - 2)
-    sb.append("\n").append(rows.mkString("\nUNION ALL\n"))
-    sb.toString
+    sb.append("\n")
+    sb
   }
 }

@@ -32,11 +32,19 @@ object TokenizerQueries {
     // zero-collect plan; subsampled docs (the LSH-family oracle pattern)
     // because the oracle unrolls k relational merge rounds
     "bpe_train" -> ((s, dir) =>
-      Tokenizer.mergeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds))
+      Tokenizer.mergeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds)),
+
+    // the full encode output: corpus re-tokenized by the k merges learned
+    // from it, token arrays bitwise-checked against the oracle's
+    // independent relational derivation (exact token-array equality is
+    // the per-row invariant of the whole engine)
+    "bpe_encode" -> ((s, dir) =>
+      Tokenizer.encodeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds))
   )
 
   def oracles: Map[String, String] = Map(
     "bpe_pairs" -> Tokenizer.duckPairsSql(duckSeqs, PairTopK),
-    "bpe_train" -> Tokenizer.duckTrainSql(duckSeqsSub, TrainRounds)
+    "bpe_train" -> Tokenizer.duckTrainSql(duckSeqsSub, TrainRounds),
+    "bpe_encode" -> Tokenizer.duckEncodeSql(duckSeqsSub, TrainRounds)
   )
 }

@@ -94,6 +94,29 @@ class TokenizerSpec extends AnyFunSuite {
     assert(composed == want, "composed plan vs scalar")
   }
 
+  test("encodeTable == scalar train+encode == bpeTrain+applyMergesExpr") {
+    graft.functions.expressions.register(spark)
+    val k = 3
+    // scalar: train then re-apply every rule in rank order
+    var cur = corpus
+    for (((a, b, m, _), _) <- trainRef(corpus, k).zipWithIndex)
+      cur = cur.map(d => mergeRef(d, a, b, m))
+    val want = corpus.indices.map(i => f"t$i%03d").zip(cur).toMap
+    val composed = Tokenizer.encodeTable(corpusDf, k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(composed == want, "composed encode vs scalar")
+    // n_enc matches the array it rides with
+    Tokenizer.encodeTable(corpusDf, k).collect().foreach(r =>
+      assert(r.getInt(2) == r.getSeq[Int](1).length))
+    // production path: driver-trained rules + one narrow projection
+    val rules = Tokenizer.bpeTrain(corpusDf, k)
+    val prod = corpusDf
+      .select(col("doc_id"),
+        Tokenizer.applyMergesExpr("tokens", rules).as("tokens_enc"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+    assert(prod == want, "bpeTrain + applyMergesExpr vs scalar")
+  }
+
   test("pairReport ranks with the full deterministic tiebreak") {
     val rep = Tokenizer.pairReport(corpusDf, 100).orderBy("rank").collect()
     val counts = corpus.flatMap(d => d.zip(d.drop(1)))
