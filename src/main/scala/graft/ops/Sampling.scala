@@ -122,6 +122,36 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Seeded epoch-shuffle key: md5 of `key:epoch` — an uncorrelated
+    * 128-bit total order per epoch, reproducible anywhere md5 is (the
+    * same engine-portability argument as [[milleSlot]]). */
+  def epochKey(key: Column, epoch: Int): Column =
+    md5(concat(key.cast("string"), lit(s":$epoch")))
+
+  /** Deterministic epoch shuffle: the global training order for epoch
+    * `e`, as a total sort by [[epochKey]]. Spark plans this as ONE
+    * range exchange (sampled hash-space boundaries) + per-partition
+    * sort — the scalable "shuffle once per epoch, stream shards in
+    * order" pattern. Re-running an epoch reproduces its order bit-for-
+    * bit regardless of input partitioning; distinct epochs are
+    * uncorrelated because the hash mixes the epoch into every key. */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int): DataFrame =
+    df.orderBy(epochKey(key, epoch))
+
+  /** Writer form of [[epochShuffle]]: `nShards` range partitions of the
+    * epoch order, each internally sorted, tagged with its shard id —
+    * reading shards 0..n-1 sequentially streams the exact global
+    * shuffle. Shard boundaries come from Spark's range sampler; the
+    * ORDER is the deterministic contract, boundary placement is not. */
+  def epochShards(df: DataFrame, key: Column, epoch: Int,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 1, s"bad shard count: $nShards")
+    df.withColumn("shuffle_key", epochKey(key, epoch))
+      .repartitionByRange(nShards, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .withColumn("shard", spark_partition_id())
+  }
+
   /** Temperature-based domain mixture rates (τ = 0.5): per-stratum keep
     * rates that rebalance the corpus toward `share^τ` — the multilingual-
     * pretraining reweighting that upsamples rare domains relative to

@@ -39,6 +39,9 @@ object CurationQueries {
   // DSIR target slice + duplicated-n-gram width (k <= 4: exact packing)
   val DsirTargetSource = "src0"
   val DupNgramK = 4
+  // epoch shuffle: epochs checked x head size per epoch
+  val EpochN = 3
+  val EpochHeadK = 25
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -223,6 +226,21 @@ object CurationQueries {
       graft.ops.TextAnalysis.lengthReport(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // deterministic epoch shuffle: heads of three epochs' global training
+    // orders (orderBy hash + limit = distributed take-ordered, no global
+    // window); emitting the shuffle key itself makes the ORDER part of the
+    // bitwise contract, not just the head set
+    "epoch_order" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"))
+      (0 until EpochN).map { e =>
+        graft.ops.Sampling.epochShuffle(docs, col("doc_id"), e)
+          .limit(EpochHeadK)
+          .select(lit(e).as("epoch"), col("doc_id"),
+            graft.ops.Sampling.epochKey(col("doc_id"), e).as("skey"))
+      }.reduce(_ unionByName _)
+    }),
+
     // temperature-0.5 domain mixture: per-source keep rates rebalancing
     // token mass toward share^0.5 (rare domains upweighted), applied via
     // the deterministic hash slot; rates are sqrt of exact integer-sum
@@ -312,6 +330,16 @@ object CurationQueries {
     "length_report" -> graft.ops.TextAnalysis.duckLengthReportSql,
     "mix_report" ->
       graft.ops.Sampling.duckMixtureSql(s"seqs AS (${Seqs.duckSql})"),
+    "epoch_order" -> (0 until EpochN).map { e =>
+      s"""SELECT epoch, doc_id, skey FROM (
+         |  SELECT CAST($e AS INTEGER) AS epoch,
+         |    CAST(doc_id AS VARCHAR) AS doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || ':$e') AS skey,
+         |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$e'))
+         |      AS rn
+         |  FROM documents)
+         |WHERE rn <= $EpochHeadK""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "decontaminate" -> graft.ops.Contamination.duckSql(
       ContamN, "doc_id % 97 = 0", ContamMinHits),
     "repetition_stats" -> graft.ops.TextAnalysis.duckRepetitionSql,

@@ -478,6 +478,41 @@ class OpsSpec extends AnyFunSuite {
     assert(k1.size == rep.values.map(_.getLong(5)).sum)
   }
 
+  test("epoch shuffle: reproducible order, uncorrelated epochs, shard contract") {
+    import graft.ops.Sampling
+    val df = spark.range(2000).toDF("id")
+      .withColumn("doc_id", concat(lit("e"), col("id").cast("string")))
+    def order(e: Int, d: org.apache.spark.sql.DataFrame): Seq[String] =
+      Sampling.epochShuffle(d, col("doc_id"), e)
+        .select("doc_id").as[String].collect().toSeq
+    // bit-for-bit reproducible, partitioning-invariant
+    assert(order(0, df) == order(0, df.repartition(17)))
+    // epochs are permutations of the same corpus but uncorrelated orders
+    val o0 = order(0, df); val o1 = order(1, df)
+    assert(o0.toSet == o1.toSet && o0 != o1)
+    val agree = o0.zip(o1).count { case (a, b) => a == b }
+    assert(agree < o0.length / 100, s"epochs should decorrelate: $agree")
+    // shards: ids are dense 0..n-1, within-shard keys sorted, shard key
+    // ranges are disjoint and ordered => concatenating shards 0..n-1
+    // replays the exact global shuffle
+    val sh = Sampling.epochShards(df, col("doc_id"), 0, 8)
+      .select("shard", "shuffle_key", "doc_id").collect()
+    assert(sh.map(_.getInt(0)).toSet == (0 until 8).toSet)
+    val byShard = sh.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    byShard.foreach { case (_, rows) =>
+      val ks = rows.map(_.getString(1)).toSeq
+      assert(ks == ks.sorted, "within-shard order")
+    }
+    val ranges = byShard.map { case (s, rows) =>
+      (s, rows.map(_.getString(1)).min, rows.map(_.getString(1)).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => assert(hi <= lo, "ordered ranges")
+      case _ => ()
+    }
+    assert(byShard.flatMap(_._2).map(_.getString(2)).toSeq == o0,
+      "shards 0..n-1 concatenated == the global shuffle")
+  }
+
   test("curation pipeline: stages compose with their individual semantics") {
     import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
