@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hashed-n-gram linear text classifier — the fastText-style quality
+  * filter of a training-data pipeline: each document's unigrams and word
+  * bigrams are hashed into `dim` buckets (the hashing trick), bucket
+  * weights are averaged, and a bias completes the logit; `keep` is the
+  * sign. This is the third model-inference surface next to the GBDT
+  * walk ([[TreeEnsemble]]) and the bigram LM score — the shape used for
+  * cheap corpus-wide quality gating before expensive downstream stages.
+  *
+  * Determinism contract: weights live on an exact 1/1024 grid as INTEGER
+  * milli-units, so the per-doc reduction is an integer sum (associative —
+  * partitioning-free), and the only float op is one final IEEE divide;
+  * the logit is therefore bitwise identical across engines and runs. A
+  * float-weight average (fastText's native form) would depend on Spark's
+  * aggregation order; the quantized table is the same model as shipped
+  * by a production filter after weight quantization.
+  *
+  * Scale (100 TB): features are a narrow explode of the scan (no text in
+  * any shuffle), the weight table is `dim` rows (1e5–1e6 — always
+  * broadcast-able), and the doc reduction is ONE partial-agg groupBy on
+  * doc_id. Unseen buckets score 0 via the left join, so sparse trained
+  * tables work unchanged.
+  *
+  * Reference analog: the classification models gate low-level descriptors
+  * into categories via trained weights over engineered features
+  * (`Source/Crawler/Classification/Source/Models/GBDT.cpp:50-117`); the
+  * hashed linear form is the text-corpus counterpart.
+  */
+object LinearModel {
+
+  /** Hash a feature string into [0, dim): first 8 md5 hex chars as an
+    * integer (the [[Sampling.milleSlot]] portability argument), mod the
+    * table size. */
+  def hashBucket(feat: Column, dim: Int): Column =
+    (conv(substring(md5(feat), 1, 8), 16, 10).cast("long") % dim)
+
+  /** (doc_id, feat) rows: unigrams plus space-joined word bigrams, WITH
+    * duplicates — counts weight the average exactly as repeated words
+    * weight a fastText sentence vector. Docs with zero words vanish
+    * (no features → no logit), mirrored in the oracle. */
+  def features(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("words", expr(TextAnalysis.wordsExpr))
+      .select(col("doc_id"), explode(expr(
+        s"""concat(words,
+           |  CASE WHEN size(words) >= 2 THEN
+           |    transform(sequence(0, size(words) - 2),
+           |      i -> array_join(slice(words, i + 1, 2), ' '))
+           |  ELSE array() END)""".stripMargin)).as("feat"))
+
+  /** Deterministic synthetic weight table (bucket, w_milli) with
+    * w_milli uniform in [-2048, 2047] — 1/1024-grid weights in [-2, 2);
+    * stands in for a trained table with the same schema. */
+  def synthWeights(spark: SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("bucket"),
+      (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 4096 - 2048).as("w_milli"))
+
+  /** Score every document: logit = bias + mean bucket weight (in units;
+    * weights are milli-units on the 1/1024 grid). Output:
+    * (doc_id, n_feat, sum_milli, logit, keep). */
+  def score(documents: DataFrame, weights: DataFrame, dim: Int,
+            biasMilli: Long = 0L): DataFrame =
+    features(documents)
+      .select(col("doc_id"), hashBucket(col("feat"), dim).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"),
+        sum(coalesce(col("w_milli"), lit(0L))).as("sum_milli"))
+      .withColumn("logit",
+        (lit(biasMilli) * col("n_feat") + col("sum_milli")).cast("double")
+          / (lit(1024.0) * col("n_feat").cast("double")))
+      .withColumn("keep", col("logit") > 0.0)
+
+  /** DuckDB mirror of [[score]]([[synthWeights]]) over the documents
+    * table. */
+  def duckSql(dim: Int, biasMilli: Long = 0L): String =
+    s"""WITH wt AS (
+       |  SELECT CAST(i AS BIGINT) AS bucket,
+       |    CAST(('0x' || substr(md5('w:' || CAST(i AS VARCHAR)), 1, 8))
+       |           ::BIGINT % 4096 - 2048 AS BIGINT) AS w_milli
+       |  FROM range($dim) t(i)),
+       |wd AS (
+       |  SELECT doc_id, ${TextAnalysis.duckWordsExpr} AS words
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, unnest(
+       |    words || CASE WHEN len(words) >= 2 THEN
+       |      list_transform(range(CAST(len(words) - 1 AS BIGINT)),
+       |        i -> array_to_string(words[i + 1:i + 2], ' '))
+       |    ELSE [] END) AS feat
+       |  FROM wd),
+       |b AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % $dim AS bucket
+       |  FROM f)
+       |SELECT b.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_feat,
+       |  CAST(sum(coalesce(wt.w_milli, 0)) AS BIGINT) AS sum_milli,
+       |  CAST($biasMilli * count(*) + sum(coalesce(wt.w_milli, 0))
+       |       AS DOUBLE)
+       |    / (CAST(1024 AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS logit,
+       |  (CAST($biasMilli * count(*) + sum(coalesce(wt.w_milli, 0))
+       |        AS DOUBLE)
+       |    / (CAST(1024 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+       |    > CAST(0 AS DOUBLE)) AS keep
+       |FROM b LEFT JOIN wt ON wt.bucket = b.bucket
+       |GROUP BY b.doc_id""".stripMargin
+}

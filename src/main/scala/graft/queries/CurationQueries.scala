@@ -42,6 +42,9 @@ object CurationQueries {
   // epoch shuffle: epochs checked x head size per epoch
   val EpochN = 3
   val EpochHeadK = 25
+  // hashed linear quality filter: bucket count + bias (milli-units)
+  val LinearDim = 4096
+  val LinearBiasMilli = 64L
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -241,6 +244,17 @@ object CurationQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // fastText-style hashed linear quality filter: unigram+bigram hashing
+    // trick, broadcast integer-grid weight table, one doc_id groupBy;
+    // logit exact (integer sum + one divide)
+    "quality_linear" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.ops.LinearModel.score(docs,
+        graft.ops.LinearModel.synthWeights(s, LinearDim),
+        LinearDim, LinearBiasMilli)
+    }),
+
     // temperature-0.5 domain mixture: per-source keep rates rebalancing
     // token mass toward share^0.5 (rare domains upweighted), applied via
     // the deterministic hash slot; rates are sqrt of exact integer-sum
@@ -330,6 +344,8 @@ object CurationQueries {
     "length_report" -> graft.ops.TextAnalysis.duckLengthReportSql,
     "mix_report" ->
       graft.ops.Sampling.duckMixtureSql(s"seqs AS (${Seqs.duckSql})"),
+    "quality_linear" ->
+      graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli),
     "epoch_order" -> (0 until EpochN).map { e =>
       s"""SELECT epoch, doc_id, skey FROM (
          |  SELECT CAST($e AS INTEGER) AS epoch,

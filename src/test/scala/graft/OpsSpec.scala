@@ -513,6 +513,43 @@ class OpsSpec extends AnyFunSuite {
       "shards 0..n-1 concatenated == the global shuffle")
   }
 
+  test("hashed linear scorer: feature counts, missing buckets, exact logit") {
+    import graft.ops.LinearModel
+    val docs = Seq(
+      (1L, "aa bb aa"),      // 3 unigrams + 2 bigrams = 5 features
+      (2L, "cc"),            // 1 unigram, no bigram
+      (3L, ""),              // no words -> absent from output
+      (4L, "aa aa aa aa")    // repeats weighted by count
+    ).toDF("doc_id", "text")
+    val dim = 64
+    val w = LinearModel.synthWeights(spark, dim)
+    val out = LinearModel.score(docs, w, dim, biasMilli = 100L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L), "zero-word doc drops out")
+    assert(out(1L).getLong(1) == 5L && out(2L).getLong(1) == 1L
+      && out(4L).getLong(1) == 7L)
+    // logit recomputed from the emitted exact integers
+    out.values.foreach { r =>
+      val n = r.getLong(1); val s = r.getLong(2)
+      assert(r.getDouble(3) == (100L * n + s).toDouble / (1024.0 * n))
+      assert(r.getBoolean(4) == (r.getDouble(3) > 0.0))
+    }
+    // sparse table: buckets absent from the weight table contribute 0
+    val sparse = w.filter(col("bucket") % 2 === 0)
+    val outS = LinearModel.score(docs, sparse, dim, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val wMap = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketsDoc2 = LinearModel.features(docs.filter($"doc_id" === 2L))
+      .select(LinearModel.hashBucket(col("feat"), dim)).as[Long].collect()
+    val wantS = bucketsDoc2.map(b => if (b % 2 == 0) wMap(b) else 0L).sum
+    assert(outS(2L) == wantS)
+    // partitioning-invariant (integer sum is order-free)
+    val a = LinearModel.score(docs, w, dim, 100L).orderBy("doc_id").collect()
+    val b = LinearModel.score(docs.repartition(7), w, dim, 100L)
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("curation pipeline: stages compose with their individual semantics") {
     import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
