@@ -244,6 +244,14 @@ object CurationQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // PII redaction: per-rule sequential count-and-mask (email/IPv4/phone)
+    // over a deterministically PII-injected corpus; redacted text pinned
+    // by length + md5 — one narrow projection per rule, no shuffle
+    "redact_pii" -> ((s, dir) =>
+      graft.ops.Redact.redact(graft.ops.Redact.injectPii(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))))),
+
     // fastText-style hashed linear quality filter: unigram+bigram hashing
     // trick, broadcast integer-grid weight table, one doc_id groupBy;
     // logit exact (integer sum + one divide)
@@ -346,6 +354,7 @@ object CurationQueries {
       graft.ops.Sampling.duckMixtureSql(s"seqs AS (${Seqs.duckSql})"),
     "quality_linear" ->
       graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli),
+    "redact_pii" -> graft.ops.Redact.duckSql(),
     "epoch_order" -> (0 until EpochN).map { e =>
       s"""SELECT epoch, doc_id, skey FROM (
          |  SELECT CAST($e AS INTEGER) AS epoch,

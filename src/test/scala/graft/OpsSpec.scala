@@ -550,6 +550,44 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("redaction: sequential count-and-mask, rule order, exact witnesses") {
+    import graft.ops.Redact
+    val docs = Seq(
+      (1L, "write to bob.smith@mail0.com or 10.1.0.2 now"),
+      (2L, "call +4912345678 and +09 also 999.999.999.9999"),
+      (3L, "plain text, nothing to mask"),
+      (4L, "a@b.co x@y.code")   // TLD cap: 2-4 chars
+    ).toDF("doc_id", "text")
+    val out = Redact.redact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 1 && out(1L).getInt(2) == 1
+      && out(1L).getInt(3) == 0)
+    // +09 is too short for the phone rule; the 4-octet run exceeds \b
+    // boundaries only for the first 3-digit groups: 999.999.999.9999 has
+    // no match because the final group is 4 digits with no boundary split
+    assert(out(2L).getInt(3) == 1, "one valid phone")
+    assert(out(3L).getInt(1) == 0 && out(3L).getInt(2) == 0
+      && out(3L).getInt(3) == 0)
+    assert(out(4L).getInt(1) == 2, "2-char and 4-char TLDs both match")
+    // masked text witness: doc 1 fully rewritten
+    val masked = "write to <EMAIL> or <IP> now"
+    assert(out(1L).getInt(4) == masked.length)
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+      .digest(masked.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getString(5) == mdRef)
+    // injection determinism: repartition-invariant
+    val big = spark.range(300).toDF("doc_id")
+      .withColumn("text", lit("filler words"))
+    val r1 = Redact.redact(Redact.injectPii(big)).orderBy("doc_id").collect()
+    val r2 = Redact.redact(Redact.injectPii(big.repartition(11)))
+      .orderBy("doc_id").collect()
+    assert(r1.sameElements(r2))
+    // every %3 doc got exactly one email masked, etc.
+    assert(r1.count(_.getInt(1) == 1) == 100)
+    assert(r1.count(_.getInt(2) == 1) == 60)
+    assert(r1.count(_.getInt(3) == 1) == java.lang.Math.floorDiv(299, 7) + 1)
+  }
+
   test("curation pipeline: stages compose with their individual semantics") {
     import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
