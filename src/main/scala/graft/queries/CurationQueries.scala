@@ -45,6 +45,10 @@ object CurationQueries {
   // hashed linear quality filter: bucket count + bias (milli-units)
   val LinearDim = 4096
   val LinearBiasMilli = 64L
+  // length-bucketed batching: bucket edges (n_tok), batch size, shards
+  val BatchEdges = Seq(2048, 4096, 6144)
+  val BatchSize = 16
+  val BatchShards = 4
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -244,6 +248,14 @@ object CurationQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // length-bucketed batch assembly + padding-waste report: batches are
+    // a pure function of (length bucket, hash shard, epoch-hash rank);
+    // the only window is per (bucket, shard) — no global rank
+    "length_batches" -> ((s, dir) =>
+      graft.ops.Batching.report(graft.ops.Batching.assign(
+        Seqs.fromDocuments(s, dir), col("doc_id"),
+        BatchEdges, BatchSize, BatchShards))),
+
     // PII redaction: per-rule sequential count-and-mask (email/IPv4/phone)
     // over a deterministically PII-injected corpus; redacted text pinned
     // by length + md5 — one narrow projection per rule, no shuffle
@@ -355,6 +367,8 @@ object CurationQueries {
     "quality_linear" ->
       graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli),
     "redact_pii" -> graft.ops.Redact.duckSql(),
+    "length_batches" -> graft.ops.Batching.duckSql(
+      s"seqs AS (${Seqs.duckSql})", BatchEdges, BatchSize, BatchShards),
     "epoch_order" -> (0 until EpochN).map { e =>
       s"""SELECT epoch, doc_id, skey FROM (
          |  SELECT CAST($e AS INTEGER) AS epoch,

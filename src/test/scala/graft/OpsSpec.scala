@@ -588,6 +588,49 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.count(_.getInt(3) == 1) == java.lang.Math.floorDiv(299, 7) + 1)
   }
 
+  test("length-bucketed batching: fill order, partial tails, waste math") {
+    import graft.ops.Batching
+    val edges = Seq(100, 200)
+    val seqs = spark.range(500).toDF("id")
+      .withColumn("doc_id", concat(lit("b"), col("id").cast("string")))
+      .withColumn("n_tok", (col("id") % 290 + 10).cast("int"))
+      .drop("id")
+    val asg = Batching.assign(seqs, col("doc_id"), edges,
+      batchSize = 8, nShards = 3)
+    val rows = asg.collect()
+    // bucket boundaries respected
+    rows.foreach { r =>
+      val (n, b) = (r.getInt(1), r.getInt(2))
+      val want = edges.count(n > _)
+      assert(b == want, s"n_tok=$n bucket=$b")
+    }
+    // per (bucket, shard): slots dense per batch, only the last batch
+    // short, batch ids dense from 0
+    rows.groupBy(r => (r.getInt(2), r.getInt(3))).foreach {
+      case (_, grp) =>
+        val byBatch = grp.groupBy(_.getInt(4)).toSeq.sortBy(_._1)
+        assert(byBatch.map(_._1) == byBatch.indices)
+        byBatch.foreach { case (bid, members) =>
+          assert(members.map(_.getInt(5)).sorted.toSeq ==
+            members.indices, s"slots dense in batch $bid")
+          if (bid < byBatch.length - 1)
+            assert(members.length == 8, "only the tail batch may be short")
+        }
+    }
+    // report math + determinism under repartition
+    val rep = Batching.report(asg).collect()
+    rep.foreach { r =>
+      assert(r.getLong(6) ==
+        r.getInt(4).toLong * r.getLong(3) - r.getLong(5))
+      assert(r.getLong(3) <= 8L)
+    }
+    val rep2 = Batching.report(Batching.assign(seqs.repartition(13),
+      col("doc_id"), edges, 8, 3))
+      .orderBy("bucket", "shard", "batch_id").collect()
+    assert(rep2.sameElements(
+      Batching.report(asg).orderBy("bucket", "shard", "batch_id").collect()))
+  }
+
   test("curation pipeline: stages compose with their individual semantics") {
     import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
