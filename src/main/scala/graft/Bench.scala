@@ -37,6 +37,8 @@ object Bench {
     "events_label_join",  // forward as-of (label attribution)
     "events_trailing_multi", // 3-horizon trailing features, one window pass
     "decontaminate",      // broadcast eval-gram contamination check
+    "quality_linear",     // hashed linear scorer (broadcast weights)
+    "redact_pii",         // regex count-and-mask text scan
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
