@@ -81,6 +81,8 @@ object expressions {
       es => PackNgrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_apply",
       es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_span_hashes",
+      es => SpanHashes(es(0), es(1), es(2)), "built-in")
     spectral.register(spark)
     rhythm.register(spark)
     fvkernel.register(spark)
@@ -248,6 +250,65 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), as = c(1), bs = c(2), ms = c(3))
+  }
+
+  /** graft_span_hashes(tokens ARRAY<INT>, len INT, stride INT)
+    * → ARRAY<BIGINT>
+    *
+    * 60-bit hash per fixed-length token window at strided start positions
+    * 0, stride, 2·stride, … (window j covers [j·stride, j·stride+len)) —
+    * the candidate-generation primitive of exact substring-span dedup.
+    * Hash = first 15 hex chars of md5 over the space-joined decimal
+    * rendering of the window's tokens, the corpus-wide convention shared
+    * with [[graft.ops.Contamination]] and mirrored bit-for-bit in DuckDB
+    * (`('0x' || substr(md5(array_to_string(tokens[a:b], ' ')), 1, 15))
+    * ::BIGINT`). Native kernel so the per-token path never runs an
+    * interpreted HOF; the digest instance is reused across rows. */
+  case class SpanHashes(tokens: Expression, lenE: Expression,
+      strideE: Expression)
+      extends Expression with CodegenFallback {
+    private val winLen = litInt(lenE)
+    private val stride = litInt(strideE)
+    require(winLen >= 1 && stride >= 1,
+      s"bad span params: len=$winLen stride=$stride")
+    override def children: Seq[Expression] = Seq(tokens, lenE, strideE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val n = arr.length
+      if (n < winLen) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val nWin = (n - winLen) / stride + 1
+      val out = new Array[Long](nWin)
+      val sb = new java.lang.StringBuilder(winLen * 6)
+      var j = 0
+      while (j < nWin) {
+        sb.setLength(0)
+        val base = j * stride
+        var k = 0
+        while (k < winLen) {
+          if (k > 0) sb.append(' ')
+          sb.append(arr(base + k))
+          k += 1
+        }
+        md.reset()
+        val dig = md.digest(sb.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = high 60 bits of the first 8 digest bytes
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+        out(j) = h >>> 4
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), lenE = c(1), strideE = c(2))
   }
 
   // ------------------------------------------------------------------

@@ -279,6 +279,60 @@ object Dedup {
         col("n_dup").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Cross-document exact substring-span dedup (the "dedup training data
+    * at substring granularity" family, cf. the suffix-array exact-
+    * substring method of Lee et al. 2022, arXiv:2107.06499): fixed-length
+    * token windows at strided positions are hashed
+    * ([[graft.functions.expressions.SpanHashes]], 60-bit md5 prefix), a
+    * window is DUPLICATED when its hash occurs in ≥ 2 documents, and each
+    * doc reports its window count, duplicated-window count, and
+    * duplicated fraction — the removal signal substring dedup acts on.
+    *
+    * Spark shape instead of a suffix array: the window table carries ONLY
+    * (doc_id, hash) — never token payload — through one gram-keyed
+    * doc-frequency aggregation (map-side partials) and one semi-join back
+    * (AQE splits hot boilerplate hashes), then a doc-keyed agg. Stride
+    * trades recall granularity for a 1/stride window count, the standard
+    * production dial; windows per doc are capped by the analysis cap.
+    * A same-doc repeat does not count (n_docs ≥ 2 is cross-document, the
+    * within-doc signal is [[duplicatedNgramStats]]). */
+  def spanDupStats(seqs: DataFrame, winLen: Int, stride: Int): DataFrame = {
+    val w = seqs.select(col("doc_id"),
+        explode(expr(s"graft_span_hashes(tokens, $winLen, $stride)")).as("h"))
+    val docFreq = w.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    w.join(docFreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_windows").cast("double"))
+  }
+
+  /** DuckDB mirror of [[spanDupStats]] over a `seqs` CTE body bound by
+    * `prelude` (no leading WITH). */
+  def duckSpanDupSql(prelude: String, winLen: Int, stride: Int): String =
+    s"""WITH $prelude,
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, unnest(CASE WHEN n_tok >= $winLen THEN
+       |      list_transform(range((CAST(n_tok AS BIGINT) - $winLen) // $stride + 1),
+       |        j -> CAST(('0x' || substr(md5(array_to_string(
+       |               tokens[j * $stride + 1 : j * $stride + $winLen], ' ')),
+       |             1, 15)) AS BIGINT))
+       |    ELSE [] END) AS h
+       |  FROM seqs),
+       |df AS (
+       |  SELECT h, count(*) AS n_docs
+       |  FROM (SELECT DISTINCT doc_id, h FROM w) GROUP BY 1)
+       |SELECT w.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS dup_frac
+       |FROM w JOIN df USING (h)
+       |GROUP BY w.doc_id""".stripMargin
+
   /** DuckDB mirror of [[duplicatedNgramStats]] for k = 4 (vectorized
     * 4-slice zip — per-gram string lambdas are ~1000× slower there). */
   def duckDupNgramsSql(seqsSql: String): String =

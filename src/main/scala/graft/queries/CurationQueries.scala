@@ -49,6 +49,9 @@ object CurationQueries {
   val BatchEdges = Seq(2048, 4096, 6144)
   val BatchSize = 16
   val BatchShards = 4
+  // exact substring-span dedup: window length (tokens) and stride
+  val SpanLen = 64
+  val SpanStride = 16
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -248,6 +251,12 @@ object CurationQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // cross-document exact substring-span dedup (Lee et al. exact-substring
+    // family): strided 64-token window hashes, duplicated = hash in >= 2
+    // docs; ids-only shuffle, native window-hash kernel
+    "span_dedup" -> ((s, dir) =>
+      Dedup.spanDupStats(Seqs.fromDocuments(s, dir), SpanLen, SpanStride)),
+
     // length-bucketed batch assembly + padding-waste report: batches are
     // a pure function of (length bucket, hash shard, epoch-hash rank);
     // the only window is per (bucket, shard) — no global rank
@@ -369,6 +378,8 @@ object CurationQueries {
     "redact_pii" -> graft.ops.Redact.duckSql(),
     "length_batches" -> graft.ops.Batching.duckSql(
       s"seqs AS (${Seqs.duckSql})", BatchEdges, BatchSize, BatchShards),
+    "span_dedup" -> Dedup.duckSpanDupSql(
+      s"seqs AS (${Seqs.duckSql})", SpanLen, SpanStride),
     "epoch_order" -> (0 until EpochN).map { e =>
       s"""SELECT epoch, doc_id, skey FROM (
          |  SELECT CAST($e AS INTEGER) AS epoch,

@@ -631,6 +631,48 @@ class OpsSpec extends AnyFunSuite {
       Batching.report(asg).orderBy("bucket", "shard", "batch_id").collect()))
   }
 
+  test("span dedup: planted shared run found, within-doc repeats excluded") {
+    import graft.ops.Dedup
+    graft.functions.expressions.register(spark)
+    val shared = (0 until 40).map(i => i % 7)        // identical run in 2 docs
+    val docs = Seq(
+      ("s1", shared ++ Seq(900, 901, 902)),
+      ("s2", Seq(800, 801) ++ shared),
+      ("s3", (0 until 80).map(_ => 5)),              // self-repeats only
+      ("s4", (0 until 50).map(i => 1000 + i))        // unique content
+    ).toDF("doc_id", "tokens")
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+      .withColumn("n_tok", size(col("tokens")))
+    val out = Dedup.spanDupStats(docs, winLen = 32, stride = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // window counts: (n - 32) / 4 + 1
+    assert(out("s1").getLong(1) == (43 - 32) / 4 + 1)
+    assert(out("s3").getLong(1) == (80 - 32) / 4 + 1)
+    // the shared run is 40 tokens: aligned 32-windows inside it exist in
+    // both docs, BUT s2's copy starts at offset 2 (stride 4 misaligns it
+    // vs s1's offsets 0,4,8) — windows only collide where both docs
+    // sample the same INTERNAL offset of the run: s1 samples run offsets
+    // 0,4,8; s2 samples 2,6 (s2 pos p covers run offset p-2). So zero
+    // collisions — strided span dedup is alignment-sensitive, exactly
+    // like the production technique with stride > 1.
+    assert(out("s1").getLong(2) == 0 && out("s2").getLong(2) == 0)
+    // s3's identical all-5 windows repeat WITHIN the doc only -> not dup
+    assert(out("s3").getLong(2) == 0L)
+    assert(out("s4").getLong(2) == 0L)
+    // aligned copies DO collide: same run, both at offset 0
+    val aligned = Seq(
+      ("a1", shared ++ Seq(1, 2, 3)),
+      ("a2", shared ++ Seq(7, 8, 9))
+    ).toDF("doc_id", "tokens")
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+      .withColumn("n_tok", size(col("tokens")))
+    val out2 = Dedup.spanDupStats(aligned, 32, 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // run offsets 0,4,8 of the 40-token run fit a 32-window in both docs
+    assert(out2("a1").getLong(2) == 3 && out2("a2").getLong(2) == 3)
+    assert(out2("a1").getDouble(3) == 3.0 / out2("a1").getLong(1))
+  }
+
   test("curation pipeline: stages compose with their individual semantics") {
     import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
