@@ -83,6 +83,8 @@ object expressions {
       es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_span_hashes",
       es => SpanHashes(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_linear_score",
+      es => LinearScoreKernel(es(0), es(1)), "built-in")
     spectral.register(spark)
     rhythm.register(spark)
     fvkernel.register(spark)
@@ -309,6 +311,73 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), lenE = c(1), strideE = c(2))
+  }
+
+  val LinearScoreStructType: StructType = StructType(Seq(
+    StructField("n_feat", LongType, nullable = false),
+    StructField("sum_milli", LongType, nullable = false)))
+
+  /** graft_linear_score(words ARRAY<STRING>, weights ARRAY<BIGINT>)
+    * → STRUCT<n_feat BIGINT, sum_milli BIGINT>
+    *
+    * Production path of the hashed-n-gram linear scorer
+    * ([[graft.ops.LinearModel]]): one pass per document over its words —
+    * every unigram and space-joined bigram is hashed (first 8 md5 hex
+    * chars mod the weight-table length, the corpus-wide convention) and
+    * its weight accumulated as an exact integer. Numerically identical to
+    * the relational explode → broadcast-join → groupBy form (OpsSpec
+    * asserts equality), but SHUFFLE-FREE: the model rides along as a
+    * broadcast dense array column and the whole scorer is a narrow
+    * projection of the scan — the shape that holds at any corpus size.
+    * Returns null for a doc with zero words (no features → no score),
+    * mirroring the explode form where such docs vanish. */
+  case class LinearScoreKernel(words: Expression, weights: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(words, weights)
+    override def dataType: DataType = LinearScoreStructType
+    override def nullable: Boolean = true
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    @transient private lazy val digBuf = new Array[Byte](16)
+    // digest the current md state into the reused buffer; first 8 hex
+    // chars = first 4 digest bytes as an unsigned 32-bit int
+    private def bucketOf(dim: Int): Int = {
+      md.digest(digBuf, 0, 16)
+      var h = 0L
+      var b = 0
+      while (b < 4) { h = (h << 8) | (digBuf(b) & 0xffL); b += 1 }
+      (h % dim).toInt
+    }
+    private val SpaceByte = ' '.toByte
+    override def eval(input: InternalRow): Any = {
+      val wAny = words.eval(input)
+      if (wAny == null) return null
+      val warr = wAny.asInstanceOf[ArrayData]
+      val nw = warr.numElements()
+      if (nw == 0) return null
+      val tbl = weights.eval(input).asInstanceOf[ArrayData].toLongArray()
+      val dim = tbl.length
+      var sum = 0L
+      var i = 0
+      var prev: Array[Byte] = null
+      while (i < nw) {
+        val w = warr.getUTF8String(i).getBytes // UTF-8, no String round-trip
+        md.reset(); md.update(w)
+        sum += tbl(bucketOf(dim))
+        if (prev != null) {
+          md.reset(); md.update(prev); md.update(SpaceByte); md.update(w)
+          sum += tbl(bucketOf(dim))
+        }
+        prev = w
+        i += 1
+      }
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.setLong(0, nw.toLong + (nw - 1))
+      row.setLong(1, sum)
+      row
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(words = c(0), weights = c(1))
   }
 
   // ------------------------------------------------------------------

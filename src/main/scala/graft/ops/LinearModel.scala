@@ -76,6 +76,49 @@ object LinearModel {
           / (lit(1024.0) * col("n_feat").cast("double")))
       .withColumn("keep", col("logit") > 0.0)
 
+  /** Densify a (bucket, w_milli) weight table into a single-row
+    * `array<bigint>` of length `dim` (absent buckets 0) — the broadcast
+    * model payload of [[scoreKernel]]. One tiny aggregation; the
+    * transform lambda runs once over `dim` elements of one row. */
+  def denseWeights(weights: DataFrame, dim: Int): DataFrame =
+    weights
+      .groupBy()
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("bucket"), col("w_milli"))))).as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${dim - 1}), b -> " +
+          "coalesce(m[CAST(b AS BIGINT)], CAST(0 AS BIGINT)))").as("w_arr"))
+
+  /** Shuffle-free A/B of [[score]]: the dense weight array broadcast as
+    * a 1-row dimension, the whole scorer one narrow kernel projection per
+    * document ([[graft.functions.expressions.LinearScoreKernel]]) — no
+    * explode, no join, no aggregation exchange; numerically identical
+    * (OpsSpec).
+    *
+    * MEASURED SLOWER than [[score]] (graft.tools.LinearProbe, sf0.1
+    * local[32], min of 5: relational 1.15 s vs kernel 2.43 s): the
+    * relational form's md5/explode/join/agg all run inside whole-stage
+    * codegen and its doc_id exchange is tiny after map-side partials,
+    * while a CodegenFallback expression interprets per row. The kernel
+    * shape only wins when per-feature work is NOT expressible as
+    * codegen'd builtins (cf. the fused fv kernels); [[score]] is the
+    * production entry point. */
+  def scoreKernel(documents: DataFrame, weights: DataFrame, dim: Int,
+                  biasMilli: Long = 0L): DataFrame = {
+    graft.functions.expressions.register(documents.sparkSession)
+    documents
+      .withColumn("words", expr(TextAnalysis.wordsExpr))
+      .filter(size(col("words")) >= 1)
+      .crossJoin(broadcast(denseWeights(weights, dim)))
+      .withColumn("r", expr("graft_linear_score(words, w_arr)"))
+      .select(col("doc_id"), col("r.n_feat").as("n_feat"),
+        col("r.sum_milli").as("sum_milli"))
+      .withColumn("logit",
+        (lit(biasMilli) * col("n_feat") + col("sum_milli")).cast("double")
+          / (lit(1024.0) * col("n_feat").cast("double")))
+      .withColumn("keep", col("logit") > 0.0)
+  }
+
   /** DuckDB mirror of [[score]]([[synthWeights]]) over the documents
     * table. */
   def duckSql(dim: Int, biasMilli: Long = 0L): String =

@@ -274,8 +274,10 @@ object CurationQueries {
           .select(col("doc_id"), col("text"))))),
 
     // fastText-style hashed linear quality filter: unigram+bigram hashing
-    // trick, broadcast integer-grid weight table, one doc_id groupBy;
-    // logit exact (integer sum + one divide)
+    // trick, broadcast integer-grid weight table, one doc_id groupBy with
+    // map-side partials; logit exact (integer sum + one divide). The
+    // relational form IS the fast one — measured 2x faster than the
+    // shuffle-free native kernel A/B (LinearModel.scoreKernel Scaladoc)
     "quality_linear" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))

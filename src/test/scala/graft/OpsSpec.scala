@@ -548,6 +548,15 @@ class OpsSpec extends AnyFunSuite {
     val b = LinearModel.score(docs.repartition(7), w, dim, 100L)
       .orderBy("doc_id").collect()
     assert(a.sameElements(b))
+    // the shuffle-free kernel form == the relational form, bitwise —
+    // dense weights AND a sparse table (absent buckets scoring 0)
+    for (tbl <- Seq(w, sparse)) {
+      val rel = LinearModel.score(docs, tbl, dim, 100L)
+        .orderBy("doc_id").collect()
+      val ker = LinearModel.scoreKernel(docs, tbl, dim, 100L)
+        .orderBy("doc_id").collect()
+      assert(ker.sameElements(rel), "kernel == relational")
+    }
   }
 
   test("redaction: sequential count-and-mask, rule order, exact witnesses") {
