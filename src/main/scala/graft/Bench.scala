@@ -39,6 +39,7 @@ object Bench {
     "decontaminate",      // broadcast eval-gram contamination check
     "quality_linear",     // hashed linear scorer (broadcast weights)
     "redact_pii",         // regex count-and-mask text scan
+    "span_dedup",         // exact substring-span dedup (window hashing)
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
