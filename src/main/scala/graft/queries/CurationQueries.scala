@@ -265,6 +265,22 @@ object CurationQueries {
         Seqs.fromDocuments(s, dir), col("doc_id"),
         BatchEdges, BatchSize, BatchShards))),
 
+    // model evaluation: per-source EXACT AUC (tie-aware rank-sum identity
+    // over integer ranks, one divide) + threshold confusion metrics for
+    // the hashed linear scorer against a deterministic label
+    "eval_metrics" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.ops.LinearModel.score(
+          base.select(col("doc_id"), col("text")),
+          graft.ops.LinearModel.synthWeights(s, LinearDim),
+          LinearDim, LinearBiasMilli)
+        .join(base.select(col("doc_id"), col("source"),
+          (col("doc_id") % 7 < 3).as("label")), Seq("doc_id"))
+        .select(col("source"), col("logit").as("score"), col("label"))
+      graft.ops.Evaluation.binaryMetrics(scored, "source", "score",
+        "label", 0.0)
+    }),
+
     // PII redaction: per-rule sequential count-and-mask (email/IPv4/phone)
     // over a deterministically PII-injected corpus; redacted text pinned
     // by length + md5 — one narrow projection per rule, no shuffle
@@ -378,6 +394,12 @@ object CurationQueries {
     "quality_linear" ->
       graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli),
     "redact_pii" -> graft.ops.Redact.duckSql(),
+    "eval_metrics" -> graft.ops.Evaluation.duckSql(
+      s"""SELECT d.source AS source, s.logit AS score,
+         |  (d.doc_id % 7 < 3) AS label
+         |FROM (${graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli)}) s
+         |JOIN documents d USING (doc_id)""".stripMargin,
+      "source", "score", "label", 0.0),
     "length_batches" -> graft.ops.Batching.duckSql(
       s"seqs AS (${Seqs.duckSql})", BatchEdges, BatchSize, BatchShards),
     "span_dedup" -> Dedup.duckSpanDupSql(

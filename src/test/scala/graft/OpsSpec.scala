@@ -682,6 +682,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out2("a1").getDouble(3) == 3.0 / out2("a1").getLong(1))
   }
 
+  test("binary metrics: hand-computed AUC with ties, confusion, null guards") {
+    import graft.ops.Evaluation
+    // group g: scores/labels chosen so AUC is computable by hand.
+    // positives at 0.9, 0.5; negatives at 0.5, -0.1 -> pairs: (0.9 vs 0.5)
+    // win, (0.9 vs -0.1) win, (0.5 vs 0.5) tie = 0.5, (0.5 vs -0.1) win
+    // AUC = 3.5 / 4 = 0.875
+    val df = Seq(
+      ("g", 0.9, true), ("g", 0.5, true), ("g", 0.5, false), ("g", -0.1, false),
+      ("h", 1.0, true), ("h", 2.0, true),      // all positive -> AUC null
+      ("k", -1.0, false), ("k", -2.0, false)   // all negative -> AUC null
+    ).toDF("source", "score", "label")
+    val out = Evaluation.binaryMetrics(df, "source", "score", "label", 0.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getDouble(8) == 0.875, s"auc ${g.getDouble(8)}")
+    // threshold 0.0: tp = both positives, fp = negs above 0 (the 0.5 one)
+    assert(g.getLong(4) == 2 && g.getLong(5) == 1
+      && g.getLong(6) == 0 && g.getLong(7) == 1)
+    assert(g.getDouble(9) == 3.0 / 4)           // accuracy
+    assert(g.getDouble(10) == 2.0 / 3)          // precision
+    assert(g.getDouble(11) == 1.0)              // recall
+    assert(out("h").isNullAt(8) && out("k").isNullAt(8), "degenerate AUC")
+    assert(out("k").isNullAt(10), "no predicted positives -> null precision")
+    assert(out("k").isNullAt(11), "no actual positives -> null recall")
+    // AUC equals brute-force pair counting on a random-ish fixture
+    val rnd = (1 to 200).map { i =>
+      ("r", ((i * 37) % 23).toDouble / 7.0, i % 3 == 0) }
+    val bf = {
+      val ps = rnd.filter(_._3).map(_._2); val ns = rnd.filterNot(_._3).map(_._2)
+      val wins = (for (p <- ps; q <- ns) yield
+        if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+      wins / (ps.size * ns.size)
+    }
+    val got = Evaluation.binaryMetrics(rnd.toDF("source", "score", "label"),
+      "source", "score", "label", 0.0).collect()(0).getDouble(8)
+    assert(math.abs(got - bf) < 1e-12, s"$got vs $bf")
+  }
+
   test("curation pipeline: stages compose with their individual semantics") {
     import graft.ops.{Curate, Dedup, Sampling, TextAnalysis}
     val dir = "/root/testdata/sf0.001"
