@@ -209,7 +209,7 @@ object expressions {
     * way every BPE implementation does: [a,a,a] with rule (a,a)→m yields
     * [m,a]. Relational mirror (for the DuckDB oracle): candidate
     * positions grouped into consecutive-run islands, keep even offsets —
-    * see [[graft.ops.Tokenizer.duckMergeOnceSql]].
+    * see the CTE chain in [[graft.ops.Tokenizer.duckTrainSql]].
     *
     * The rule arrays are per-row column arguments (typically a broadcast
     * 1-row dimension or a foldable literal), so the kernel composes with
@@ -269,10 +269,19 @@ object expressions {
   case class SpanHashes(tokens: Expression, lenE: Expression,
       strideE: Expression)
       extends Expression with CodegenFallback {
-    private val winLen = litInt(lenE)
-    private val stride = litInt(strideE)
-    require(winLen >= 1 && stride >= 1,
-      s"bad span params: len=$winLen stride=$stride")
+    // lazy, like PackNgrams above: auto-alias generation copies expression
+    // trees with non-foldable PrettyAttribute children — an eager litInt
+    // in the constructor would throw on that never-evaluated copy
+    private lazy val winLen = {
+      val v = litInt(lenE)
+      require(v >= 1, s"bad span length: $v")
+      v
+    }
+    private lazy val stride = {
+      val v = litInt(strideE)
+      require(v >= 1, s"bad span stride: $v")
+      v
+    }
     override def children: Seq[Expression] = Seq(tokens, lenE, strideE)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = tokens.nullable

@@ -65,15 +65,19 @@ object Batching {
     * op-for-op. */
   def duckSql(prelude: String, edges: Seq[Int], batchSize: Int,
               nShards: Int, epoch: Int = 0): String = {
-    val bucket = edges.map(e => s"CASE WHEN n_tok > $e THEN 1 ELSE 0 END")
-      .mkString("(", " + ", ")")
+    // empty edges = one bucket, id 0 — same as the Spark side's bucketOf
+    // (a bare `()` would be a DuckDB parse error)
+    val bucket =
+      if (edges.isEmpty) "0"
+      else edges.map(e => s"CASE WHEN n_tok > $e THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
     s"""WITH $prelude,
        |a AS (
        |  SELECT doc_id, n_tok,
        |    $bucket AS bucket,
        |    CAST(${Sampling.duckMilleSlot("doc_id")} % $nShards AS INTEGER)
        |      AS shard,
-       |    md5(CAST(doc_id AS VARCHAR) || ':$epoch') AS ekey
+       |    ${Sampling.duckEpochKey("doc_id", epoch)} AS ekey
        |  FROM seqs),
        |r AS (
        |  SELECT doc_id, n_tok, bucket, shard,

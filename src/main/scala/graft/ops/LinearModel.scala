@@ -32,11 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object LinearModel {
 
-  /** Hash a feature string into [0, dim): first 8 md5 hex chars as an
-    * integer (the [[Sampling.milleSlot]] portability argument), mod the
-    * table size. */
+  /** Hash a feature string into [0, dim) — the corpus-wide
+    * [[Sampling.md5Slot]] convention. */
   def hashBucket(feat: Column, dim: Int): Column =
-    (conv(substring(md5(feat), 1, 8), 16, 10).cast("long") % dim)
+    Sampling.md5Slot(feat, dim)
 
   /** (doc_id, feat) rows: unigrams plus space-joined word bigrams, WITH
     * duplicates — counts weight the average exactly as repeated words

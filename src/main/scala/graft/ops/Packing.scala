@@ -32,7 +32,15 @@ import org.apache.spark.sql.functions._
   * partitioning funnels the whole corpus through one task; instead the
   * engine runs the classic two-pass distributed scan:
   *
-  *   1. range-partition by the order key (`buckets` splits);
+  *   1. split the key space into `buckets` contiguous ranges — boundaries
+  *      come from a fixed-size, deterministically hash-ordered sample
+  *      (`buckets × 32` keys, one column-pruned take job) collected ONCE,
+  *      so the bucket id is a PURE PROJECTION of the row. (An earlier form
+  *      used `repartitionByRange` + `spark_partition_id()`, which hands
+  *      boundary sampling to the physical exchange; the bucket table and
+  *      the data side then instantiate that exchange in two plan subtrees,
+  *      and only Spark's exchange-reuse rule keeps their sampled
+  *      boundaries identical. Literal boundaries remove the dependency.)
   *   2. per-bucket token totals (one tiny agg, `buckets` rows);
   *   3. running bucket base offsets — a window over the BUCKET table
   *      (bounded by the bucket count, never the corpus), broadcast back;
@@ -40,9 +48,9 @@ import org.apache.spark.sql.functions._
   *      partition bounded by corpus_size / buckets.
   *
   * The result is invariant to the bucketing (any contiguous range split
-  * yields the same prefix sums — OpsSpec pins buckets=1 == buckets=8), so
-  * the nondeterminism of range-boundary sampling cannot leak into output.
-  * Chunk arithmetic is exact int64; no floats anywhere.
+  * yields the same prefix sums — PackingSpec pins buckets=1 == buckets=8),
+  * so boundary placement cannot leak into output. Chunk arithmetic is
+  * exact int64; no floats anywhere.
   */
 object Packing {
 
@@ -52,9 +60,26 @@ object Packing {
   def packChunks(seqs: DataFrame, ord: String, lenCol: String,
                  capacity: Long, buckets: Int = 64): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    val bucketed = seqs
-      .repartitionByRange(buckets, col(ord))
-      .withColumn("__b", spark_partition_id())
+    // Deterministic range boundaries: a hash-ordered fixed-size key sample
+    // (the same cost class as RangePartitioner's sketch — one take job over
+    // the pruned key column), quantile-cut in a single tiny window. The
+    // collect is bounded at `buckets − 1` boundary LITERALS (planning
+    // metadata, not data — the same driver role RangePartitioner's sketch
+    // plays); `__b` below is then a pure function of the row, so every plan
+    // subtree agrees on it by construction.
+    val sampleDf = seqs.select(col(ord).as("__k"))
+      .orderBy(md5(col("__k").cast("string")), col("__k"))
+      .limit(buckets * 32)
+    val cuts: Array[Any] =
+      if (buckets <= 1) Array.empty
+      else sampleDf
+        .withColumn("__nt", ntile(buckets).over(Window.orderBy(col("__k"))))
+        .groupBy(col("__nt")).agg(min(col("__k")).as("__cut"))
+        .filter(col("__nt") > 1).orderBy(col("__nt"))
+        .collect().map(_.get(1))
+    val bucketExpr = cuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(col(ord) >= lit(cut), 1).otherwise(0) }
+    val bucketed = seqs.withColumn("__b", bucketExpr)
     // per-bucket totals + running base offset over the (tiny) bucket table.
     // Buckets are range-ordered by construction (partition 0 = lowest keys),
     // so ordering by __b IS the corpus order.

@@ -29,16 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** THE corpus-wide hash-slot convention, in one place: first 8 md5 hex
+    * chars of the stringified key as an integer, mod the slot count.
+    * Every deterministic hash-assignment in the engine ([[milleSlot]],
+    * [[graft.ops.LinearModel.hashBucket]], …) and every DuckDB mirror
+    * ([[duckMd5Slot]]) derives from this pair so the convention cannot
+    * drift between engines or between call sites. */
+  def md5Slot(key: Column, mod: Int): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % mod)
+
+  /** SQL twin of [[md5Slot]] for the DuckDB mirror (`key` is a SQL
+    * expression of an integral or string column). */
+  def duckMd5Slot(key: String, mod: Int): String =
+    s"(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % $mod)"
+
   /** Per-mille hash slot in [0, 1000) for a key column — the shared
     * primitive of [[assignSplit]] and [[sampleMille]]. */
-  def milleSlot(key: Column): Column =
-    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 1000).cast("int")
+  def milleSlot(key: Column): Column = md5Slot(key, 1000).cast("int")
 
-  /** SQL twin of [[milleSlot]] for the DuckDB mirror (`key` is a SQL
-    * expression of an integral or string column). */
+  /** SQL twin of [[milleSlot]] for the DuckDB mirror. */
   def duckMilleSlot(key: String): String =
-    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INTEGER)"
+    s"CAST(${duckMd5Slot(key, 1000)} AS INTEGER)"
 
   /** Split thresholds in per-mille: train gets [0, train), val gets
     * [train, train + valid), test the rest. */
@@ -127,6 +139,10 @@ object Sampling {
     * same engine-portability argument as [[milleSlot]]). */
   def epochKey(key: Column, epoch: Int): Column =
     md5(concat(key.cast("string"), lit(s":$epoch")))
+
+  /** SQL twin of [[epochKey]] for the DuckDB mirror. */
+  def duckEpochKey(key: String, epoch: Int): String =
+    s"md5(CAST($key AS VARCHAR) || ':$epoch')"
 
   /** Deterministic epoch shuffle: the global training order for epoch
     * `e`, as a total sort by [[epochKey]]. Spark plans this as ONE

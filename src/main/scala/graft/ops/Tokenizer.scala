@@ -91,10 +91,21 @@ object Tokenizer {
       val t = top1(stream)
       rules :+= t.select(lit(r + 1).as("rank"), col("a"), col("b"),
         lit(NewIdBase + r).as("new_id"), col("cnt"))
+      // LEFT join on a constant key, not a crossJoin: when a round finds
+      // ZERO adjacent pairs (every stream shrunk below 2 tokens) the top-1
+      // table is empty, and a crossJoin would annihilate the stream. The
+      // left join keeps every row with null __a/__b, the `when` guard makes
+      // the round a no-op rewrite — exactly what the Duck mirror's empty
+      // cand$r island derivation produces, and the round's rule row
+      // contributes nothing to [[mergeTable]] on either side.
+      val t1 = broadcast(t.select(lit(1).as("__j"),
+        col("a").as("__a"), col("b").as("__b")))
       stream = stream
-        .crossJoin(broadcast(t.select(col("a").as("__a"), col("b").as("__b"))))
-        .withColumn("tokens", expr(
-          s"graft_bpe_apply(tokens, array(__a), array(__b), array(${NewIdBase + r}))"))
+        .withColumn("__j", lit(1))
+        .join(t1, Seq("__j"), "left")
+        .withColumn("tokens", when(col("__a").isNull, col("tokens"))
+          .otherwise(expr(
+            s"graft_bpe_apply(tokens, array(__a), array(__b), array(${NewIdBase + r}))")))
         .select(col("doc_id"), col("tokens"))
       r += 1
     }
@@ -128,18 +139,25 @@ object Tokenizer {
     * shuffle + a 1-row argmax action. Rules accumulate on the driver
     * (O(k) state); each round re-applies the accumulated rules from the
     * source stream, so the loop is stateless between actions and
-    * resumable from any prefix of the rule list. */
+    * resumable from any prefix of the rule list. Stops EARLY (returning
+    * the rules learned so far, possibly fewer than k) when a round finds
+    * no adjacent pairs left to merge — the corpus is exhausted, not an
+    * error. */
   def bpeTrain(seqs: DataFrame, k: Int): Seq[MergeRule] = {
     require(k >= 1, s"need at least one merge round: $k")
     val src = seqs.select(col("doc_id"), col("tokens"))
     var rules = Vector.empty[MergeRule]
-    while (rules.length < k) {
+    var exhausted = false
+    while (rules.length < k && !exhausted) {
       val applied =
         if (rules.isEmpty) src
         else src.withColumn("tokens", applyMergesExpr("tokens", rules))
-      val row = top1(applied).head()
-      rules :+= MergeRule(rules.length + 1, row.getInt(0), row.getInt(1),
-        NewIdBase + rules.length, row.getLong(2))
+      top1(applied).collect().headOption match {
+        case Some(row) =>
+          rules :+= MergeRule(rules.length + 1, row.getInt(0), row.getInt(1),
+            NewIdBase + rules.length, row.getLong(2))
+        case None => exhausted = true
+      }
     }
     rules
   }
@@ -203,11 +221,19 @@ object Tokenizer {
     * output, not just its learned rules. */
   def duckEncodeSql(prelude: String, k: Int): String = {
     val sb = duckMergeChain(prelude, k)
+    // LEFT JOIN from the doc list, not a bare GROUP BY over the stream:
+    // a zero-token document generates no s0 positions, and grouping the
+    // stream alone would drop it — the engine's encodeTable keeps it as
+    // (doc_id, [], 0).
     sb.append(
-      s"""SELECT doc_id,
-         |  list(CAST(v AS INTEGER) ORDER BY i) AS tokens_enc,
-         |  CAST(count(*) AS INTEGER) AS n_enc
-         |FROM s$k GROUP BY doc_id""".stripMargin)
+      s"""SELECT seqs.doc_id,
+         |  coalesce(g.tokens_enc, CAST([] AS INTEGER[])) AS tokens_enc,
+         |  coalesce(g.n_enc, 0) AS n_enc
+         |FROM seqs LEFT JOIN (
+         |  SELECT doc_id,
+         |    list(CAST(v AS INTEGER) ORDER BY i) AS tokens_enc,
+         |    CAST(count(*) AS INTEGER) AS n_enc
+         |  FROM s$k GROUP BY doc_id) g USING (doc_id)""".stripMargin)
     sb.toString
   }
 

@@ -408,9 +408,9 @@ object CurationQueries {
       s"""SELECT epoch, doc_id, skey FROM (
          |  SELECT CAST($e AS INTEGER) AS epoch,
          |    CAST(doc_id AS VARCHAR) AS doc_id,
-         |    md5(CAST(doc_id AS VARCHAR) || ':$e') AS skey,
-         |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$e'))
-         |      AS rn
+         |    ${graft.ops.Sampling.duckEpochKey("doc_id", e)} AS skey,
+         |    row_number() OVER (
+         |      ORDER BY ${graft.ops.Sampling.duckEpochKey("doc_id", e)}) AS rn
          |  FROM documents)
          |WHERE rn <= $EpochHeadK""".stripMargin
     }.mkString("\nUNION ALL\n"),

@@ -117,6 +117,29 @@ class TokenizerSpec extends AnyFunSuite {
     assert(prod == want, "bpeTrain + applyMergesExpr vs scalar")
   }
 
+  test("exhausted corpus: empty merge rounds are no-ops, not annihilation") {
+    graft.functions.expressions.register(spark)
+    // every doc below 2 tokens -> zero adjacent pairs anywhere
+    val tiny = Seq("a" -> Seq(5), "b" -> Seq(7), "c" -> Seq.empty[Int])
+      .toDF("doc_id", "tokens")
+    // composed encode: streams pass through unchanged (incl. the empty doc)
+    val enc = Tokenizer.encodeTable(tiny, 2).orderBy("doc_id").collect()
+    assert(enc.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(enc.map(_.getSeq[Int](1).toList).toSeq ==
+      Seq(List(5), List(7), Nil))
+    assert(enc.map(_.getInt(2)).toSeq == Seq(1, 1, 0))
+    // merge table: no learnable rule -> zero rows, no error
+    assert(Tokenizer.mergeTable(tiny, 2).count() == 0)
+    // driver loop: early stop with the rules learned so far (none)
+    assert(Tokenizer.bpeTrain(tiny, 2).isEmpty)
+    // partial exhaustion: one learnable merge, then rounds 2..k no-op
+    val one = Seq("d" -> Seq(1, 2)).toDF("doc_id", "tokens")
+    val rules = Tokenizer.bpeTrain(one, 3)
+    assert(rules.map(r => (r.a, r.b)) == Seq((1, 2)))
+    val enc2 = Tokenizer.encodeTable(one, 3).collect()
+    assert(enc2.head.getSeq[Int](1).toList == List(Tokenizer.NewIdBase))
+  }
+
   test("pairReport ranks with the full deterministic tiebreak") {
     val rep = Tokenizer.pairReport(corpusDf, 100).orderBy("rank").collect()
     val counts = corpus.flatMap(d => d.zip(d.drop(1)))
