@@ -168,4 +168,93 @@ object LanguageModel {
        |    / CAST(sum(dg.n_occ) * 1000000 AS DOUBLE) AS avg_llr
        |FROM dg JOIN lr USING (gram)
        |GROUP BY dg.doc_id""".stripMargin
+
+  /** Hash-uniform modulus for [[dsirSample]] (20-bit slots: granular
+    * enough that keep rates resolve to ~1e-6). */
+  val DsirSlotMod = 1 << 20
+
+  /** The RESAMPLING step completing [[importanceWeights]] (the "R" of
+    * DSIR): keep document d with probability `min(1, exp(avg_llr_d))` —
+    * documents at or above the target distribution always survive, ones
+    * below survive in proportion to their importance ratio. The Bernoulli
+    * draw is the engine's deterministic hash uniform
+    * `u_d = (slot_d + 0.5) / 2^20` with
+    * `slot_d = md5Slot(doc_id · ":dsir", 2^20)` (salted so the draw is
+    * independent of [[graft.ops.Sampling.assignSplit]]'s slots), accepted
+    * iff `ln(u_d) < avg_llr_d` — reproducible across runs, partitionings
+    * and corpus growth, like every sampling decision in the engine.
+    *
+    * Determinism: one `ln` of an exact rational per doc; the comparison
+    * could flip across engines only if `ln(u_d)` lands within an ulp of
+    * `avg_llr_d` (parity corpus-verified, same status as the mfcc/gmean
+    * oracles). Plan: [[importanceWeights]] + one narrow filter — no new
+    * shuffle. */
+  def dsirSample(seqs: DataFrame, targetPred: org.apache.spark.sql.Column): DataFrame =
+    importanceWeights(seqs, targetPred)
+      .withColumn("__slot", graft.ops.Sampling.md5Slot(
+        concat(col("doc_id"), lit(":dsir")), DsirSlotMod))
+      .filter(log((col("__slot").cast("double") + lit(0.5d))
+        / lit(DsirSlotMod.toDouble)) < col("avg_llr"))
+      .select(col("doc_id"), col("n_tok"), col("avg_llr"))
+
+  /** DuckDB mirror of [[dsirSample]]. */
+  def duckDsirSampleSql(seqsSql: String, targetWhere: String): String =
+    s"""SELECT doc_id, n_tok, avg_llr
+       |FROM (${duckImportanceSql(seqsSql, targetWhere)}) w
+       |WHERE ln((${graft.ops.Sampling.duckMd5Slot(
+              "w.doc_id || ':dsir'", DsirSlotMod)} + 0.5)
+         / ${DsirSlotMod.toDouble}) < avg_llr""".stripMargin
+
+  /** Per-document top-`k` terms by tf·idf — the classic salience
+    * ranking, here entirely in exact integers: `score_micro = tf ·
+    * idf_micro` with `tf` the int64 in-doc count and `idf_micro =
+    * round(ln(D / df_t) · 10^6)` (one ln of a ratio of exact int64s per
+    * DISTINCT gram — the [[scoreBigramNll]] discipline), so ranking,
+    * tiebreak (score desc, gram asc) and output are all bitwise.
+    *
+    * Plan: one (doc, gram) count (doc-keyed exchange), a vocab-sized
+    * doc-frequency agg broadcast back, and a per-doc top-k window bounded
+    * by distinct grams per document — never a global sort. */
+  def tfidfTop(seqs: DataFrame, k: Int): DataFrame = {
+    val dg = gramInstances(seqs, 1)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
+    val df = dg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(seqs.agg(count(lit(1)).as("__d"))))
+      .select(col("gram"),
+        expr("CAST(round(ln(CAST(__d AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("gram"))
+    dg.join(broadcast(idf), Seq("gram"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("gram"), col("tf"),
+        col("score_micro"))
+  }
+
+  /** DuckDB mirror of [[tfidfTop]]. */
+  def duckTfidfSql(seqsSql: String, k: Int): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, (t + 2048)::BIGINT AS gram
+       |  FROM (SELECT doc_id, unnest(tokens) AS t FROM seqs)),
+       |dg AS (SELECT doc_id, gram, count(*) AS tf FROM inst GROUP BY 1, 2),
+       |dfq AS (SELECT gram, count(*) AS df FROM dg GROUP BY 1),
+       |d AS (SELECT count(*) AS d FROM seqs),
+       |idf AS (
+       |  SELECT gram,
+       |    CAST(round(ln(CAST(d.d AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS idf_micro
+       |  FROM dfq CROSS JOIN d)
+       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, gram,
+       |  CAST(tf AS BIGINT) AS tf, CAST(score_micro AS BIGINT) AS score_micro
+       |FROM (
+       |  SELECT dg.doc_id, dg.gram, dg.tf,
+       |    dg.tf * idf.idf_micro AS score_micro,
+       |    row_number() OVER (PARTITION BY dg.doc_id
+       |      ORDER BY dg.tf * idf.idf_micro DESC, dg.gram) AS rank
+       |  FROM dg JOIN idf USING (gram))
+       |WHERE rank <= $k""".stripMargin
 }

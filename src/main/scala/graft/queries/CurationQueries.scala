@@ -39,6 +39,8 @@ object CurationQueries {
   // DSIR target slice + duplicated-n-gram width (k <= 4: exact packing)
   val DsirTargetSource = "src0"
   val DupNgramK = 4
+  // per-doc tf-idf salience ranking depth
+  val TfidfK = 3
   // epoch shuffle: epochs checked x head size per epoch
   val EpochN = 3
   val EpochHeadK = 25
@@ -341,7 +343,25 @@ object CurationQueries {
     // corpus-duplicated 4-gram occurrence fraction per doc (Lee et al.
     // dedup signal) — exact packed gram identities, no collision noise
     "dup_ngrams" -> ((s, dir) =>
-      Dedup.duplicatedNgramStats(Seqs.fromDocuments(s, dir), DupNgramK))
+      Dedup.duplicatedNgramStats(Seqs.fromDocuments(s, dir), DupNgramK)),
+
+    // DSIR resampling step: keep docs with probability min(1, exp(weight))
+    // via the deterministic hash uniform — completes dsir_weights into an
+    // actual corpus-selection operator (weights + one narrow filter)
+    "dsir_sample" -> ((s, dir) =>
+      graft.ops.LanguageModel.dsirSample(
+        Seqs.fromDocuments(s, dir), col("source") === DsirTargetSource)),
+
+    // per-doc top-3 tf-idf terms: salience ranking in exact integer
+    // micro-nats (tf int64 x per-gram idf_micro), bitwise incl. tiebreak
+    "tfidf_top" -> ((s, dir) =>
+      graft.ops.LanguageModel.tfidfTop(Seqs.fromDocuments(s, dir), TfidfK)),
+
+    // multinomial Naive Bayes source classifier TRAINED in the engine by
+    // counting (two aggregations = the model), then applied to every doc;
+    // scores/margins are exact int64 micro-nats -> fully bitwise output
+    "nb_classify" -> ((s, dir) =>
+      graft.ops.NaiveBayes.trainAndClassify(Seqs.fromDocuments(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -422,6 +442,11 @@ object CurationQueries {
     "dsir_weights" -> graft.ops.LanguageModel.duckImportanceSql(
       Seqs.duckSql, s"source = '$DsirTargetSource'"),
     "dup_ngrams" -> Dedup.duckDupNgramsSql(Seqs.duckSql),
+    "dsir_sample" -> graft.ops.LanguageModel.duckDsirSampleSql(
+      Seqs.duckSql, s"source = '$DsirTargetSource'"),
+    "tfidf_top" ->
+      graft.ops.LanguageModel.duckTfidfSql(Seqs.duckSql, TfidfK),
+    "nb_classify" -> graft.ops.NaiveBayes.duckSql(Seqs.duckSql),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -177,6 +177,85 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(got("d1")._2 > got("d2")._2)
   }
 
+  test("tf-idf top-k matches in-memory brute force incl. tiebreak") {
+    graft.functions.expressions.register(spark)
+    val docs = Map(
+      "d1" -> Seq(1, 2, 1, 2, 3), "d2" -> Seq(1, 2, 3, 3, 3),
+      "d3" -> Seq(2, 1, 2, 1, 2))
+    val dff = docs.values.flatMap(_.distinct).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d = docs.size.toLong
+    val exp = docs.flatMap { case (doc, toks) =>
+      val tf = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      tf.toSeq.map { case (t, f) =>
+        val idf = microNat(math.log(d.toDouble / dff(t).toDouble) * 1000000)
+        (t + 2048L, f, f * idf)
+      }.sortBy { case (g, _, s) => (-s, g) }
+        .take(2).zipWithIndex
+        .map { case ((g, f, s), i) => (doc, i + 1, g, f, s) }
+    }.toSet
+    val got = LanguageModel.tfidfTop(toyCorpus, 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == exp)
+  }
+
+  test("DSIR resampling: accept rule matches the weights, high-weight kept") {
+    graft.functions.expressions.register(spark)
+    val w = LanguageModel.importanceWeights(toyCorpus, col("source") === "src0")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val kept = LanguageModel.dsirSample(toyCorpus, col("source") === "src0")
+      .collect().map(_.getString(0)).toSet
+    // replicate the deterministic Bernoulli decision doc by doc
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def slot(id: String): Long = {
+      val hex = md5.digest(s"$id:dsir".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % LanguageModel.DsirSlotMod
+    }
+    val expKept = w.keySet.filter { id =>
+      math.log((slot(id) + 0.5) / LanguageModel.DsirSlotMod.toDouble) < w(id)
+    }
+    assert(kept == expKept)
+    // the target-slice doc has avg_llr > 0 => unconditionally kept
+    assert(w("d1") > 0 && kept.contains("d1"))
+  }
+
+  test("Naive Bayes train+classify matches in-memory brute force") {
+    graft.functions.expressions.register(spark)
+    val docs = Seq(
+      ("d1", Seq(1, 2, 1, 2, 3), "src0"), ("d2", Seq(1, 2, 3, 3, 3), "src1"),
+      ("d3", Seq(2, 1, 2, 1, 2), "src1"))
+    val bySrc = docs.groupBy(_._3)
+    val vocab = docs.flatMap(_._2).distinct.sorted
+    val v = vocab.size.toLong
+    val dTot = docs.size.toLong
+    def llk(s: String): Map[Int, Long] = {
+      val toks = bySrc(s).flatMap(_._2)
+      val n = toks.size.toLong
+      val c = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      vocab.map(t => t -> microNat(
+        math.log((c.getOrElse(t, 0L) + 1).toDouble / (n + v).toDouble)
+          * 1000000)).toMap
+    }
+    val models = bySrc.keySet.map(s => s -> llk(s)).toMap
+    val priors = bySrc.map { case (s, ds) =>
+      s -> microNat(math.log(ds.size.toDouble / dTot.toDouble) * 1000000) }
+    val exp = docs.map { case (id, toks, label) =>
+      val scores = bySrc.keySet.toSeq.map { s =>
+        s -> (priors(s) + toks.map(models(s)).sum)
+      }.sortBy { case (s, sc) => (-sc, s) }
+      val (pred, top) = scores.head
+      val margin = top - scores(1)._2
+      (id, label, pred, top, margin, label == pred)
+    }.toSet
+    val got = graft.ops.NaiveBayes.trainAndClassify(
+        docs.toDF("doc_id", "tokens", "source")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == exp)
+  }
+
   test("duplicated n-gram stats: shared 4-gram counted, unique not") {
     graft.functions.expressions.register(spark)
     // d1/d2 share the 4-gram (9,8,7,6); d1 contains it twice (both count as
