@@ -40,6 +40,7 @@ object Bench {
     "quality_linear",     // hashed linear scorer (broadcast weights)
     "redact_pii",         // regex count-and-mask text scan
     "span_dedup",         // exact substring-span dedup (window hashing)
+    "nb_classify",        // counting-trained NB classifier (train + apply)
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -79,6 +79,8 @@ object expressions {
       es => PadFrames(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_pack_ngrams",
       es => PackNgrams(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_unigram_counts",
+      es => UnigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_apply",
       es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_span_hashes",
@@ -194,6 +196,53 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), kE = c(1))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_unigram_counts(tokens ARRAY<INT>) → ARRAY<BIGINT>
+    *
+    * Per-row unigram histogram over the 12-bit token domain, emitted as
+    * packed `(gram << 40) | count` longs in ASCENDING gram order —
+    * `gram = token + 2048` (the [[PackNgrams]] k=1 identity). One tight
+    * 4096-slot histogram pass per row replaces the explode +
+    * (doc, gram) hash-aggregate that per-doc unigram statistics
+    * ([[graft.ops.NaiveBayes]], tf-idf) would otherwise need: downstream
+    * explodes see only the DISTINCT grams of each doc (~3× fewer rows on
+    * the synthetic corpus) and no corpus-sized aggregation runs at all.
+    * Unpack with `shiftright(v, 40)` / `v & ((1 << 40) - 1)` — counts are
+    * bounded by the analysis cap (8192 ≪ 2^40), so packing is lossless. */
+  case class UnigramCounts(tokens: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val hist = new Array[Long](4096)
+      var distinct = 0
+      var i = 0
+      while (i < arr.length) {
+        val g = arr(i) + 2048
+        require(g >= 0 && g < 4096,
+          s"token out of 12-bit domain [-2048, 2047]: ${arr(i)}")
+        if (hist(g) == 0L) distinct += 1
+        hist(g) += 1L
+        i += 1
+      }
+      val out = new Array[Long](distinct)
+      var g = 0
+      var j = 0
+      while (g < 4096) {
+        if (hist(g) > 0L) { out(j) = (g.toLong << 40) | hist(g); j += 1 }
+        g += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0))
   }
 
   // ------------------------------------------------------------------

@@ -216,8 +216,12 @@ object LanguageModel {
     * doc-frequency agg broadcast back, and a per-doc top-k window bounded
     * by distinct grams per document — never a global sort. */
   def tfidfTop(seqs: DataFrame, k: Int): DataFrame = {
-    val dg = gramInstances(seqs, 1)
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("tf"))
+    // per-doc gram counts from the native histogram kernel — explode
+    // carries only distinct grams, no corpus-sized hash-aggregate
+    val dg = seqs.select(col("doc_id"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("doc_id"), expr("shiftright(gc, 40)").as("gram"),
+        expr("gc & 1099511627775").as("tf"))
     val df = dg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(seqs.agg(count(lit(1)).as("__d"))))
       .select(col("gram"),
@@ -233,6 +237,50 @@ object LanguageModel {
       .select(col("doc_id"), col("rank"), col("gram"), col("tf"),
         col("score_micro"))
   }
+
+  /** CCNet-style perplexity bucketing: rank every document within its
+    * source by [[scoreBigramNll]] and cut the ranking into exact thirds —
+    * `head` (most fluent under the corpus model), `middle`, `tail` (the
+    * noise CCNet drops or downweights). Buckets are pure integer-rank
+    * arithmetic (`3·rank ≤ n`, `3·rank ≤ 2n`), the NLL ordering is a
+    * deterministic double (one exact-int division per doc) with doc_id
+    * tiebreak, so the assignment is bitwise.
+    *
+    * Scale: the per-source window is a keyed exchange + in-partition sort
+    * (CCNet's own per-language percentile split). For sources too large to
+    * sort per key, replace the rank with sketch-percentile thresholds (the
+    * [[TextAnalysis.lengthReport]] pattern) — the exact form here IS the
+    * correctness oracle for that approximation. */
+  def perplexityBuckets(seqs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    scoreBigramNll(seqs)
+      .join(seqs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("avg_nll"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /** DuckDB mirror of [[perplexityBuckets]]. */
+  def duckPerplexityBucketsSql(seqsSql: String): String =
+    s"""WITH nll AS (${duckBigramNllSql(seqsSql)}),
+       |seqs2 AS ($seqsSql),
+       |r AS (
+       |  SELECT nll.doc_id, seqs2.source, nll.avg_nll,
+       |    row_number() OVER (PARTITION BY seqs2.source
+       |      ORDER BY nll.avg_nll, nll.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY seqs2.source) AS n
+       |  FROM nll JOIN seqs2 USING (doc_id))
+       |SELECT doc_id, source, avg_nll,
+       |  CASE WHEN rn * 3 <= n THEN 'head'
+       |       WHEN rn * 3 <= n * 2 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM r""".stripMargin
 
   /** DuckDB mirror of [[tfidfTop]]. */
   def duckTfidfSql(seqsSql: String, k: Int): String =

@@ -1,19 +1,22 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
 
 /** Multinomial Naive Bayes source classifier, trained IN the engine by
   * pure counting — the distributed-training counterpart of the engine's
   * inference surfaces ([[TreeEnsemble]] walks pre-trained trees,
-  * [[LinearModel]] scores fixed weights; here the MODEL ITSELF is fit as
-  * two aggregations over the corpus). Reference analog: the classification
-  * model stage of the crawler
+  * [[LinearModel]] scores fixed weights; here the MODEL ITSELF is fit from
+  * one counting pass over the corpus). Reference analog: the
+  * classification model stage of the crawler
   * (`Source/Crawler/Classification/Source/Models/GBDT.cpp:50-117`,
   * `Bagging.h:191-217`) — the reference trains offline and ships a blob;
-  * a Spark-first engine can train the counting family (NB) as first-class
-  * relational plans, no blob, no driver-side math.
+  * a Spark-first engine can train the counting family (NB) as a
+  * first-class operator, no blob, no iterative solver.
   *
   * Model (add-one smoothing, all counts exact int64):
   *   - `llk(t,s)  = ln((c_ts + 1) / (N_s + V))` — token t's log-likelihood
@@ -27,89 +30,136 @@ import org.apache.spark.sql.functions._
   * The [[LanguageModel]] micro-nat discipline: each ln is ONE double
   * division of exact int64s, rounded to int64 MICRO-NATS before any
   * aggregation — sums, argmax and margins are then pure int64 (order-free,
-  * no float accumulation anywhere). Unlike the avg-boundary ops, the
-  * OUTPUT here is int64 too, so the whole query is bitwise, not just
-  * corpus-verified.
+  * no float accumulation anywhere). The driver-side rounding mirrors
+  * Spark's `round(x)` exactly (BigDecimal.valueOf + HALF_UP — the same
+  * result DuckDB's `round` produces on these magnitudes). Unlike the
+  * avg-boundary ops, the OUTPUT here is int64 too, so the whole query is
+  * bitwise, not just corpus-verified.
   *
   * == Plan shape / scale ==
-  * Train = one (source, gram) exchange with map-side partials; the dense
-  * model (V × S rows, V ≪ corpus, S = handful of sources) and the prior
-  * table are broadcast. Score = per-(doc, gram) pre-aggregation (bounds
-  * the model-join fan-out by distinct grams per doc, not token count),
-  * broadcast model join, one doc_id-keyed agg — the only corpus-sized
-  * shuffle is keyed by doc_id. Self-scoring form: the vocabulary is the
-  * training corpus's, so every scored gram hits the model (to score a
-  * held-out table, fit on the reference corpus and left-join with the
-  * unseen-token floor `ln(1 / (N_s + V))`).
+  * Training is ONE distributed counting job: explode to unigrams, agg to
+  * `(source, gram)` sufficient statistics with map-side partials — the
+  * result is V × S rows (V ≪ corpus vocabulary, S a handful of sources),
+  * which is MODEL-sized, not corpus-sized, so the closed-form smoothing /
+  * ln step runs on the driver (the same "tiny planning metadata" role as
+  * [[Packing]]'s range boundaries or [[TreeEnsemble]]'s node table;
+  * deriving those statistics relationally instead would re-expand the
+  * corpus explode once per statistic — Catalyst reuses identical
+  * exchanges but has no cross-subtree CSE). Scoring is a second
+  * single-pass plan: per-(doc, gram) pre-aggregation (bounds the
+  * broadcast-model join fan-out by distinct grams per doc × S, pipelined
+  * inside codegen, no shuffle), then ONE doc_id-keyed exchange for the
+  * argmax window. Self-scoring form: the vocabulary is the training
+  * corpus's, so every scored gram hits the model (to score a held-out
+  * table, fit on the reference corpus and left-join with the unseen-token
+  * floor `ln(1 / (N_s + V))`).
   */
 object NaiveBayes {
 
-  /** Dense per-(gram, source) log-likelihood table in micro-nats:
-    * `(gram, source, llk_micro)`, every vocabulary gram × every source. */
-  def model(seqs: DataFrame): DataFrame = {
-    val inst = seqs.select(col("source"),
-      explode(expr("graft_pack_ngrams(tokens, 1)")).as("gram"))
-    val cts = inst.groupBy(col("source"), col("gram"))
-      .agg(count(lit(1)).as("c_ts"))
-    val ns = cts.groupBy(col("source")).agg(sum(col("c_ts")).as("n_s"))
-    val vocab = cts.select(col("gram")).distinct()
-    val v = vocab.agg(count(lit(1)).as("__v"))
-    vocab.crossJoin(broadcast(ns))
-      .join(cts, Seq("source", "gram"), "left_outer")
-      .withColumn("c_ts", coalesce(col("c_ts"), lit(0L)))
-      .crossJoin(broadcast(v))
-      .select(col("gram"), col("source"),
-        expr("""CAST(round(ln(CAST(c_ts + 1 AS DOUBLE)
-                / CAST(n_s + __v AS DOUBLE)) * 1000000) AS BIGINT)""")
-          .as("llk_micro"))
+  /** The corpus-sized per-doc gram counts scoring reads: `(doc_id, source,
+    * gram, n_occ)` — computed by the native per-row histogram kernel
+    * ([[graft.functions.expressions.UnigramCounts]]), so NO corpus-sized
+    * hash-aggregate runs and the explode carries only each doc's DISTINCT
+    * grams; `source` rides along (functionally dependent on `doc_id`) so
+    * the label needs no second join. */
+  private def docGramCounts(seqs: DataFrame): DataFrame =
+    seqs.select(col("doc_id"), col("source"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("doc_id"), col("source"),
+        expr("shiftright(gc, 40)").as("gram"),
+        expr("gc & 1099511627775").as("n_occ"))
+
+  /** Spark-`round(x)`-exact micro-nat quantizer (BigDecimal HALF_UP). */
+  private def microNat(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1000000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** One counting pass → driver-side closed form. Returns the dense
+    * `(gram, source, llk_micro)` model rows and `(source, prior_micro)`. */
+  private def fit(seqs: DataFrame): (Seq[Row], Seq[Row]) = {
+    val cts = seqs.select(col("source"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .groupBy(col("source"), expr("shiftright(gc, 40)").as("gram"))
+      .agg(sum(expr("gc & 1099511627775")).as("c_ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val ds = seqs.groupBy(col("source")).agg(count(lit(1)).as("d_s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sources = ds.keySet.toSeq.sorted
+    val vocab = cts.keySet.map(_._2).toSeq.sorted
+    val v = vocab.size.toLong
+    val ns = sources.map(s =>
+      s -> cts.collect { case ((`s`, _), c) => c }.sum).toMap
+    val model = for (g <- vocab; s <- sources) yield Row(g, s, microNat(
+      math.log((cts.getOrElse((s, g), 0L) + 1).toDouble
+        / (ns(s) + v).toDouble)))
+    val dTot = ds.values.sum
+    val priors = sources.map(s => Row(s, microNat(
+      math.log(ds(s).toDouble / dTot.toDouble))))
+    (model, priors)
   }
 
+  private val ModelSchema = StructType(Seq(
+    StructField("gram", LongType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("llk_micro", LongType, nullable = false)))
+  private val PriorSchema = StructType(Seq(
+    StructField("source", StringType, nullable = false),
+    StructField("prior_micro", LongType, nullable = false)))
+
+  /** Dense per-(gram, source) log-likelihood table in micro-nats:
+    * `(gram, source, llk_micro)`, every vocabulary gram × every source. */
+  def model(seqs: DataFrame): DataFrame =
+    seqs.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](fit(seqs)._1.asJava), ModelSchema)
+
   /** `(source, prior_micro)` — document-frequency priors in micro-nats. */
-  def priors(seqs: DataFrame): DataFrame = {
-    val ds = seqs.groupBy(col("source")).agg(count(lit(1)).as("d_s"))
-    ds.crossJoin(broadcast(ds.agg(sum(col("d_s")).as("__d"))))
-      .select(col("source"),
-        expr("CAST(round(ln(CAST(d_s AS DOUBLE) / CAST(__d AS DOUBLE)) * 1000000) AS BIGINT)")
-          .as("prior_micro"))
-  }
+  def priors(seqs: DataFrame): DataFrame =
+    seqs.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](fit(seqs)._2.asJava), PriorSchema)
 
   /** Train on `seqs` and classify every document of it: `(doc_id, label,
     * pred, score_micro, margin_micro, correct)` — `label` the true source,
     * `pred` the argmax source, `score_micro` its total int64 score,
     * `margin_micro` the gap to the runner-up (0 with a single source). */
   def trainAndClassify(seqs: DataFrame): DataFrame = {
-    val dg = seqs
-      .select(col("doc_id"), explode(expr("graft_pack_ngrams(tokens, 1)")).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
-    val scores = dg.join(broadcast(model(seqs)), Seq("gram"))
-      .groupBy(col("doc_id"), col("source"))
+    val spark = seqs.sparkSession
+    val (modelRows, priorRows) = fit(seqs)
+    val m = spark.createDataFrame(
+      new java.util.ArrayList[Row](modelRows.asJava), ModelSchema)
+      .withColumnRenamed("source", "pred")
+    val p = spark.createDataFrame(
+      new java.util.ArrayList[Row](priorRows.asJava), PriorSchema)
+      .withColumnRenamed("source", "pred")
+    val scores = docGramCounts(seqs)
+      .join(broadcast(m), Seq("gram"))
+      .groupBy(col("doc_id"), col("source"), col("pred"))
       .agg(sum(col("n_occ") * col("llk_micro")).as("__ll"))
-      .join(broadcast(priors(seqs)), Seq("source"))
-      .select(col("doc_id"), col("source").as("pred"),
+      .join(broadcast(p), Seq("pred"))
+      .select(col("doc_id"), col("source").as("label"), col("pred"),
         (col("__ll") + col("prior_micro")).as("score_micro"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("pred"))
-    val top = scores
+    scores
       .withColumn("__rn", row_number().over(w))
       .withColumn("__next", lead(col("score_micro"), 1).over(w))
       .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("pred"), col("score_micro"),
-        coalesce(col("score_micro") - col("__next"), lit(0L))
-          .as("margin_micro"))
-    top.join(seqs.select(col("doc_id"), col("source").as("label")),
-        Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("pred"), col("score_micro"),
-        col("margin_micro"), (col("label") === col("pred")).as("correct"))
+        coalesce(col("score_micro") - col("__next"), lit(0L))
+          .as("margin_micro"),
+        (col("label") === col("pred")).as("correct"))
   }
 
   /** DuckDB mirror of [[trainAndClassify]] (`seqsSql` = a CTE body
     * yielding (doc_id, tokens, source)). */
   def duckSql(seqsSql: String): String =
     s"""WITH seqs AS ($seqsSql),
-       |inst AS MATERIALIZED (
-       |  SELECT doc_id, source, (t + 2048)::BIGINT AS gram
-       |  FROM (SELECT doc_id, source, unnest(tokens) AS t FROM seqs)),
-       |cts AS (SELECT source, gram, count(*) AS c_ts FROM inst GROUP BY 1, 2),
+       |dg AS MATERIALIZED (
+       |  SELECT doc_id, source, gram, count(*) AS n_occ
+       |  FROM (SELECT doc_id, source, (t + 2048)::BIGINT AS gram
+       |        FROM (SELECT doc_id, source, unnest(tokens) AS t FROM seqs))
+       |  GROUP BY 1, 2, 3),
+       |cts AS (SELECT source, gram, sum(n_occ) AS c_ts FROM dg GROUP BY 1, 2),
        |ns AS (SELECT source, sum(c_ts) AS n_s FROM cts GROUP BY 1),
        |vocab AS (SELECT DISTINCT gram FROM cts),
        |v AS (SELECT count(*) AS v FROM vocab),
@@ -127,25 +177,25 @@ object NaiveBayes {
        |         / CAST((SELECT sum(d_s) FROM ds) AS DOUBLE)) * 1000000)
        |      AS BIGINT) AS prior_micro
        |  FROM ds),
-       |dg AS (SELECT doc_id, gram, count(*) AS n_occ FROM inst GROUP BY 1, 2),
        |sc AS (
-       |  SELECT dg.doc_id, model.source AS pred,
+       |  SELECT dg.doc_id, any_value(dg.source) AS label,
+       |    model.source AS pred,
        |    sum(dg.n_occ * model.llk_micro)
        |      + any_value(pri.prior_micro) AS score_micro
        |  FROM dg JOIN model USING (gram) JOIN pri ON pri.source = model.source
-       |  GROUP BY 1, 2),
+       |  GROUP BY dg.doc_id, model.source),
        |top AS (
-       |  SELECT doc_id, pred, score_micro,
+       |  SELECT doc_id, label, pred, score_micro,
        |    coalesce(score_micro - lead(score_micro, 1) OVER (
        |      PARTITION BY doc_id ORDER BY score_micro DESC, pred), 0)
        |      AS margin_micro,
        |    row_number() OVER (
        |      PARTITION BY doc_id ORDER BY score_micro DESC, pred) AS rn
        |  FROM sc)
-       |SELECT top.doc_id, seqs.source AS label, top.pred,
-       |  CAST(top.score_micro AS BIGINT) AS score_micro,
-       |  CAST(top.margin_micro AS BIGINT) AS margin_micro,
-       |  (seqs.source = top.pred) AS correct
-       |FROM top JOIN seqs USING (doc_id)
-       |WHERE top.rn = 1""".stripMargin
+       |SELECT doc_id, label, pred,
+       |  CAST(score_micro AS BIGINT) AS score_micro,
+       |  CAST(margin_micro AS BIGINT) AS margin_micro,
+       |  (label = pred) AS correct
+       |FROM top
+       |WHERE rn = 1""".stripMargin
 }

@@ -361,7 +361,12 @@ object CurationQueries {
     // counting (two aggregations = the model), then applied to every doc;
     // scores/margins are exact int64 micro-nats -> fully bitwise output
     "nb_classify" -> ((s, dir) =>
-      graft.ops.NaiveBayes.trainAndClassify(Seqs.fromDocuments(s, dir)))
+      graft.ops.NaiveBayes.trainAndClassify(Seqs.fromDocuments(s, dir))),
+
+    // CCNet-style per-source perplexity thirds (head/middle/tail) over the
+    // bigram-NLL score — integer-rank cuts, bitwise bucket assignment
+    "ppl_buckets" -> ((s, dir) =>
+      graft.ops.LanguageModel.perplexityBuckets(Seqs.fromDocuments(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -447,6 +452,8 @@ object CurationQueries {
     "tfidf_top" ->
       graft.ops.LanguageModel.duckTfidfSql(Seqs.duckSql, TfidfK),
     "nb_classify" -> graft.ops.NaiveBayes.duckSql(Seqs.duckSql),
+    "ppl_buckets" ->
+      graft.ops.LanguageModel.duckPerplexityBucketsSql(Seqs.duckSql),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

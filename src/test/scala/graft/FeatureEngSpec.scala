@@ -256,6 +256,30 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("perplexity buckets: exact thirds per source, NLL-rank order") {
+    graft.functions.expressions.register(spark)
+    // 6 docs in one source -> 2 head, 2 middle, 2 tail by avg_nll rank;
+    // repeated-structure docs (low NLL under the corpus model) land in head
+    val corpus = (1 to 6).map { i =>
+      val toks = if (i <= 2) Seq.fill(20)(Seq(1, 2)).flatten
+        else Seq.tabulate(40)(j => (i * 7 + j * j * 13) % 500)
+      (s"d$i", toks, "s0")
+    }.toDF("doc_id", "tokens", "source")
+    val got = LanguageModel.perplexityBuckets(corpus).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    val nll = LanguageModel.scoreBigramNll(corpus).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ranked = nll.toSeq.sortBy { case (d, x) => (x, d) }.map(_._1)
+    val exp = ranked.zipWithIndex.map { case (d, i) =>
+      d -> (if ((i + 1) * 3 <= 6) "head"
+            else if ((i + 1) * 3 <= 12) "middle" else "tail")
+    }.toMap
+    assert(got == exp)
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    assert(got("d1") == "head" && got("d2") == "head")
+  }
+
   test("duplicated n-gram stats: shared 4-gram counted, unique not") {
     graft.functions.expressions.register(spark)
     // d1/d2 share the 4-gram (9,8,7,6); d1 contains it twice (both count as
