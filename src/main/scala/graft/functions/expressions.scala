@@ -81,6 +81,8 @@ object expressions {
       es => PackNgrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_counts",
       es => UnigramCounts(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nb_score",
+      es => NbScoreKernel(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_apply",
       es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_span_hashes",
@@ -243,6 +245,65 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_nb_score(gc ARRAY<BIGINT>, llk ARRAY<BIGINT>, priors
+    * ARRAY<BIGINT>) → ARRAY<BIGINT> `[pred_idx, score_micro, margin_micro]`
+    *
+    * Fused Naive Bayes scoring over the [[UnigramCounts]] packed per-doc
+    * histogram: `llk` is the LITERAL dense model — `llk(gram · S + s)` the
+    * micro-nat log-likelihood of gram under source s (S = priors.length,
+    * gram over the full 4096-slot domain) — and `priors` the per-source
+    * micro-nat priors, both ordered by ascending source name. All int64
+    * (order-free); argmax ties resolve to the smaller index = the
+    * lexicographically smaller source, and `margin_micro` is the gap to
+    * the runner-up (0 with a single source). The literal arrays decode
+    * once per expression instance (the [[TreeWalk]] pattern), so scoring
+    * is one in-row multiply-add sweep — no explode, no join, no shuffle. */
+  case class NbScoreKernel(gcE: Expression, llkE: Expression,
+      priorsE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(gcE, llkE, priorsE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = gcE.nullable
+    private def litArr(e: Expression): Array[Long] =
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"expected literal model array, got $e")
+      else e.eval(null).asInstanceOf[ArrayData].toLongArray()
+    private lazy val llk = litArr(llkE)
+    private lazy val priors = litArr(priorsE)
+    private lazy val nS = priors.length
+    override def eval(input: InternalRow): Any = {
+      val any = gcE.eval(input)
+      if (any == null) return null
+      val gc = any.asInstanceOf[ArrayData].toLongArray()
+      val scores = priors.clone()
+      var i = 0
+      while (i < gc.length) {
+        val base = (gc(i) >>> 40).toInt * nS
+        val c = gc(i) & 1099511627775L
+        var s = 0
+        while (s < nS) { scores(s) += c * llk(base + s); s += 1 }
+        i += 1
+      }
+      var best = 0
+      var s = 1
+      while (s < nS) { if (scores(s) > scores(best)) best = s; s += 1 }
+      var margin = Long.MaxValue
+      s = 0
+      while (s < nS) {
+        if (s != best && scores(best) - scores(s) < margin)
+          margin = scores(best) - scores(s)
+        s += 1
+      }
+      if (nS == 1) margin = 0L
+      UnsafeArrayData.fromPrimitiveArray(
+        Array(best.toLong, scores(best), margin))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(gcE = c(0), llkE = c(1), priorsE = c(2))
   }
 
   // ------------------------------------------------------------------

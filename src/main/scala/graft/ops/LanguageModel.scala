@@ -116,24 +116,30 @@ object LanguageModel {
     * `((ct + 1) · (Nr + V)) / ((Nt + V) · (cr + 1))` — one double division
     * of exact int64 products per distinct token. */
   def importanceWeights(seqs: DataFrame, targetPred: org.apache.spark.sql.Column): DataFrame = {
-    val inst = gramInstances(seqs, 1)
-    val raw = inst.groupBy(col("gram")).agg(count(lit(1)).as("cr"))
-    val tgt = gramInstances(seqs.filter(targetPred), 1)
-      .groupBy(col("gram")).agg(count(lit(1)).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("__nr"),
-        count(lit(1)).cast("long").as("__v"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("__nt")))
+    // per-doc distinct-gram counts from the native histogram kernel (the
+    // [[graft.functions.expressions.UnigramCounts]] packed form) — the
+    // target flag rides along so BOTH distributions come from this one
+    // pre-aggregated stream, and no corpus-sized (doc, gram) hash-agg runs
+    val dg = seqs
+      .select(col("doc_id"), targetPred.as("__t"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("doc_id"), col("__t"),
+        expr("shiftright(gc, 40)").as("gram"),
+        expr("gc & 1099511627775").as("n_occ"))
+    val cnt = dg.groupBy(col("gram")).agg(
+      sum(col("n_occ")).as("cr"),
+      sum(when(col("__t"), col("n_occ")).otherwise(lit(0L))).as("ct"))
+    val totals = cnt.agg(sum(col("cr")).as("__nr"),
+      count(lit(1)).cast("long").as("__v"),
+      sum(col("ct")).as("__nt"))
     // every scored token exists in raw (the model's support); absent-in-
-    // target tokens smooth to ct = 0
-    val lr = raw.join(tgt, Seq("gram"), "left_outer")
-      .withColumn("ct", coalesce(col("ct"), lit(0L)))
-      .crossJoin(broadcast(totals))
+    // target tokens have ct = 0 and smooth to ct + 1
+    val lr = cnt.crossJoin(broadcast(totals))
       .select(col("gram"),
         expr("""CAST(round(ln(CAST((ct + 1) * (__nr + __v) AS DOUBLE)
                 / CAST((__nt + __v) * (cr + 1) AS DOUBLE)) * 1000000) AS BIGINT)""")
           .as("lr_micro"))
-    inst.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
-      .join(lr, Seq("gram"))
+    dg.join(broadcast(lr), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_tok"),
         sum(col("n_occ") * col("lr_micro")).as("__sum"))

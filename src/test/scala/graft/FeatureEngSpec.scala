@@ -249,11 +249,14 @@ class FeatureEngSpec extends AnyFunSuite {
       val margin = top - scores(1)._2
       (id, label, pred, top, margin, label == pred)
     }.toSet
-    val got = graft.ops.NaiveBayes.trainAndClassify(
-        docs.toDF("doc_id", "tokens", "source")).collect()
+    val df = docs.toDF("doc_id", "tokens", "source")
+    def rows(out: org.apache.spark.sql.DataFrame) = out.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    val got = rows(graft.ops.NaiveBayes.trainAndClassify(df))
     assert(got == exp)
+    // the fused kernel and the relational derivation must agree bitwise
+    assert(rows(graft.ops.NaiveBayes.trainAndClassifyRelational(df)) == got)
   }
 
   test("perplexity buckets: exact thirds per source, NLL-rank order") {
