@@ -83,6 +83,8 @@ object expressions {
       es => UnigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
       es => NbScoreKernel(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_remap_tokens",
+      es => RemapTokens(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_apply",
       es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_span_hashes",
@@ -245,6 +247,58 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_remap_tokens(tokens ARRAY<INT>, rare ARRAY<INT>, unk INT) →
+    * ARRAY<INT>
+    *
+    * Vocabulary pruning: rewrite every token in the LITERAL `rare` set to
+    * the `unk` id, leave the rest untouched. The rare set decodes ONCE per
+    * expression instance into a 4096-slot bitmap over the 12-bit token
+    * domain (the [[TreeWalk]] literal-model pattern), so the per-token
+    * test is one array load — never a per-token set probe or interpreted
+    * lambda. */
+  case class RemapTokens(tokens: Expression, rareE: Expression,
+      unkE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, rareE, unkE)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    private lazy val unk = litInt(unkE)
+    private lazy val rareBitmap: Array[Boolean] = {
+      if (!rareE.foldable)
+        throw new IllegalArgumentException(s"expected literal rare set, got $rareE")
+      val bm = new Array[Boolean](4096)
+      val ids = rareE.eval(null).asInstanceOf[ArrayData].toIntArray()
+      var i = 0
+      while (i < ids.length) {
+        val g = ids(i) + 2048
+        require(g >= 0 && g < 4096,
+          s"rare token out of 12-bit domain [-2048, 2047]: ${ids(i)}")
+        bm(g) = true
+        i += 1
+      }
+      bm
+    }
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val out = new Array[Int](arr.length)
+      var i = 0
+      while (i < arr.length) {
+        val g = arr(i) + 2048
+        require(g >= 0 && g < 4096,
+          s"token out of 12-bit domain [-2048, 2047]: ${arr(i)}")
+        out(i) = if (rareBitmap(g)) unk else arr(i)
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), rareE = c(1), unkE = c(2))
   }
 
   // ------------------------------------------------------------------

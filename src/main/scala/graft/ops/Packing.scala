@@ -161,4 +161,49 @@ object Packing {
        |  CAST(CASE WHEN sum(seg_len) = $capacity THEN 1 ELSE 0 END AS INTEGER)
        |    AS is_full
        |FROM seg GROUP BY chunk_id""".stripMargin
+
+  /** The COMPLEMENT of [[packChunks]]: split each document into
+    * fixed-length training windows of `win` tokens at `stride`-token
+    * starts (overlapping when `stride < win` — the standard LM
+    * pretraining chunker with context overlap), materializing the actual
+    * token slices: `(doc_id, win_id, start, win_tokens, win_len)`. The
+    * final partial window is kept when it still has ≥ `minLen` tokens.
+    * Where packChunks assembles a dense global stream (no token repeated,
+    * doc boundaries crossed), splitWindows stays within documents and
+    * trades duplication (the overlap) for per-window attention locality.
+    *
+    * Plan: one narrow projection — `sequence` over window STARTS (≤
+    * n_tok / stride values, never per token) exploded, `slice` per start
+    * (both codegen'd builtins); zero shuffle, embarrassingly parallel at
+    * any corpus size. Output is exact token arrays — the engine/oracle
+    * compare pins every window bitwise. */
+  def splitWindows(seqs: DataFrame, win: Int, stride: Int,
+                   minLen: Int): DataFrame = {
+    require(win >= 1 && stride >= 1 && minLen >= 1 && minLen <= win,
+      s"bad split params: win=$win stride=$stride minLen=$minLen")
+    seqs.filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("tokens"), col("n_tok"),
+        explode(expr(s"sequence(0, n_tok - 1, $stride)")).as("start"))
+      .select(col("doc_id"),
+        expr(s"CAST(start div $stride AS INT)").as("win_id"),
+        col("start").cast("int").as("start"),
+        expr(s"slice(tokens, start + 1, $win)").as("win_tokens"),
+        least(lit(win), col("n_tok") - col("start")).cast("int")
+          .as("win_len"))
+      .filter(col("win_len") >= minLen)
+  }
+
+  /** DuckDB mirror of [[splitWindows]]. */
+  def duckSplitWindowsSql(prelude: String, win: Int, stride: Int,
+                          minLen: Int): String =
+    s"""WITH $prelude
+       |SELECT doc_id,
+       |  CAST(s // $stride AS INTEGER) AS win_id,
+       |  CAST(s AS INTEGER) AS start,
+       |  tokens[s + 1 : least(s + $win, n_tok)] AS win_tokens,
+       |  CAST(least($win, n_tok - s) AS INTEGER) AS win_len
+       |FROM (SELECT doc_id, tokens, n_tok,
+       |        unnest(range(0, CAST(n_tok AS BIGINT), $stride)) AS s
+       |      FROM seqs WHERE n_tok > 0)
+       |WHERE least($win, n_tok - s) >= $minLen""".stripMargin
 }

@@ -292,4 +292,49 @@ object Tokenizer {
     sb.append("\n")
     sb
   }
+
+  /** Vocabulary pruning: every token occurring fewer than `minCount`
+    * times in the corpus is rewritten to the `unk` id (OOV collapse — the
+    * standard pre-tokenizer vocabulary cut). The rare SET is model-sized
+    * (bounded by the 12-bit token domain, never the corpus), so it is
+    * collected once from a histogram-kernel counting job (the
+    * [[graft.ops.Packing]]-boundary / NaiveBayes-fit "planning metadata"
+    * role) and the rewrite is ONE narrow kernel projection
+    * ([[graft.functions.expressions.RemapTokens]]: literal rare set →
+    * 4096-slot bitmap, one array load per token) — zero shuffle, output
+    * token arrays pinned bitwise by the oracle. */
+  def unkRemap(seqs: DataFrame, minCount: Long, unk: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val rare = seqs
+      .select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .groupBy(expr("shiftright(gc, 40)").as("gram"))
+      .agg(sum(expr("gc & 1099511627775")).as("c"))
+      .filter(col("c") < minCount)
+      .select((col("gram") - 2048).cast("int").as("t"))
+      .collect().map(_.getInt(0)).sorted
+    seqs.select(col("doc_id"),
+      call_function("graft_remap_tokens", col("tokens"),
+        typedlit(rare), lit(unk)).as("tokens_remap"),
+      col("n_tok"))
+  }
+
+  /** DuckDB mirror of [[unkRemap]] (zero-token docs kept as empty arrays,
+    * the [[duckEncodeSql]] left-join pattern). */
+  def duckUnkRemapSql(prelude: String, minCount: Long, unk: Int): String =
+    s"""WITH $prelude,
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(tokens, 1) AS i,
+       |         unnest(tokens) AS t
+       |  FROM seqs),
+       |cnt AS (SELECT t, count(*) AS c FROM inst GROUP BY 1),
+       |rare AS (SELECT t FROM cnt WHERE c < $minCount)
+       |SELECT seqs.doc_id,
+       |  coalesce(g.tokens_remap, CAST([] AS INTEGER[])) AS tokens_remap,
+       |  seqs.n_tok
+       |FROM seqs LEFT JOIN (
+       |  SELECT inst.doc_id,
+       |    list(CASE WHEN rare.t IS NULL THEN inst.t ELSE $unk END
+       |         ORDER BY inst.i) AS tokens_remap
+       |  FROM inst LEFT JOIN rare USING (t)
+       |  GROUP BY inst.doc_id) g USING (doc_id)""".stripMargin
 }

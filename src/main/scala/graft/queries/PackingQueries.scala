@@ -28,11 +28,26 @@ object PackingQueries {
       Packing.packStats(
         Packing.packChunks(Seqs.fromDocuments(s, dir), "doc_id", "n_tok",
           ChunkCapacity),
-        ChunkCapacity))
+        ChunkCapacity)),
+
+    // within-doc training windows (stride < win -> 25% context overlap),
+    // materialized token slices bitwise-checked — the complement of
+    // seq_pack's cross-doc dense stream
+    "seq_split" -> ((s, dir) =>
+      Packing.splitWindows(Seqs.fromDocuments(s, dir),
+        SplitWin, SplitStride, SplitMinLen))
   )
+
+  /** seq_split window geometry: 512-token windows every 384 tokens
+    * (25 % overlap), final partial window kept at >= 64 tokens. */
+  val SplitWin = 512
+  val SplitStride = 384
+  val SplitMinLen = 64
 
   def oracles: Map[String, String] = Map(
     "seq_pack" -> Packing.duckPackSql(duckSeqs, ChunkCapacity),
-    "pack_stats" -> Packing.duckPackStatsSql(duckSeqs, ChunkCapacity)
+    "pack_stats" -> Packing.duckPackStatsSql(duckSeqs, ChunkCapacity),
+    "seq_split" -> Packing.duckSplitWindowsSql(duckSeqs,
+      SplitWin, SplitStride, SplitMinLen)
   )
 }

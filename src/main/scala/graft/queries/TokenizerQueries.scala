@@ -39,12 +39,27 @@ object TokenizerQueries {
     // independent relational derivation (exact token-array equality is
     // the per-row invariant of the whole engine)
     "bpe_encode" -> ((s, dir) =>
-      Tokenizer.encodeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds))
+      Tokenizer.encodeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds)),
+
+    // vocabulary pruning: corpus-rare tokens (count < MinTokenCount)
+    // collapsed to the UNK id — rare set is planning metadata (one
+    // counting job), rewrite is one zero-shuffle kernel projection with
+    // full token-array parity
+    "unk_remap" -> ((s, dir) =>
+      Tokenizer.unkRemap(Seqs.fromDocuments(s, dir), MinTokenCount, UnkId))
   )
+
+  /** Vocabulary-pruning threshold and UNK id. 2047 is outside the token
+    * model's range (`Seqs` bases lie in [-1024, 1023], bursts double to
+    * even values only), so the remap target can never collide with a
+    * surviving natural token. */
+  val MinTokenCount = 300L
+  val UnkId = 2047
 
   def oracles: Map[String, String] = Map(
     "bpe_pairs" -> Tokenizer.duckPairsSql(duckSeqs, PairTopK),
     "bpe_train" -> Tokenizer.duckTrainSql(duckSeqsSub, TrainRounds),
-    "bpe_encode" -> Tokenizer.duckEncodeSql(duckSeqsSub, TrainRounds)
+    "bpe_encode" -> Tokenizer.duckEncodeSql(duckSeqsSub, TrainRounds),
+    "unk_remap" -> Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId)
   )
 }

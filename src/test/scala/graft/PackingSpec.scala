@@ -71,6 +71,45 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("splitWindows: geometry, overlap, partial tail, token fidelity") {
+    // win=5, stride=3, minLen=2 over hand-sized docs
+    val docs = Seq(
+      ("a", (1 to 12).toSeq),   // starts 0,3,6,9 -> lens 5,5,5,3 (all kept)
+      ("b", (1 to 4).toSeq),    // starts 0,3    -> lens 4,1 (tail dropped)
+      ("c", Seq(7)),            // start 0       -> len 1 < minLen, dropped
+      ("d", Seq.empty[Int])     // no windows
+    ).map { case (id, t) => (id, t, t.size) }
+      .toDF("doc_id", "tokens", "n_tok")
+    val got = graft.ops.Packing.splitWindows(docs, 5, 3, 2)
+      .orderBy("doc_id", "win_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Int](3).toList, r.getInt(4)))
+    val exp = Seq(
+      ("a", 0, 0, List(1, 2, 3, 4, 5), 5),
+      ("a", 1, 3, List(4, 5, 6, 7, 8), 5),
+      ("a", 2, 6, List(7, 8, 9, 10, 11), 5),
+      ("a", 3, 9, List(10, 11, 12), 3),
+      ("b", 0, 0, List(1, 2, 3, 4), 4))
+    assert(got.toSeq == exp)
+  }
+
+  test("unkRemap: rare tokens collapse to UNK, common survive, empty ok") {
+    graft.functions.expressions.register(spark)
+    // token 5 appears 6x (common at minCount=3), 9 twice, -7 once (rare)
+    val docs = Seq(
+      ("a", Seq(5, 9, 5, 5, -7), 5),
+      ("b", Seq(5, 5, 9, 5), 4),
+      ("c", Seq.empty[Int], 0)
+    ).toDF("doc_id", "tokens", "n_tok")
+    val got = graft.ops.Tokenizer.unkRemap(docs, 3L, 2047)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1).toList)).toList
+    assert(got == List(
+      ("a", List(5, 2047, 5, 5, 2047)),
+      ("b", List(5, 5, 2047, 5)),
+      ("c", Nil)))
+  }
+
   test("result is invariant to the prefix-sum bucketing") {
     val one = Packing.packChunks(corpus, "doc_id", "n_tok", C, buckets = 1)
     val eight = Packing.packChunks(corpus, "doc_id", "n_tok", C, buckets = 8)
