@@ -96,6 +96,15 @@ object expressions {
     fvkernel.register(spark)
   }
 
+  /** The ONE definition of the [[UnigramCounts]] packing layout:
+    * `(gram << 40) | count`. Query-side decoders — use these instead of
+    * re-inlining the shift/mask at call sites. */
+  val GramCountMask: Long = (1L << 40) - 1
+  def gramOf(gc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.shiftright(gc, 40)
+  def cntOf(gc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    gc.bitwiseAND(org.apache.spark.sql.functions.lit(GramCountMask))
+
   private[functions] def litIntPub(e: Expression): Int = litInt(e)
 
   private def litInt(e: Expression): Int =
@@ -214,8 +223,10 @@ object expressions {
     * ([[graft.ops.NaiveBayes]], tf-idf) would otherwise need: downstream
     * explodes see only the DISTINCT grams of each doc (~3× fewer rows on
     * the synthetic corpus) and no corpus-sized aggregation runs at all.
-    * Unpack with `shiftright(v, 40)` / `v & ((1 << 40) - 1)` — counts are
-    * bounded by the analysis cap (8192 ≪ 2^40), so packing is lossless. */
+    * Unpack with [[gramOf]] / [[cntOf]] (`shiftright(v, 40)` /
+    * `v & ((1L << 40) - 1)` — the shift MUST be on a long; `1 << 40`
+    * wraps to 256 in 32-bit arithmetic). Counts are bounded by the
+    * analysis cap (8192 ≪ 2^40), so packing is lossless. */
   case class UnigramCounts(tokens: Expression)
       extends Expression with CodegenFallback {
     override def children: Seq[Expression] = Seq(tokens)

@@ -124,14 +124,17 @@ object LanguageModel {
       .select(col("doc_id"), targetPred.as("__t"),
         explode(expr("graft_unigram_counts(tokens)")).as("gc"))
       .select(col("doc_id"), col("__t"),
-        expr("shiftright(gc, 40)").as("gram"),
-        expr("gc & 1099511627775").as("n_occ"))
+        graft.functions.expressions.gramOf(col("gc")).as("gram"),
+        graft.functions.expressions.cntOf(col("gc")).as("n_occ"))
     val cnt = dg.groupBy(col("gram")).agg(
       sum(col("n_occ")).as("cr"),
       sum(when(col("__t"), col("n_occ")).otherwise(lit(0L))).as("ct"))
+    // nullif: an EMPTY target slice must yield NULL __nt (-> NULL weights,
+    // the pre-rewrite and DuckDB-mirror semantics), not a finite ratio
+    // against a zero-token target distribution
     val totals = cnt.agg(sum(col("cr")).as("__nr"),
       count(lit(1)).cast("long").as("__v"),
-      sum(col("ct")).as("__nt"))
+      expr("nullif(sum(ct), 0)").as("__nt"))
     // every scored token exists in raw (the model's support); absent-in-
     // target tokens have ct = 0 and smooth to ct + 1
     val lr = cnt.crossJoin(broadcast(totals))
@@ -226,8 +229,9 @@ object LanguageModel {
     // carries only distinct grams, no corpus-sized hash-aggregate
     val dg = seqs.select(col("doc_id"),
         explode(expr("graft_unigram_counts(tokens)")).as("gc"))
-      .select(col("doc_id"), expr("shiftright(gc, 40)").as("gram"),
-        expr("gc & 1099511627775").as("tf"))
+      .select(col("doc_id"),
+        graft.functions.expressions.gramOf(col("gc")).as("gram"),
+        graft.functions.expressions.cntOf(col("gc")).as("tf"))
     val df = dg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(seqs.agg(count(lit(1)).as("__d"))))
       .select(col("gram"),

@@ -66,8 +66,8 @@ object NaiveBayes {
     seqs.select(col("doc_id"), col("source"),
         explode(expr("graft_unigram_counts(tokens)")).as("gc"))
       .select(col("doc_id"), col("source"),
-        expr("shiftright(gc, 40)").as("gram"),
-        expr("gc & 1099511627775").as("n_occ"))
+        graft.functions.expressions.gramOf(col("gc")).as("gram"),
+        graft.functions.expressions.cntOf(col("gc")).as("n_occ"))
 
   /** Spark-`round(x)`-exact micro-nat quantizer (BigDecimal HALF_UP). */
   private def microNat(x: Double): Long =
@@ -79,8 +79,9 @@ object NaiveBayes {
   private def fit(seqs: DataFrame): (Seq[Row], Seq[Row]) = {
     val cts = seqs.select(col("source"),
         explode(expr("graft_unigram_counts(tokens)")).as("gc"))
-      .groupBy(col("source"), expr("shiftright(gc, 40)").as("gram"))
-      .agg(sum(expr("gc & 1099511627775")).as("c_ts"))
+      .groupBy(col("source"),
+        graft.functions.expressions.gramOf(col("gc")).as("gram"))
+      .agg(sum(graft.functions.expressions.cntOf(col("gc"))).as("c_ts"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     val ds = seqs.groupBy(col("source")).agg(count(lit(1)).as("d_s"))
@@ -107,16 +108,28 @@ object NaiveBayes {
     StructField("source", StringType, nullable = false),
     StructField("prior_micro", LongType, nullable = false)))
 
-  /** Dense per-(gram, source) log-likelihood table in micro-nats:
-    * `(gram, source, llk_micro)`, every vocabulary gram × every source. */
-  def model(seqs: DataFrame): DataFrame =
-    seqs.sparkSession.createDataFrame(
-      new java.util.ArrayList[Row](fit(seqs)._1.asJava), ModelSchema)
+  /** One training pass → BOTH model tables `(model, priors)` — the
+    * model-export entry point. [[model]] / [[priors]] are conveniences
+    * that each run their own counting job; callers wanting both must use
+    * this to train once. */
+  def fitModel(seqs: DataFrame): (DataFrame, DataFrame) = {
+    val (m, p) = fit(seqs)
+    (seqs.sparkSession.createDataFrame(
+        new java.util.ArrayList[Row](m.asJava), ModelSchema),
+      seqs.sparkSession.createDataFrame(
+        new java.util.ArrayList[Row](p.asJava), PriorSchema))
+  }
 
-  /** `(source, prior_micro)` — document-frequency priors in micro-nats. */
-  def priors(seqs: DataFrame): DataFrame =
-    seqs.sparkSession.createDataFrame(
-      new java.util.ArrayList[Row](fit(seqs)._2.asJava), PriorSchema)
+  /** Dense per-(gram, source) log-likelihood table in micro-nats:
+    * `(gram, source, llk_micro)`, every vocabulary gram × every source.
+    * Runs a full counting job — use [[fitModel]] when priors are also
+    * needed. */
+  def model(seqs: DataFrame): DataFrame = fitModel(seqs)._1
+
+  /** `(source, prior_micro)` — document-frequency priors in micro-nats.
+    * Runs a full counting job — use [[fitModel]] when the model is also
+    * needed. */
+  def priors(seqs: DataFrame): DataFrame = fitModel(seqs)._2
 
   /** Train on `seqs` and classify every document of it: `(doc_id, label,
     * pred, score_micro, margin_micro, correct)` — `label` the true source,
@@ -202,7 +215,15 @@ object NaiveBayes {
        |        FROM (SELECT doc_id, source, unnest(tokens) AS t FROM seqs))
        |  GROUP BY 1, 2, 3),
        |cts AS (SELECT source, gram, sum(n_occ) AS c_ts FROM dg GROUP BY 1, 2),
-       |ns AS (SELECT source, sum(c_ts) AS n_s FROM cts GROUP BY 1),
+       |ds AS (SELECT source, count(*) AS d_s FROM seqs GROUP BY 1),
+       |ns AS (
+       |  -- per-source token totals over ALL sources (ds), not just the
+       |  -- ones with >= 1 token (cts): a source of only zero-token docs
+       |  -- must still be a prediction candidate, like the engine's fit
+       |  SELECT ds.source, coalesce(n0.n_s, 0) AS n_s
+       |  FROM ds LEFT JOIN (
+       |    SELECT source, sum(c_ts) AS n_s FROM cts GROUP BY 1) n0
+       |  USING (source)),
        |vocab AS (SELECT DISTINCT gram FROM cts),
        |v AS (SELECT count(*) AS v FROM vocab),
        |model AS (
@@ -212,7 +233,6 @@ object NaiveBayes {
        |      AS llk_micro
        |  FROM vocab CROSS JOIN ns CROSS JOIN v
        |  LEFT JOIN cts ON cts.source = ns.source AND cts.gram = vocab.gram),
-       |ds AS (SELECT source, count(*) AS d_s FROM seqs GROUP BY 1),
        |pri AS (
        |  SELECT source,
        |    CAST(round(ln(CAST(d_s AS DOUBLE)

@@ -307,8 +307,8 @@ object Tokenizer {
     graft.functions.expressions.register(seqs.sparkSession)
     val rare = seqs
       .select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
-      .groupBy(expr("shiftright(gc, 40)").as("gram"))
-      .agg(sum(expr("gc & 1099511627775")).as("c"))
+      .groupBy(graft.functions.expressions.gramOf(col("gc")).as("gram"))
+      .agg(sum(graft.functions.expressions.cntOf(col("gc"))).as("c"))
       .filter(col("c") < minCount)
       .select((col("gram") - 2048).cast("int").as("t"))
       .collect().map(_.getInt(0)).sorted

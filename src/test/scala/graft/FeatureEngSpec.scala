@@ -259,6 +259,28 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(rows(graft.ops.NaiveBayes.trainAndClassifyRelational(df)) == got)
   }
 
+  test("DSIR degenerate: empty target slice -> NULL weights, empty resample") {
+    graft.functions.expressions.register(spark)
+    val w = LanguageModel.importanceWeights(toyCorpus,
+      col("source") === "no_such_source").collect()
+    assert(w.nonEmpty && w.forall(_.isNullAt(2)),
+      "empty target must NULL-propagate, not score against a zero distribution")
+    assert(LanguageModel.dsirSample(toyCorpus,
+      col("source") === "no_such_source").isEmpty)
+  }
+
+  test("NB degenerate: a zero-token-only source stays a prediction candidate") {
+    graft.functions.expressions.register(spark)
+    val docs = Seq(("d1", Seq(1, 2), "sA"), ("d2", Seq.empty[Int], "sB"))
+      .toDF("doc_id", "tokens", "source")
+    val out = graft.ops.NaiveBayes.trainAndClassify(docs).collect()
+    // d2 itself is excluded (no evidence), but sB competes for d1:
+    // llk under both sources is ln(1/(N_s+V)) with equal values here and
+    // equal priors -> tie -> name order picks sA with margin 0
+    assert(out.map(_.getString(0)).toSeq == Seq("d1"))
+    assert(out.head.getString(2) == "sA" && out.head.getLong(4) == 0L)
+  }
+
   test("perplexity buckets: exact thirds per source, NLL-rank order") {
     graft.functions.expressions.register(spark)
     // 6 docs in one source -> 2 head, 2 middle, 2 tail by avg_nll rank;
