@@ -292,6 +292,81 @@ object LanguageModel {
        |       ELSE 'tail' END AS ppl_bucket
        |FROM r""".stripMargin
 
+  /** Top-`k` adjacent-pair collocations by pointwise mutual information —
+    * the classic corpus association miner. `PMI(a,b) = ln(p(a,b) /
+    * (p(a)·p(b)))` decomposed into TWO exactly-representable terms so the
+    * score stays int64:
+    * `pmi_micro = round(ln(c_ab·N1 / (c_a·c_b))·10^6)
+    *            + round(ln(N1 / N2)·10^6)`
+    * — each ln takes one double division of exact int64 products (all
+    * ≤ ~6·10^12, far under 2^53; the single-ln form `c_ab·N1²/(N2·c_a·c_b)`
+    * would overflow int64), and the two roundings are both deterministic,
+    * so ranking and tiebreak (pmi desc, then tokens asc) are bitwise.
+    * Pairs below `minCount` occurrences are dropped (rare-pair PMI is
+    * noise). N1 = total tokens, N2 = total bigrams.
+    *
+    * Plan: one bigram-keyed exchange (map-side partials) for `c_ab`; the
+    * unigram count table is vocab-sized and joins broadcast twice (left /
+    * right context); top-k is orderBy+limit = distributed take-ordered,
+    * never a global sort materialization. */
+  def pmiTop(seqs: DataFrame, k: Int, minCount: Long): DataFrame = {
+    val uni = seqs
+      .select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .groupBy(graft.functions.expressions.gramOf(col("gc")).as("g"))
+      .agg(sum(graft.functions.expressions.cntOf(col("gc"))).as("c"))
+    val n1 = uni.agg(sum(col("c")).as("__n1"))
+    val bi = gramInstances(seqs, 2)
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+    val n2 = bi.agg(sum(col("c_ab")).as("__n2"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("g").as("__g1"), col("c").as("c_a"))),
+        expr("gram div 4096") === col("__g1"))
+      .join(broadcast(uni.select(col("g").as("__g2"), col("c").as("c_b"))),
+        expr("gram % 4096") === col("__g2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(
+        expr("CAST(gram div 4096 - 2048 AS INT)").as("t1"),
+        expr("CAST(gram % 4096 - 2048 AS INT)").as("t2"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        (expr("""CAST(round(ln(CAST(c_ab * __n1 AS DOUBLE)
+               / CAST(c_a * c_b AS DOUBLE)) * 1000000) AS BIGINT)""") +
+         expr("""CAST(round(ln(CAST(__n1 AS DOUBLE)
+               / CAST(__n2 AS DOUBLE)) * 1000000) AS BIGINT)"""))
+          .as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[pmiTop]]. */
+  def duckPmiSql(seqsSql: String, k: Int, minCount: Long): String =
+    s"""WITH seqs AS ($seqsSql),
+       |bi AS (
+       |  SELECT (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram,
+       |         count(*) AS c_ab
+       |  FROM (SELECT unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)
+       |  GROUP BY 1),
+       |uni AS (
+       |  SELECT (t + 2048)::BIGINT AS g, count(*) AS c
+       |  FROM (SELECT unnest(tokens) AS t FROM seqs) GROUP BY 1),
+       |n1 AS (SELECT sum(c) AS n1 FROM uni),
+       |n2 AS (SELECT sum(c_ab) AS n2 FROM bi)
+       |SELECT CAST(gram // 4096 - 2048 AS INTEGER) AS t1,
+       |  CAST(gram % 4096 - 2048 AS INTEGER) AS t2,
+       |  CAST(c_ab AS BIGINT) AS c_ab,
+       |  CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+       |  CAST(round(ln(CAST(c_ab * n1.n1 AS DOUBLE)
+       |       / CAST(ua.c * ub.c AS DOUBLE)) * 1000000) AS BIGINT)
+       |  + CAST(round(ln(CAST(n1.n1 AS DOUBLE)
+       |       / CAST(n2.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+       |FROM bi
+       |JOIN uni ua ON ua.g = gram // 4096
+       |JOIN uni ub ON ub.g = gram % 4096
+       |CROSS JOIN n1 CROSS JOIN n2
+       |WHERE c_ab >= $minCount
+       |ORDER BY pmi_micro DESC, t1, t2
+       |LIMIT $k""".stripMargin
+
   /** DuckDB mirror of [[tfidfTop]]. */
   def duckTfidfSql(seqsSql: String, k: Int): String =
     s"""WITH seqs AS ($seqsSql),

@@ -366,8 +366,19 @@ object CurationQueries {
     // CCNet-style per-source perplexity thirds (head/middle/tail) over the
     // bigram-NLL score — integer-rank cuts, bitwise bucket assignment
     "ppl_buckets" -> ((s, dir) =>
-      graft.ops.LanguageModel.perplexityBuckets(Seqs.fromDocuments(s, dir)))
+      graft.ops.LanguageModel.perplexityBuckets(Seqs.fromDocuments(s, dir))),
+
+    // top-k adjacent-pair collocations by PMI (two-term micro-nat split
+    // keeps every product exactly representable); min-count floor drops
+    // rare-pair noise
+    "pmi_top" -> ((s, dir) =>
+      graft.ops.LanguageModel.pmiTop(Seqs.fromDocuments(s, dir),
+        PmiTopK, PmiMinCount))
   )
+
+  /** PMI report depth and pair-count floor. */
+  val PmiTopK = 100
+  val PmiMinCount = 5L
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
@@ -454,6 +465,8 @@ object CurationQueries {
     "nb_classify" -> graft.ops.NaiveBayes.duckSql(Seqs.duckSql),
     "ppl_buckets" ->
       graft.ops.LanguageModel.duckPerplexityBucketsSql(Seqs.duckSql),
+    "pmi_top" -> graft.ops.LanguageModel.duckPmiSql(
+      Seqs.duckSql, PmiTopK, PmiMinCount),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -305,6 +305,27 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(got("d1") == "head" && got("d2") == "head")
   }
 
+  test("PMI top-k matches in-memory brute force incl. two-term rounding") {
+    graft.functions.expressions.register(spark)
+    val docs = Map(
+      "d1" -> Seq(1, 2, 1, 2, 3), "d2" -> Seq(1, 2, 3, 3, 3),
+      "d3" -> Seq(2, 1, 2, 1, 2))
+    val bigrams = docs.values.flatMap(t => t.zip(t.tail)).toSeq
+    val cab = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val uni = docs.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n1 = uni.values.sum; val n2 = bigrams.size.toLong
+    val exp = cab.toSeq.filter(_._2 >= 2).map { case ((a, b), c) =>
+      val pmi = microNat(math.log(c * n1.toDouble / (uni(a) * uni(b))) * 1e6) +
+        microNat(math.log(n1.toDouble / n2) * 1e6)
+      (a, b, c, uni(a), uni(b), pmi)
+    }.sortBy { case (a, b, _, _, _, p) => (-p, a, b) }.take(3)
+    val got = LanguageModel.pmiTop(toyCorpus, 3, 2L).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp)
+  }
+
   test("duplicated n-gram stats: shared 4-gram counted, unique not") {
     graft.functions.expressions.register(spark)
     // d1/d2 share the 4-gram (9,8,7,6); d1 contains it twice (both count as
