@@ -150,9 +150,33 @@ object NaiveBayes {
     * are excluded (they carry no evidence; mirrors the oracle's inner
     * join on the gram stream). */
   def trainAndClassify(seqs: DataFrame): DataFrame = {
-    graft.functions.expressions.register(seqs.sparkSession)
     val (modelRows, priorRows) = fit(seqs)
+    classifyRows(seqs, modelRows, priorRows)
+  }
+
+  /** Classify `seqs` with an EXTERNAL trained model — the artifact
+    * lifecycle entry point: persist [[fitModel]]'s two tables (e.g.
+    * through [[graft.sink.KeyedSink]] snapshots), read them back at any
+    * later run/version, and score without retraining (the
+    * `Crawler.cpp:934-998` re-run analog at model level). The tables are
+    * model-sized, so the collect here is planning metadata, not data
+    * movement; scoring is the same fused zero-shuffle kernel as
+    * [[trainAndClassify]] — KeyedSinkSpec pins the
+    * train → persist → load → classify round trip bitwise-equal to the
+    * direct path. */
+  def classifyWith(seqs: DataFrame, model: DataFrame,
+                   priors: DataFrame): DataFrame =
+    classifyRows(seqs,
+      model.select(col("gram"), col("source"), col("llk_micro")).collect(),
+      priors.select(col("source"), col("prior_micro"))
+        .orderBy(col("source")).collect())
+
+  private def classifyRows(seqs: DataFrame, modelRows: Seq[Row],
+                           priorRows: Seq[Row]): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
     val sources = priorRows.map(_.getString(0))
+    require(sources == sources.sorted,
+      "priors must be ordered by source name (the kernel tiebreak order)")
     val nS = sources.length
     val llkFlat = new Array[Long](4096 * nS)
     val sIdx = sources.zipWithIndex.toMap

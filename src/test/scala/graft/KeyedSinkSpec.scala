@@ -15,6 +15,26 @@ class KeyedSinkSpec extends AnyFunSuite {
   private def freshPath(): String =
     Files.createTempDirectory("graft-sink").toString
 
+  test("NB model artifact lifecycle: train -> persist -> load -> classify") {
+    graft.functions.expressions.register(spark)
+    val docs = Seq(
+      ("d1", Seq(1, 2, 1, 2, 3), "src0"), ("d2", Seq(1, 2, 3, 3, 3), "src1"),
+      ("d3", Seq(2, 1, 2, 1, 2), "src1")).toDF("doc_id", "tokens", "source")
+    val (m, p) = graft.ops.NaiveBayes.fitModel(docs)
+    val dir = freshPath()
+    // model rows key on the composite (gram, source); priors on source
+    KeyedSink.upsert(spark, s"$dir/model",
+      m.withColumn("mk", concat_ws(":", col("gram"), col("source"))), "mk")
+    KeyedSink.upsert(spark, s"$dir/priors", p, "source")
+    val m2 = KeyedSink.read(spark, s"$dir/model", "mk").get.drop("mk")
+    val p2 = KeyedSink.read(spark, s"$dir/priors", "source").get
+    val direct = graft.ops.NaiveBayes.trainAndClassify(docs)
+      .collect().map(_.toSeq).toSet
+    val loaded = graft.ops.NaiveBayes.classifyWith(docs, m2, p2)
+      .collect().map(_.toSeq).toSet
+    assert(loaded == direct, "persisted-model scoring must equal direct")
+  }
+
   test("first upsert creates snapshot 1 with all rows") {
     val path = freshPath()
     val df = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x")
