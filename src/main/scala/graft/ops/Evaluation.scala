@@ -105,4 +105,70 @@ object Evaluation {
        |  CASE WHEN n_pos > 0 THEN
        |    CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS recall
        |FROM a""".stripMargin
+
+  /** Threshold SWEEP: the precision/recall curve a filter designer reads
+    * to pick an operating point. Thresholds are the `buckets`−1 decile
+    * boundary scores (`max(score)` of each ntile bucket — the VALUE at a
+    * fixed global rank position, deterministic under ties regardless of
+    * tie ordering); at each, exact int64 confusion counts for the
+    * `score > thr` decision and single-divide precision/recall (NULL on
+    * zero denominators). Output: `(q, thr, tp, fp, fn, tn, precision,
+    * recall)`, one row per interior boundary.
+    *
+    * Plan/scale: the ntile is ONE global-order window — the exactness
+    * cost (same note as [[LanguageModel.perplexityBuckets]]; at extreme
+    * scale substitute sketch-percentile thresholds, this form is that
+    * approximation's oracle). The sweep itself is a broadcast of the
+    * tiny threshold table over the scored set (buckets× map-side
+    * expansion, partial aggs) + one `buckets`-row agg — no corpus
+    * shuffle. */
+  def prCurve(scored: DataFrame, score: String, label: String,
+              buckets: Int): DataFrame = {
+    val s = col(score); val l = col(label)
+    val thr = scored.select(s.as("__s"))
+      .withColumn("q", ntile(buckets).over(Window.orderBy(col("__s"))))
+      .filter(col("q") < buckets)
+      .groupBy(col("q")).agg(max(col("__s")).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .groupBy(col("q"), col("thr"))
+      .agg(
+        sum(when(l && s > col("thr"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!l && s > col("thr"), 1L).otherwise(0L)).as("fp"),
+        sum(when(l && !(s > col("thr")), 1L).otherwise(0L)).as("fn"),
+        sum(when(!l && !(s > col("thr")), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+  }
+
+  /** DuckDB mirror of [[prCurve]]. */
+  def duckPrCurveSql(scoredSql: String, score: String, label: String,
+                     buckets: Int): String =
+    s"""WITH scored AS (SELECT * FROM ($scoredSql) src),
+       |t AS (
+       |  SELECT CAST(q AS INTEGER) AS q, max(s) AS thr
+       |  FROM (SELECT $score AS s,
+       |          ntile($buckets) OVER (ORDER BY $score) AS q
+       |        FROM scored)
+       |  WHERE q < $buckets GROUP BY q),
+       |a AS (
+       |  SELECT t.q, t.thr,
+       |    CAST(sum(CASE WHEN $label AND $score > t.thr
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN NOT $label AND $score > t.thr
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN $label AND NOT ($score > t.thr)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN NOT $label AND NOT ($score > t.thr)
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM scored CROSS JOIN t GROUP BY t.q, t.thr)
+       |SELECT q, thr, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp > 0 THEN
+       |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |  CASE WHEN tp + fn > 0 THEN
+       |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+       |FROM a""".stripMargin
 }

@@ -373,12 +373,30 @@ object CurationQueries {
     // rare-pair noise
     "pmi_top" -> ((s, dir) =>
       graft.ops.LanguageModel.pmiTop(Seqs.fromDocuments(s, dir),
-        PmiTopK, PmiMinCount))
+        PmiTopK, PmiMinCount)),
+
+    // precision/recall threshold sweep of the hashed linear scorer at
+    // decile thresholds — the operating-point curve behind eval_metrics'
+    // single-threshold confusion row
+    "pr_curve" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.ops.LinearModel.score(
+          base.select(col("doc_id"), col("text")),
+          graft.ops.LinearModel.synthWeights(s, LinearDim),
+          LinearDim, LinearBiasMilli)
+        .join(base.select(col("doc_id"), (col("doc_id") % 7 < 3).as("label")),
+          Seq("doc_id"))
+        .select(col("logit").as("score"), col("label"))
+      graft.ops.Evaluation.prCurve(scored, "score", "label", PrBuckets)
+    })
   )
 
   /** PMI report depth and pair-count floor. */
   val PmiTopK = 100
   val PmiMinCount = 5L
+
+  /** PR-curve decile count (9 interior thresholds). */
+  val PrBuckets = 10
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
@@ -467,6 +485,11 @@ object CurationQueries {
       graft.ops.LanguageModel.duckPerplexityBucketsSql(Seqs.duckSql),
     "pmi_top" -> graft.ops.LanguageModel.duckPmiSql(
       Seqs.duckSql, PmiTopK, PmiMinCount),
+    "pr_curve" -> graft.ops.Evaluation.duckPrCurveSql(
+      s"""SELECT s.logit AS score, (d.doc_id % 7 < 3) AS label
+         |FROM (${graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli)}) s
+         |JOIN documents d USING (doc_id)""".stripMargin,
+      "score", "label", PrBuckets),
     "ivf_train_cells" -> Similarity.duckIvfCellsSqlWith(
       Similarity.duckTrainedCentsSql(IvfCells, IvfIters)),
     "ivf_recall_trained" ->

@@ -682,6 +682,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out2("a1").getDouble(3) == 3.0 / out2("a1").getLong(1))
   }
 
+  test("PR curve: decile thresholds + confusion match brute force") {
+    import graft.ops.Evaluation
+    val rows = (1 to 40).map(i => (((i * 37) % 23).toDouble / 7.0, i % 3 == 0))
+    val got = Evaluation.prCurve(rows.toDF("score", "label"),
+        "score", "label", 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // brute force: sorted scores, boundary value at each quartile cut
+    val sorted = rows.map(_._1).sorted
+    val n = rows.size
+    val exp = (1 to 3).map { q =>
+      // ntile: first (n % b) buckets get ceil(n/b); here n=40, b=4 -> 10 each
+      val thr = sorted(q * 10 - 1)
+      val tp = rows.count { case (s, l) => l && s > thr }
+      val fp = rows.count { case (s, l) => !l && s > thr }
+      val fn = rows.count { case (s, l) => l && !(s > thr) }
+      val tn = rows.count { case (s, l) => !l && !(s > thr) }
+      (q, thr, tp.toLong, fp.toLong, fn.toLong, tn.toLong)
+    }
+    assert(got.toSeq == exp)
+    // precision = tp/(tp+fp) single divide
+    val pr = Evaluation.prCurve(rows.toDF("score", "label"),
+      "score", "label", 4).orderBy("q").collect()
+    assert(pr.forall(r => r.isNullAt(6) ||
+      r.getDouble(6) == r.getLong(2).toDouble / (r.getLong(2) + r.getLong(3))))
+  }
+
   test("binary metrics: hand-computed AUC with ties, confusion, null guards") {
     import graft.ops.Evaluation
     // group g: scores/labels chosen so AUC is computable by hand.
