@@ -41,6 +41,7 @@ object Bench {
     "redact_pii",         // regex count-and-mask text scan
     "span_dedup",         // exact substring-span dedup (window hashing)
     "nb_classify",        // counting-trained NB classifier (train + apply)
+    "seq_split",          // training-window materialization (packing family)
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
