@@ -116,6 +116,7 @@ object LanguageModel {
     * `((ct + 1) · (Nr + V)) / ((Nt + V) · (cr + 1))` — one double division
     * of exact int64 products per distinct token. */
   def importanceWeights(seqs: DataFrame, targetPred: org.apache.spark.sql.Column): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
     // per-doc distinct-gram counts from the native histogram kernel (the
     // [[graft.functions.expressions.UnigramCounts]] packed form) — the
     // target flag rides along so BOTH distributions come from this one
@@ -225,6 +226,7 @@ object LanguageModel {
     * doc-frequency agg broadcast back, and a per-doc top-k window bounded
     * by distinct grams per document — never a global sort. */
   def tfidfTop(seqs: DataFrame, k: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
     // per-doc gram counts from the native histogram kernel — explode
     // carries only distinct grams, no corpus-sized hash-aggregate
     val dg = seqs.select(col("doc_id"),
@@ -298,10 +300,13 @@ object LanguageModel {
     * score stays int64:
     * `pmi_micro = round(ln(c_ab·N1 / (c_a·c_b))·10^6)
     *            + round(ln(N1 / N2)·10^6)`
-    * — each ln takes one double division of exact int64 products (all
-    * ≤ ~6·10^12, far under 2^53; the single-ln form `c_ab·N1²/(N2·c_a·c_b)`
-    * would overflow int64), and the two roundings are both deterministic,
-    * so ranking and tiebreak (pmi desc, then tokens asc) are bitwise.
+    * — every count casts to IEEE double BEFORE the multiplies (exact below
+    * 2^53, deterministic round-to-nearest above, never overflows at ANY
+    * corpus size; an int64 product would silently wrap in Spark while
+    * DuckDB promotes to HUGEINT — a parity break), both dialects compute
+    * the identical double expression, and the two roundings are
+    * deterministic, so ranking and tiebreak (pmi desc, then tokens asc)
+    * are bitwise.
     * Pairs below `minCount` occurrences are dropped (rare-pair PMI is
     * noise). N1 = total tokens, N2 = total bigrams.
     *
@@ -310,6 +315,7 @@ object LanguageModel {
     * right context); top-k is orderBy+limit = distributed take-ordered,
     * never a global sort materialization. */
   def pmiTop(seqs: DataFrame, k: Int, minCount: Long): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
     val uni = seqs
       .select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
       .groupBy(graft.functions.expressions.gramOf(col("gc")).as("g"))
@@ -328,8 +334,8 @@ object LanguageModel {
         expr("CAST(gram div 4096 - 2048 AS INT)").as("t1"),
         expr("CAST(gram % 4096 - 2048 AS INT)").as("t2"),
         col("c_ab"), col("c_a"), col("c_b"),
-        (expr("""CAST(round(ln(CAST(c_ab * __n1 AS DOUBLE)
-               / CAST(c_a * c_b AS DOUBLE)) * 1000000) AS BIGINT)""") +
+        (expr("""CAST(round(ln((CAST(c_ab AS DOUBLE) * CAST(__n1 AS DOUBLE))
+               / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1000000) AS BIGINT)""") +
          expr("""CAST(round(ln(CAST(__n1 AS DOUBLE)
                / CAST(__n2 AS DOUBLE)) * 1000000) AS BIGINT)"""))
           .as("pmi_micro"))
@@ -355,8 +361,8 @@ object LanguageModel {
        |  CAST(gram % 4096 - 2048 AS INTEGER) AS t2,
        |  CAST(c_ab AS BIGINT) AS c_ab,
        |  CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
-       |  CAST(round(ln(CAST(c_ab * n1.n1 AS DOUBLE)
-       |       / CAST(ua.c * ub.c AS DOUBLE)) * 1000000) AS BIGINT)
+       |  CAST(round(ln((CAST(c_ab AS DOUBLE) * CAST(n1.n1 AS DOUBLE))
+       |       / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) * 1000000) AS BIGINT)
        |  + CAST(round(ln(CAST(n1.n1 AS DOUBLE)
        |       / CAST(n2.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
        |FROM bi

@@ -77,6 +77,7 @@ object NaiveBayes {
   /** One counting pass → driver-side closed form. Returns the dense
     * `(gram, source, llk_micro)` model rows and `(source, prior_micro)`. */
   private def fit(seqs: DataFrame): (Seq[Row], Seq[Row]) = {
+    graft.functions.expressions.register(seqs.sparkSession)
     val cts = seqs.select(col("source"),
         explode(expr("graft_unigram_counts(tokens)")).as("gc"))
       .groupBy(col("source"),
@@ -95,8 +96,9 @@ object NaiveBayes {
       math.log((cts.getOrElse((s, g), 0L) + 1).toDouble
         / (ns(s) + v).toDouble)))
     val dTot = ds.values.sum
-    val priors = sources.map(s => Row(s, microNat(
-      math.log(ds(s).toDouble / dTot.toDouble))))
+    val priors = sources.map(s => Row(s,
+      microNat(math.log(ds(s).toDouble / dTot.toDouble)),
+      microNat(math.log(1.0 / (ns(s) + v).toDouble))))
     (model, priors)
   }
 
@@ -106,7 +108,12 @@ object NaiveBayes {
     StructField("llk_micro", LongType, nullable = false)))
   private val PriorSchema = StructType(Seq(
     StructField("source", StringType, nullable = false),
-    StructField("prior_micro", LongType, nullable = false)))
+    StructField("prior_micro", LongType, nullable = false),
+    // the unseen-token smoothing floor ln(1/(N_s+V)) — applied by
+    // classifyRows to grams absent from the model, so scoring a LATER
+    // corpus version against a persisted model follows the documented
+    // held-out recipe instead of silently treating OOV grams as ln(1)=0
+    StructField("floor_micro", LongType, nullable = false)))
 
   /** One training pass → BOTH model tables `(model, priors)` — the
     * model-export entry point. [[model]] / [[priors]] are conveniences
@@ -168,7 +175,7 @@ object NaiveBayes {
                    priors: DataFrame): DataFrame =
     classifyRows(seqs,
       model.select(col("gram"), col("source"), col("llk_micro")).collect(),
-      priors.select(col("source"), col("prior_micro"))
+      priors.select(col("source"), col("prior_micro"), col("floor_micro"))
         .orderBy(col("source")).collect())
 
   private def classifyRows(seqs: DataFrame, modelRows: Seq[Row],
@@ -178,7 +185,10 @@ object NaiveBayes {
     require(sources == sources.sorted,
       "priors must be ordered by source name (the kernel tiebreak order)")
     val nS = sources.length
-    val llkFlat = new Array[Long](4096 * nS)
+    // grams outside the trained vocabulary score the per-source smoothing
+    // floor ln(1/(N_s+V)) — never-hit for self-scoring (dense vocabulary),
+    // load-bearing when classifyWith scores a later corpus version
+    val llkFlat = Array.tabulate(4096 * nS)(i => priorRows(i % nS).getLong(2))
     val sIdx = sources.zipWithIndex.toMap
     modelRows.foreach { r =>
       llkFlat(r.getLong(0).toInt * nS + sIdx(r.getString(1))) = r.getLong(2)
