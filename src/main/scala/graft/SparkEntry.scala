@@ -68,6 +68,7 @@ object SparkEntry {
       graft.queries.TokenQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.CurationQueries.defs ++
+      graft.queries.SketchQueries.defs ++
       graft.queries.PackingQueries.defs ++
       graft.queries.TokenizerQueries.defs ++
       graft.queries.RelationalQueries.defs ++
@@ -82,6 +83,7 @@ object SparkEntry {
       graft.queries.TokenQueries.oracles ++
       graft.queries.EventQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
+      graft.queries.SketchQueries.oracles ++
       graft.queries.PackingQueries.oracles ++
       graft.queries.TokenizerQueries.oracles ++
       graft.queries.RelationalQueries.oracles ++

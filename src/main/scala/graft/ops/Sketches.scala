@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators — the sublinear-state summaries a 100 TB
+  * corpus pipeline runs where exact state would not fit: count-min
+  * frequency sketches, KMV distinct-count sketches, and Bloom-filter join
+  * pruning. Reference analog: the crawler keeps per-corpus summary
+  * statistics to steer incremental re-runs (`Source/Crawler/Crawler.cpp`
+  * change-list bookkeeping); at web scale those summaries must be
+  * *mergeable* (per-partition partials combined associatively), which is
+  * exactly the property all three sketches here share.
+  *
+  * == Determinism / oracle parity ==
+  * Every hash derives from [[Sampling.md5Slot]] (first md5 hex chars as an
+  * integer — identical in Spark and DuckDB), every count stays int64, and
+  * every floating-point output is a SINGLE division of exact integers at
+  * the query boundary — bitwise across engines regardless of row order.
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------
+  // count-min sketch
+  // ------------------------------------------------------------------
+
+  /** Count-min sketch error report over the corpus unigram frequencies:
+    * a `depth × width` counter grid (row r counts token g in cell
+    * `(r, md5Slot("cms r : g", width))`), point estimate = min over rows —
+    * never under exact, over by hash-collision mass. One row per distinct
+    * token: `(gram, c_exact, c_est, overest)`.
+    *
+    * == Scale shape ==
+    * Sketch cells are ADDITIVE: per-partition partial grids merge by
+    * element-wise sum, which is literally the map-side partial aggregation
+    * of the `groupBy(r, col).sum` below — state is `depth × width`
+    * counters per partition regardless of corpus size. Here the gram
+    * frequency table is first reduced exactly (one shuffle with map-side
+    * combine, ≤ vocab rows) and the ≤ vocab-sized table is hashed into the
+    * grid — same cells, md5 cost on the vocab instead of per occurrence.
+    * The exact side exists only because the report *measures* the sketch
+    * error; production keeps the grid alone. */
+  def countMinReport(seqs: DataFrame, depth: Int, width: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val uni = seqs
+      .select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .groupBy(graft.functions.expressions.gramOf(col("gc")).as("g"))
+      .agg(sum(graft.functions.expressions.cntOf(col("gc"))).as("c"))
+    // every (row, cell) coordinate of every gram — vocab × depth rows
+    val gh = uni.select(col("g"), col("c"),
+      posexplode(array((0 until depth).map(r =>
+        Sampling.md5Slot(concat(lit(s"cms$r:"), col("g").cast("string")),
+          width)): _*)).as(Seq("r", "cell")))
+    val grid = gh.groupBy(col("r"), col("cell"))
+      .agg(sum(col("c")).as("cell_sum"))
+    gh.join(grid, Seq("r", "cell"))
+      .groupBy(col("g"))
+      .agg(min(col("cell_sum")).as("c_est"), min(col("c")).as("c_exact"))
+      .select((col("g") - 2048).cast("int").as("gram"),
+        col("c_exact"), col("c_est"),
+        (col("c_est") - col("c_exact")).as("overest"))
+  }
+
+  /** DuckDB mirror of [[countMinReport]]. */
+  def duckCountMinSql(seqsSql: String, depth: Int, width: Int): String =
+    s"""WITH seqs AS ($seqsSql),
+       |uni AS (
+       |  SELECT (t + 2048)::BIGINT AS g, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(tokens) AS t FROM seqs) GROUP BY 1),
+       |gh AS MATERIALIZED (
+       |  SELECT g, c, r,
+       |    ${Sampling.duckMd5Slot("'cms' || r || ':' || g", width)} AS cell
+       |  FROM uni CROSS JOIN (SELECT unnest(range(0, $depth)) AS r)),
+       |grid AS (
+       |  SELECT r, cell, CAST(sum(c) AS BIGINT) AS cell_sum
+       |  FROM gh GROUP BY 1, 2)
+       |SELECT CAST(g - 2048 AS INTEGER) AS gram,
+       |  min(c) AS c_exact, min(cell_sum) AS c_est,
+       |  min(cell_sum) - min(c) AS overest
+       |FROM gh JOIN grid USING (r, cell)
+       |GROUP BY g""".stripMargin
+
+  // ------------------------------------------------------------------
+  // KMV distinct-count sketch
+  // ------------------------------------------------------------------
+
+  /** 2^60 as an exactly-representable double (the KMV hash range). */
+  val KmvRange = 1152921504606846976L
+
+  /** KMV (k-minimum-values) distinct-count sketch over the per-source
+    * distinct bigram sets, plus the MERGED global sketch (`source =
+    * '__all__'`): per key set, keep the `k` smallest 60-bit hashes; the
+    * k-th smallest `h_k` estimates distinct ≈ `(k−1) · 2^60 / h_k`.
+    * Output `(source, n_exact, kth_min, est_distinct)`; `n_exact` rides
+    * along because this is the error *report* form.
+    *
+    * == Scale shape / mergeability ==
+    * Two-stage: hashes are bucketed (`h % nBuckets`), each bucket reduces
+    * to its own k-min list via a bounded `slice(array_sort(collect), k)`,
+    * and buckets merge per source — per-partition and per-bucket state is
+    * ≤ k hashes, never the distinct set itself. The global row is built by
+    * merging the per-source PARTIAL sketches (union of their k-min lists →
+    * k-min again), not by rescanning the corpus — the associative merge
+    * that makes the sketch work across 1000 executors; merged == direct
+    * because the global k smallest hashes survive in some per-source list.
+    * The exact distinct count (for the report) is one `count(distinct)`
+    * shuffle the production path drops. */
+  def kmvReport(seqs: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val bi = seqs
+      .select(col("source"),
+        explode(expr("graft_pack_ngrams(tokens, 2)")).as("gram"))
+      .distinct()
+    val h = bi.select(col("source"),
+      conv(substring(md5(concat(lit("kmv:"), col("source"), lit(":"),
+        col("gram").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val partial = h.groupBy(col("source"), (col("h") % nBuckets).as("b"))
+      .agg(expr(s"slice(array_sort(collect_list(h)), 1, $k)").as("hs"))
+    val perSource = partial.select(col("source"), explode(col("hs")).as("h"))
+      .groupBy(col("source"))
+      .agg(expr(s"slice(array_sort(collect_list(h)), 1, $k)").as("hs"))
+    // MERGED global sketch from the per-source partials (not a rescan)
+    val merged = perSource.select(lit("__all__").as("source"),
+        explode(col("hs")).as("h"))
+      .groupBy(col("source"))
+      .agg(expr(s"slice(array_sort(collect_list(h)), 1, $k)").as("hs"))
+    val exact = bi.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      .unionByName(bi.agg(count(lit(1)).as("n_exact"))
+        .select(lit("__all__").as("source"), col("n_exact")))
+    perSource.unionByName(merged)
+      .select(col("source"), expr(s"try_element_at(hs, $k)").as("kth_min"),
+        size(col("hs")).as("n_kept"))
+      .join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("kth_min"),
+        expr(s"""CASE WHEN n_kept < $k OR kth_min IS NULL
+                |  THEN CAST(n_exact AS DOUBLE)
+                |  ELSE CAST(${k - 1} AS DOUBLE) * CAST($KmvRange AS DOUBLE)
+                |       / CAST(kth_min AS DOUBLE) END""".stripMargin)
+          .as("est_distinct"))
+  }
+
+  /** DuckDB mirror of [[kmvReport]]. */
+  def duckKmvSql(seqsSql: String, k: Int, nBuckets: Int): String =
+    s"""WITH seqs AS ($seqsSql),
+       |bi AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
+       |  FROM (SELECT source, unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)),
+       |h AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5('kmv:' || source || ':' || gram), 1, 15))::BIGINT
+       |      AS h
+       |  FROM bi),
+       |partial AS (
+       |  SELECT source, h % $nBuckets AS b, (list(h ORDER BY h))[1:$k] AS hs
+       |  FROM h GROUP BY 1, 2),
+       |per_source AS (
+       |  SELECT source, (list(h ORDER BY h))[1:$k] AS hs
+       |  FROM (SELECT source, unnest(hs) AS h FROM partial) GROUP BY 1),
+       |merged AS (
+       |  SELECT '__all__' AS source, (list(h ORDER BY h))[1:$k] AS hs
+       |  FROM (SELECT unnest(hs) AS h FROM per_source)),
+       |sk AS (
+       |  SELECT source, hs[$k] AS kth_min, len(hs) AS n_kept
+       |  FROM (SELECT * FROM per_source UNION ALL SELECT * FROM merged)),
+       |exact AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM bi GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__all__' AS source, CAST(count(*) AS BIGINT) AS n_exact FROM bi)
+       |SELECT sk.source, exact.n_exact, sk.kth_min,
+       |  CASE WHEN sk.n_kept < $k OR sk.kth_min IS NULL
+       |    THEN CAST(exact.n_exact AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE) * CAST($KmvRange AS DOUBLE)
+       |         / CAST(sk.kth_min AS DOUBLE) END AS est_distinct
+       |FROM sk JOIN exact USING (source)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Bloom-filter join pruning
+  // ------------------------------------------------------------------
+
+  /** Bloom-filter semi-join pruning report: build an `m`-bit / `j`-hash
+    * Bloom filter over `member`'s keys, probe every `universe` key, and
+    * report `(n_universe, n_member, n_pass, n_false_pos, fp_rate)` in one
+    * row — the pre-shuffle fact-table pruning step of a selective
+    * dim-filter join (Spark's own runtime row-group Bloom pushdown,
+    * expressed as an explicit operator with a measured error).
+    *
+    * == Scale shape ==
+    * The filter is the distinct SET-BIT POSITION table (≤ m rows — bounded
+    * by the filter size, not the member count), built with one shuffle
+    * over the small side and BROADCAST to the probe; per-partition bit-set
+    * partials OR together (here: distinct of unioned position sets), so
+    * the build is mergeable. The probe is a narrow broadcast hash join —
+    * the big side never shuffles, which is the entire point: at 100 TB the
+    * pruned fact scan feeds the real join with (1 − pass_rate) of its
+    * shuffle deleted, at the cost of `fp_rate` stowaways the exact join
+    * later drops. No false negatives by construction (every member bit is
+    * set). */
+  def bloomPruneReport(universe: DataFrame, key: Column, memberPred: Column,
+                       m: Int, j: Int): DataFrame = {
+    val keyed = universe.select(key.cast("string").as("k"),
+      memberPred.as("is_member"))
+    val pos = (r: Int) =>
+      Sampling.md5Slot(concat(lit(s"bf$r:"), col("k")), m)
+    val withPos = keyed.select(col("k"), col("is_member"),
+      explode(array((0 until j).map(pos): _*)).as("p")).distinct()
+    val bits = withPos.filter(col("is_member")).select(col("p")).distinct()
+    val probed = withPos
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left_outer")
+      .groupBy(col("k"), col("is_member"))
+      .agg(count(lit(1)).as("n_pos"), count(col("hit")).as("n_hit"))
+      .withColumn("pass", col("n_pos") === col("n_hit"))
+    probed.agg(
+        count(lit(1)).as("n_universe"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_member"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("pass") && !col("is_member"), 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .select(col("n_universe"), col("n_member"), col("n_pass"),
+        col("n_false_pos"),
+        (col("n_false_pos").cast("double") /
+          (col("n_universe") - col("n_member")).cast("double")).as("fp_rate"))
+  }
+
+  /** DuckDB mirror of [[bloomPruneReport]] over a `(k, is_member)` SELECT. */
+  def duckBloomSql(keyedSql: String, m: Int, j: Int): String =
+    s"""WITH keyed AS ($keyedSql),
+       |with_pos AS MATERIALIZED (
+       |  SELECT DISTINCT k, is_member,
+       |    ${Sampling.duckMd5Slot("'bf' || r || ':' || k", m)} AS p
+       |  FROM keyed CROSS JOIN (SELECT unnest(range(0, $j)) AS r)),
+       |bits AS (
+       |  SELECT DISTINCT p FROM with_pos WHERE is_member),
+       |probed AS (
+       |  SELECT w.k, w.is_member, count(*) AS n_pos, count(b.p) AS n_hit
+       |  FROM with_pos w LEFT JOIN bits b ON b.p = w.p
+       |  GROUP BY 1, 2)
+       |SELECT CAST(count(*) AS BIGINT) AS n_universe,
+       |  CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_member,
+       |  CAST(sum(CASE WHEN n_pos = n_hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_pass,
+       |  CAST(sum(CASE WHEN n_pos = n_hit AND NOT is_member THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_false_pos,
+       |  CAST(sum(CASE WHEN n_pos = n_hit AND NOT is_member THEN 1 ELSE 0 END)
+       |    AS DOUBLE)
+       |  / CAST(count(*) - sum(CASE WHEN is_member THEN 1 ELSE 0 END)
+       |    AS DOUBLE) AS fp_rate
+       |FROM probed""".stripMargin
+
+  // ------------------------------------------------------------------
+  // skip-gram pair generation
+  // ------------------------------------------------------------------
+
+  /** Top-`topK` skip-gram context pairs: for every position `i` and
+    * distance `d ∈ [1, window]`, count the ordered pair
+    * `(tokens[i], tokens[i+d])`; output
+    * `(t1, t2, dist, c)` for the `topK` most frequent, ties broken by
+    * `(t1, t2, dist)` — the training-pair generator of a word2vec-style
+    * embedding step, with the distance kept as a column (distance-weighted
+    * subsampling happens downstream).
+    *
+    * == Scale shape ==
+    * Pair generation is a NARROW per-row lambda over the token array
+    * (packed into one int64 per instance — the `(t+2048)`-gram convention
+    * — so the shuffle carries 8-byte keys, no structs); counting is one
+    * hash exchange with map-side partials over a key space bounded by
+    * `vocab² × window`, and top-k is `orderBy(...).limit` = distributed
+    * take-ordered, never a global sort. */
+  def skipgramTop(seqs: DataFrame, window: Int, topK: Int): DataFrame = {
+    val inst = seqs.select(explode(expr(
+      s"""flatten(transform(sequence(1, $window), d ->
+         |  IF(size(tokens) > d,
+         |    transform(sequence(1, size(tokens) - d), i ->
+         |      ((CAST(tokens[i - 1] AS BIGINT) + 2048) * 4096
+         |        + (CAST(tokens[i - 1 + d] AS BIGINT) + 2048)) * 4 + d),
+         |    CAST(array() AS ARRAY<BIGINT>))))""".stripMargin)).as("code"))
+    inst.groupBy(col("code")).agg(count(lit(1)).as("c"))
+      .select(
+        expr("CAST(code div 4 div 4096 - 2048 AS INT)").as("t1"),
+        expr("CAST(code div 4 % 4096 - 2048 AS INT)").as("t2"),
+        expr("CAST(code % 4 AS INT)").as("dist"),
+        col("c"))
+      .orderBy(col("c").desc, col("t1"), col("t2"), col("dist"))
+      .limit(topK)
+  }
+
+  /** DuckDB mirror of [[skipgramTop]] (UNION ALL branch per distance). */
+  def duckSkipgramSql(seqsSql: String, window: Int, topK: Int): String = {
+    val branches = (1 to window).map { d =>
+      s"""  SELECT ((z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048)) * 4 + $d
+         |    AS code
+         |  FROM (SELECT unnest(list_zip(tokens[1:-${d + 1}],
+         |                               tokens[${d + 1}:-1])) AS z
+         |        FROM seqs)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seqs AS MATERIALIZED ($seqsSql),
+       |inst AS (
+       |$branches)
+       |SELECT CAST(code // 4 // 4096 - 2048 AS INTEGER) AS t1,
+       |  CAST(code // 4 % 4096 - 2048 AS INTEGER) AS t2,
+       |  CAST(code % 4 AS INTEGER) AS dist,
+       |  CAST(count(*) AS BIGINT) AS c
+       |FROM inst
+       |GROUP BY code
+       |ORDER BY c DESC, t1, t2, dist
+       |LIMIT $topK""".stripMargin
+  }
+}

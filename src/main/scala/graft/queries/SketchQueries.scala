@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+import graft.sources.Seqs
+
+/** Mergeable-sketch queries: count-min frequency sketch, KMV distinct
+  * sketch, Bloom-filter join pruning, skip-gram pair generation. */
+object SketchQueries {
+
+  // count-min: 4 rows × 256 cells over a ≤ 4096-gram vocab — collisions
+  // guaranteed (≈ 12 grams/cell), so the overestimate column is a real
+  // error measurement, not all-zeros
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  // KMV: k = 64 minimum 60-bit hashes, 16 merge buckets
+  val KmvK = 64
+  val KmvBuckets = 16
+
+  // Bloom: 1024 bits × 3 hashes over the 'zh' member set (~15% of docs)
+  // — fill ratio ≈ 0.2, fp rate ≈ 0.8% ⇒ a few expected false positives
+  val BloomBits = 1024
+  val BloomHashes = 3
+  val BloomLang = "zh"
+
+  // skip-gram: distances 1..3, global top 100 pairs
+  val SkipWindow = 3
+  val SkipTopK = 100
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // count-min sketch error report (gram, c_exact, c_est, overest)
+    "sketch_cms" -> ((s, dir) =>
+      Sketches.countMinReport(Seqs.fromDocuments(s, dir),
+        CmsDepth, CmsWidth)),
+
+    // KMV distinct-count sketch per source + merged global row
+    "sketch_kmv" -> ((s, dir) =>
+      Sketches.kmvReport(Seqs.fromDocuments(s, dir), KmvK, KmvBuckets)),
+
+    // Bloom-filter semi-join pruning report (single row)
+    "bloom_prune" -> ((s, dir) =>
+      Sketches.bloomPruneReport(
+        s.read.parquet(s"$dir/documents.parquet"),
+        col("doc_id"), col("lang") === BloomLang,
+        BloomBits, BloomHashes)),
+
+    // global top-k skip-gram context pairs, window 3
+    "skipgram_top" -> ((s, dir) =>
+      Sketches.skipgramTop(Seqs.fromDocuments(s, dir),
+        SkipWindow, SkipTopK))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sketch_cms" ->
+      Sketches.duckCountMinSql(Seqs.duckSql, CmsDepth, CmsWidth),
+
+    "sketch_kmv" ->
+      Sketches.duckKmvSql(Seqs.duckSql, KmvK, KmvBuckets),
+
+    "bloom_prune" ->
+      Sketches.duckBloomSql(
+        s"""SELECT CAST(doc_id AS VARCHAR) AS k, lang = '$BloomLang' AS is_member
+           |FROM documents""".stripMargin,
+        BloomBits, BloomHashes),
+
+    "skipgram_top" ->
+      Sketches.duckSkipgramSql(Seqs.duckSql, SkipWindow, SkipTopK)
+  )
+}

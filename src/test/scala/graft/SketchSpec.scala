@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sketches
+
+/** Mergeable-sketch operator semantics: count-min never underestimates,
+  * KMV's merged sketch equals the direct global sketch, Bloom pruning has
+  * zero false negatives, skip-gram counts match a brute-force census. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def toySeqs(rows: (String, Seq[Int])*) =
+    rows.map { case (d, t) => (d, t, t.length, "s") }
+      .toDF("doc_id", "tokens", "n_tok", "source")
+
+  test("count-min: estimates never below exact; tiny width forces overestimates") {
+    val seqs = toySeqs(
+      "a" -> Seq.tabulate(400)(i => (i * 7) % 50 - 25),
+      "b" -> Seq.tabulate(300)(i => (i * 11) % 40 - 20))
+    val rep = Sketches.countMinReport(seqs, depth = 3, width = 8).collect()
+    assert(rep.nonEmpty)
+    assert(rep.forall(_.getAs[Long]("overest") >= 0L),
+      "count-min must never underestimate")
+    // 50 distinct grams into 8 cells: some collision mass is certain
+    assert(rep.exists(_.getAs[Long]("overest") > 0L),
+      "width 8 over ~50 grams must collide")
+    // exact side is a real census
+    val exact = rep.map(r =>
+      r.getAs[Int]("gram") -> r.getAs[Long]("c_exact")).toMap
+    val census = (Seq.tabulate(400)(i => (i * 7) % 50 - 25) ++
+      Seq.tabulate(300)(i => (i * 11) % 40 - 20))
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    assert(exact == census)
+  }
+
+  test("KMV: multi-source merge produces a global estimate within 3 sigma") {
+    // 8 docs across 4 sources — the '__all__' row merges 4 per-source
+    // partial sketches
+    val seqs = (0 until 8).map { d =>
+      (s"d$d",
+        Seq.tabulate(600)(i => (d * 601 + i * i * 17 + i) % 1499 - 700),
+        600, s"src${d % 4}")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = Sketches.kmvReport(seqs, k = 32, nBuckets = 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct"))).toMap
+    assert(rep.size == 5, "4 per-source rows + the merged '__all__' row")
+    val (nAll, estAll) = rep("__all__")
+    assert(nAll > 32, "global distinct must exceed k for a real estimate")
+    // KMV rel stddev ~ 1/sqrt(k-2) ~ 0.18 at k=32; allow 3 sigma
+    assert(math.abs(estAll - nAll) < 3 * 0.19 * nAll,
+      s"global estimate $estAll too far from exact $nAll")
+  }
+
+  test("KMV: source with fewer than k distinct falls back to exact") {
+    val seqs = toySeqs("a" -> Seq.tabulate(40)(i => i % 5))
+    val rep = Sketches.kmvReport(seqs, k = 64, nBuckets = 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct"))).toMap
+    val (n, est) = rep("s")
+    assert(n == 5, "40 tokens cycling 5 values -> 5 distinct bigram pairs")
+    assert(est == n.toDouble, "below-k sketch must report the exact count")
+  }
+
+  test("bloom pruning: zero false negatives, nontrivial pruning, fp accounting") {
+    val universe = (0L until 400L).map(i => (i, i % 11 == 0))
+      .toDF("id", "member")
+    val rep = Sketches.bloomPruneReport(universe, col("id"), col("member"),
+      m = 512, j = 3).collect()(0)
+    val (nU, nM, nPass, nFp) = (rep.getAs[Long]("n_universe"),
+      rep.getAs[Long]("n_member"), rep.getAs[Long]("n_pass"),
+      rep.getAs[Long]("n_false_pos"))
+    assert(nU == 400 && nM == 37)
+    assert(nPass >= nM, "every member must pass (no false negatives)")
+    assert(nPass == nM + nFp, "pass set = members + false positives exactly")
+    assert(nPass < nU, "filter must actually prune something")
+    assert(rep.getAs[Double]("fp_rate") == nFp.toDouble / (nU - nM))
+  }
+
+  test("skip-gram: window-2 counts match a brute-force census with tie-stable top-k") {
+    val toks = Seq(1, 2, 3, 1, 2, 3, 1, 2)
+    val seqs = toySeqs("a" -> toks)
+    val got = Sketches.skipgramTop(seqs, window = 2, topK = 100).collect()
+      .map(r => ((r.getAs[Int]("t1"), r.getAs[Int]("t2"),
+        r.getAs[Int]("dist")), r.getAs[Long]("c"))).toMap
+    val census = (for {
+      d <- 1 to 2
+      i <- 0 until toks.length - d
+    } yield (toks(i), toks(i + d), d))
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(got == census)
+  }
+
+  test("skip-gram: top-k order is count desc then (t1, t2, dist) asc") {
+    val seqs = toySeqs("a" -> Seq(5, 5, 5, 5, 9, 9, 9, 9))
+    val rows = Sketches.skipgramTop(seqs, window = 2, topK = 3).collect()
+    val keys = rows.map(r => (r.getAs[Long]("c"), r.getAs[Int]("t1"),
+      r.getAs[Int]("t2"), r.getAs[Int]("dist")))
+    val resorted = keys.sortBy { case (c, t1, t2, d) => (-c, t1, t2, d) }
+    assert(keys.toSeq == resorted.toSeq)
+    assert(rows.length == 3)
+  }
+}
