@@ -42,6 +42,8 @@ object Bench {
     "span_dedup",         // exact substring-span dedup (window hashing)
     "nb_classify",        // counting-trained NB classifier (train + apply)
     "seq_split",          // training-window materialization (packing family)
+    "skipgram_top",       // native skip-gram codes + global top-k
+    "sketch_kmv",         // KMV distinct sketch (bucketed two-stage merge)
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

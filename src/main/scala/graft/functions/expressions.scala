@@ -79,6 +79,10 @@ object expressions {
       es => PadFrames(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_pack_ngrams",
       es => PackNgrams(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_skipgrams",
+      es => SkipGrams(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmin",
+      es => KMinAgg(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_counts",
       es => UnigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
@@ -209,6 +213,147 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), kE = c(1))
+  }
+
+  /** graft_skipgrams(tokens ARRAY<INT>, window INT) → ARRAY<BIGINT>
+    *
+    * Skip-gram instance codes: for every position `i` and distance
+    * `d ∈ [1, window]`, `((tokens[i] + 2048) * 4096 + (tokens[i+d] + 2048))
+    * * 4 + d` — the [[PackNgrams]] bigram layout with the distance packed
+    * into the low 2 bits. One tight primitive loop per row; replaces the
+    * interpreted `transform(sequence(...))` HOF form on the per-token path
+    * ([[graft.ops.Sketches.skipgramTop]]). */
+  case class SkipGrams(tokens: Expression, wE: Expression)
+      extends Expression with CodegenFallback {
+    // lazy, like PackNgrams above: auto-alias copies must not evaluate
+    private lazy val w = {
+      val v = litInt(wE)
+      require(v >= 1 && v <= 3, s"skip-gram window must be 1..3, got $v")
+      v
+    }
+    override def children: Seq[Expression] = Seq(tokens, wE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val n = arr.length
+      var total = 0
+      var d = 1
+      while (d <= w) { total += math.max(n - d, 0); d += 1 }
+      val out = new Array[Long](total)
+      var o = 0
+      d = 1
+      while (d <= w) {
+        var i = 0
+        val m = n - d
+        while (i < m) {
+          out(o) = ((arr(i) + 2048L) * 4096L + (arr(i + d) + 2048L)) * 4L + d
+          i += 1; o += 1
+        }
+        d += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), wE = c(1))
+  }
+
+  /** Bounded k-min buffer: a max-heap of the `k` smallest values seen.
+    * Insert is O(log k); state is exactly k longs — the property that
+    * makes [[KMinAgg]] a constant-state mergeable aggregate. */
+  final class KMinBuffer(val k: Int) {
+    val heap = new Array[Long](k) // max-heap over the kept minima
+    var size = 0
+    def insert(v: Long): Unit = {
+      if (size < k) {
+        var i = size; heap(i) = v; size += 1
+        while (i > 0 && heap((i - 1) / 2) < heap(i)) {
+          val p = (i - 1) / 2
+          val t = heap(p); heap(p) = heap(i); heap(i) = t; i = p
+        }
+      } else if (k > 0 && v < heap(0)) {
+        heap(0) = v
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = 2 * i + 2
+          var m = i
+          if (l < size && heap(l) > heap(m)) m = l
+          if (r < size && heap(r) > heap(m)) m = r
+          if (m == i) done = true
+          else { val t = heap(m); heap(m) = heap(i); heap(i) = t; i = m }
+        }
+      }
+    }
+    def sortedAsc: Array[Long] = {
+      val out = java.util.Arrays.copyOf(heap, size)
+      java.util.Arrays.sort(out)
+      out
+    }
+  }
+
+  /** graft_kmin(v BIGINT, k INT) → ARRAY<BIGINT>
+    *
+    * Bounded k-minimum aggregate: the `k` smallest input values in
+    * ascending order — the building block of the KMV distinct-count
+    * sketch ([[graft.ops.Sketches.kmvReport]]). Unlike
+    * `slice(array_sort(collect_list(v)), 1, k)` (which materializes and
+    * shuffles EVERY value before truncating), the aggregation state is a
+    * k-slot max-heap at every stage: map-side partials carry ≤ k longs per
+    * group, merge is heap-into-heap, so the exchange traffic is
+    * O(k × partitions) regardless of input size — the shape that lets a
+    * 10^12-row distinct sketch run in one pass. Duplicate inputs are kept
+    * (callers feed pre-distinct hashes). */
+  case class KMinAgg(child: Expression, kE: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate
+        .TypedImperativeAggregate[KMinBuffer] {
+    private lazy val k = {
+      val v = litInt(kE)
+      require(v >= 1 && v <= (1 << 20), s"kmin k must be 1..2^20, got $v")
+      v
+    }
+    override def children: Seq[Expression] = Seq(child, kE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): KMinBuffer = new KMinBuffer(k)
+    override def update(b: KMinBuffer, row: InternalRow): KMinBuffer = {
+      val v = child.eval(row)
+      if (v != null) b.insert(v.asInstanceOf[Long])
+      b
+    }
+    override def merge(b: KMinBuffer, o: KMinBuffer): KMinBuffer = {
+      var i = 0
+      while (i < o.size) { b.insert(o.heap(i)); i += 1 }
+      b
+    }
+    override def eval(b: KMinBuffer): Any =
+      UnsafeArrayData.fromPrimitiveArray(b.sortedAsc)
+    override def serialize(b: KMinBuffer): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.size)
+      bb.putInt(b.size)
+      var i = 0
+      while (i < b.size) { bb.putLong(b.heap(i)); i += 1 }
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): KMinBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val b = new KMinBuffer(k)
+      // heap-array order round-trips the heap property directly
+      var i = 0
+      while (i < n) { b.heap(i) = bb.getLong(); i += 1 }
+      b.size = n
+      b
+    }
+    override def withNewMutableAggBufferOffset(o: Int): KMinAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KMinAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(child = c(0), kE = c(1))
   }
 
   // ------------------------------------------------------------------

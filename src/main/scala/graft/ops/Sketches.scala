@@ -95,17 +95,21 @@ object Sketches {
     * along because this is the error *report* form.
     *
     * == Scale shape / mergeability ==
-    * Two-stage: hashes are bucketed (`h % nBuckets`), each bucket reduces
-    * to its own k-min list via a bounded `slice(array_sort(collect), k)`,
-    * and buckets merge per source — per-partition and per-bucket state is
-    * ≤ k hashes, never the distinct set itself. The global row is built by
-    * merging the per-source PARTIAL sketches (union of their k-min lists →
-    * k-min again), not by rescanning the corpus — the associative merge
-    * that makes the sketch work across 1000 executors; merged == direct
-    * because the global k smallest hashes survive in some per-source list.
-    * The exact distinct count (for the report) is one `count(distinct)`
-    * shuffle the production path drops. */
-  def kmvReport(seqs: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+    * The k-min reduction runs in the native bounded
+    * [[graft.functions.expressions.KMinAgg]] aggregate: aggregation state
+    * is a k-slot max-heap at EVERY stage (map-side partial, shuffle,
+    * final merge), so the per-source exchange carries ≤ k hashes per
+    * partition — never the distinct set itself. Exact count and sketch
+    * come out of the SAME `groupBy(source)` pass (one heavy reduce over
+    * the distinct set — an earlier form aggregated `bi` three times and
+    * tripled the reduce-side cost, measured by `tools.KmvProbe`), and the
+    * global row is built by merging the 20-row per-source PARTIALS
+    * (`sum` of counts + k-min over the unioned k-min lists, ≤ sources × k
+    * elements), not by rescanning the corpus — the associative merge that
+    * makes the sketch work across 1000 executors; merged == direct
+    * because per-source key sets are disjoint (source-salted hashes) and
+    * the global k smallest hashes survive in some per-source list. */
+  def kmvReport(seqs: DataFrame, k: Int): DataFrame = {
     graft.functions.expressions.register(seqs.sparkSession)
     val bi = seqs
       .select(col("source"),
@@ -115,23 +119,19 @@ object Sketches {
       conv(substring(md5(concat(lit("kmv:"), col("source"), lit(":"),
         col("gram").cast("string"))), 1, 15), 16, 10)
         .cast("long").as("h"))
-    val partial = h.groupBy(col("source"), (col("h") % nBuckets).as("b"))
-      .agg(expr(s"slice(array_sort(collect_list(h)), 1, $k)").as("hs"))
-    val perSource = partial.select(col("source"), explode(col("hs")).as("h"))
-      .groupBy(col("source"))
-      .agg(expr(s"slice(array_sort(collect_list(h)), 1, $k)").as("hs"))
-    // MERGED global sketch from the per-source partials (not a rescan)
-    val merged = perSource.select(lit("__all__").as("source"),
-        explode(col("hs")).as("h"))
-      .groupBy(col("source"))
-      .agg(expr(s"slice(array_sort(collect_list(h)), 1, $k)").as("hs"))
-    val exact = bi.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
-      .unionByName(bi.agg(count(lit(1)).as("n_exact"))
-        .select(lit("__all__").as("source"), col("n_exact")))
-    perSource.unionByName(merged)
-      .select(col("source"), expr(s"try_element_at(hs, $k)").as("kth_min"),
+    val perSource = h.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"), expr(s"graft_kmin(h, $k)").as("hs"))
+    // MERGED global row from the tiny per-source partials (not a rescan;
+    // the flatten input is ≤ sources × k longs)
+    val merged = perSource
+      .agg(sum(col("n_exact")).as("n_exact"),
+        expr(s"slice(array_sort(flatten(collect_list(hs))), 1, $k)").as("hs"))
+      .select(lit("__all__").as("source"), col("n_exact"), col("hs"))
+    perSource.select(col("source"), col("n_exact"), col("hs"))
+      .unionByName(merged)
+      .select(col("source"), col("n_exact"),
+        expr(s"try_element_at(hs, $k)").as("kth_min"),
         size(col("hs")).as("n_kept"))
-      .join(exact, Seq("source"))
       .select(col("source"), col("n_exact"), col("kth_min"),
         expr(s"""CASE WHEN n_kept < $k OR kth_min IS NULL
                 |  THEN CAST(n_exact AS DOUBLE)
@@ -140,8 +140,9 @@ object Sketches {
           .as("est_distinct"))
   }
 
-  /** DuckDB mirror of [[kmvReport]]. */
-  def duckKmvSql(seqsSql: String, k: Int, nBuckets: Int): String =
+  /** DuckDB mirror of [[kmvReport]] (a k-min over distinct hashes is
+    * bucketing-invariant, so the mirror reduces each source directly). */
+  def duckKmvSql(seqsSql: String, k: Int): String =
     s"""WITH seqs AS ($seqsSql),
        |bi AS MATERIALIZED (
        |  SELECT DISTINCT source,
@@ -153,28 +154,24 @@ object Sketches {
        |    ('0x' || substr(md5('kmv:' || source || ':' || gram), 1, 15))::BIGINT
        |      AS h
        |  FROM bi),
-       |partial AS (
-       |  SELECT source, h % $nBuckets AS b, (list(h ORDER BY h))[1:$k] AS hs
-       |  FROM h GROUP BY 1, 2),
-       |per_source AS (
-       |  SELECT source, (list(h ORDER BY h))[1:$k] AS hs
-       |  FROM (SELECT source, unnest(hs) AS h FROM partial) GROUP BY 1),
+       |per_source AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact,
+       |    (list(h ORDER BY h))[1:$k] AS hs
+       |  FROM h GROUP BY 1),
        |merged AS (
-       |  SELECT '__all__' AS source, (list(h ORDER BY h))[1:$k] AS hs
-       |  FROM (SELECT unnest(hs) AS h FROM per_source)),
+       |  SELECT '__all__' AS source,
+       |    (SELECT CAST(sum(n_exact) AS BIGINT) FROM per_source) AS n_exact,
+       |    (SELECT (list(x ORDER BY x))[1:$k]
+       |     FROM (SELECT unnest(hs) AS x FROM per_source)) AS hs),
        |sk AS (
-       |  SELECT source, hs[$k] AS kth_min, len(hs) AS n_kept
-       |  FROM (SELECT * FROM per_source UNION ALL SELECT * FROM merged)),
-       |exact AS (
-       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM bi GROUP BY 1
-       |  UNION ALL
-       |  SELECT '__all__' AS source, CAST(count(*) AS BIGINT) AS n_exact FROM bi)
-       |SELECT sk.source, exact.n_exact, sk.kth_min,
-       |  CASE WHEN sk.n_kept < $k OR sk.kth_min IS NULL
-       |    THEN CAST(exact.n_exact AS DOUBLE)
+       |  SELECT source, n_exact, hs[$k] AS kth_min, len(hs) AS n_kept
+       |  FROM (SELECT * FROM per_source UNION ALL SELECT * FROM merged))
+       |SELECT source, n_exact, kth_min,
+       |  CASE WHEN n_kept < $k OR kth_min IS NULL
+       |    THEN CAST(n_exact AS DOUBLE)
        |    ELSE CAST(${k - 1} AS DOUBLE) * CAST($KmvRange AS DOUBLE)
-       |         / CAST(sk.kth_min AS DOUBLE) END AS est_distinct
-       |FROM sk JOIN exact USING (source)""".stripMargin
+       |         / CAST(kth_min AS DOUBLE) END AS est_distinct
+       |FROM sk""".stripMargin
 
   // ------------------------------------------------------------------
   // Bloom-filter join pruning
@@ -263,20 +260,17 @@ object Sketches {
     * subsampling happens downstream).
     *
     * == Scale shape ==
-    * Pair generation is a NARROW per-row lambda over the token array
-    * (packed into one int64 per instance — the `(t+2048)`-gram convention
-    * — so the shuffle carries 8-byte keys, no structs); counting is one
-    * hash exchange with map-side partials over a key space bounded by
+    * Pair generation is a NARROW per-row pass over the token array by the
+    * native [[graft.functions.expressions.SkipGrams]] kernel (packed into
+    * one int64 per instance — the `(t+2048)`-gram convention — so the
+    * shuffle carries 8-byte keys, no structs); counting is one hash
+    * exchange with map-side partials over a key space bounded by
     * `vocab² × window`, and top-k is `orderBy(...).limit` = distributed
     * take-ordered, never a global sort. */
   def skipgramTop(seqs: DataFrame, window: Int, topK: Int): DataFrame = {
-    val inst = seqs.select(explode(expr(
-      s"""flatten(transform(sequence(1, $window), d ->
-         |  IF(size(tokens) > d,
-         |    transform(sequence(1, size(tokens) - d), i ->
-         |      ((CAST(tokens[i - 1] AS BIGINT) + 2048) * 4096
-         |        + (CAST(tokens[i - 1 + d] AS BIGINT) + 2048)) * 4 + d),
-         |    CAST(array() AS ARRAY<BIGINT>))))""".stripMargin)).as("code"))
+    graft.functions.expressions.register(seqs.sparkSession)
+    val inst = seqs.select(
+      explode(expr(s"graft_skipgrams(tokens, $window)")).as("code"))
     inst.groupBy(col("code")).agg(count(lit(1)).as("c"))
       .select(
         expr("CAST(code div 4 div 4096 - 2048 AS INT)").as("t1"),

@@ -16,9 +16,8 @@ object SketchQueries {
   val CmsDepth = 4
   val CmsWidth = 256
 
-  // KMV: k = 64 minimum 60-bit hashes, 16 merge buckets
+  // KMV: k = 64 minimum 60-bit hashes (native bounded graft_kmin agg)
   val KmvK = 64
-  val KmvBuckets = 16
 
   // Bloom: 1024 bits × 3 hashes over the 'zh' member set (~15% of docs)
   // — fill ratio ≈ 0.2, fp rate ≈ 0.8% ⇒ a few expected false positives
@@ -39,7 +38,7 @@ object SketchQueries {
 
     // KMV distinct-count sketch per source + merged global row
     "sketch_kmv" -> ((s, dir) =>
-      Sketches.kmvReport(Seqs.fromDocuments(s, dir), KmvK, KmvBuckets)),
+      Sketches.kmvReport(Seqs.fromDocuments(s, dir), KmvK)),
 
     // Bloom-filter semi-join pruning report (single row)
     "bloom_prune" -> ((s, dir) =>
@@ -59,7 +58,7 @@ object SketchQueries {
       Sketches.duckCountMinSql(Seqs.duckSql, CmsDepth, CmsWidth),
 
     "sketch_kmv" ->
-      Sketches.duckKmvSql(Seqs.duckSql, KmvK, KmvBuckets),
+      Sketches.duckKmvSql(Seqs.duckSql, KmvK),
 
     "bloom_prune" ->
       Sketches.duckBloomSql(

@@ -43,7 +43,7 @@ class SketchSpec extends AnyFunSuite {
         Seq.tabulate(600)(i => (d * 601 + i * i * 17 + i) % 1499 - 700),
         600, s"src${d % 4}")
     }.toDF("doc_id", "tokens", "n_tok", "source")
-    val rep = Sketches.kmvReport(seqs, k = 32, nBuckets = 4).collect()
+    val rep = Sketches.kmvReport(seqs, k = 32).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct"))).toMap
     assert(rep.size == 5, "4 per-source rows + the merged '__all__' row")
@@ -56,12 +56,29 @@ class SketchSpec extends AnyFunSuite {
 
   test("KMV: source with fewer than k distinct falls back to exact") {
     val seqs = toySeqs("a" -> Seq.tabulate(40)(i => i % 5))
-    val rep = Sketches.kmvReport(seqs, k = 64, nBuckets = 4).collect()
+    val rep = Sketches.kmvReport(seqs, k = 64).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct"))).toMap
     val (n, est) = rep("s")
     assert(n == 5, "40 tokens cycling 5 values -> 5 distinct bigram pairs")
     assert(est == n.toDouble, "below-k sketch must report the exact count")
+  }
+
+  test("kmin aggregate: k smallest ascending across many partitions") {
+    graft.functions.expressions.register(spark)
+    val vals = (0 until 5000).map(i => ((i * 2654435761L) % 1000003L, i % 7))
+      .toDF("v", "g")
+      .repartition(16)
+    val got = vals.groupBy().agg(expr("graft_kmin(v, 25)").as("hs"))
+      .collect()(0).getSeq[Long](0)
+    val exact = (0 until 5000).map(i => (i * 2654435761L) % 1000003L)
+      .sorted.take(25)
+    assert(got.toSeq == exact)
+    // fewer inputs than k: all values, still ascending
+    val small = (0 until 10).map(i => (9L - i, 0)).toDF("v", "g")
+    val gotSmall = small.groupBy().agg(expr("graft_kmin(v, 64)").as("hs"))
+      .collect()(0).getSeq[Long](0)
+    assert(gotSmall.toSeq == (0L until 10L).toSeq)
   }
 
   test("bloom pruning: zero false negatives, nontrivial pruning, fp accounting") {
@@ -91,6 +108,23 @@ class SketchSpec extends AnyFunSuite {
     } yield (toks(i), toks(i + d), d))
       .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
     assert(got == census)
+  }
+
+  test("skip-gram kernel: native codes == interpreted HOF codes, sorted") {
+    graft.functions.expressions.register(spark)
+    val toks = Seq.tabulate(700)(i => (i * i * 31 + i * 7) % 4093 - 2046)
+    val df = toySeqs("a" -> toks)
+    val native = df.select(expr("graft_skipgrams(tokens, 3)").as("c"))
+      .collect()(0).getSeq[Long](0).sorted
+    val hof = df.select(expr(
+      """flatten(transform(sequence(1, 3), d ->
+        |  transform(sequence(1, size(tokens) - d), i ->
+        |    ((CAST(tokens[i - 1] AS BIGINT) + 2048) * 4096
+        |      + (CAST(tokens[i - 1 + d] AS BIGINT) + 2048)) * 4 + d)))"""
+        .stripMargin).as("c"))
+      .collect()(0).getSeq[Long](0).sorted
+    assert(native == hof)
+    assert(native.length == 3 * 700 - (1 + 2 + 3))
   }
 
   test("skip-gram: top-k order is count desc then (t1, t2, dist) asc") {
