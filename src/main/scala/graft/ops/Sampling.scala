@@ -262,6 +262,66 @@ object Sampling {
        |    AS share_after
        |FROM r LEFT JOIN k ON k.$stratum = r.$stratum""".stripMargin
 
+  /** Deterministic weighted sample without replacement (Efraimidis–
+    * Spirakis A-ES): per row draw a hash-uniform `u ∈ (0,1)` and keep the
+    * `k` rows with the smallest `−ln(u)/w` — selection probability ∝ `w`
+    * (here: token count, the length-weighted corpus subsample). The draw
+    * is [[md5Slot]]-style (60-bit md5 of a salted key), so reruns,
+    * repartitioning and corpus growth never change a kept key's draw.
+    *
+    * == Cross-engine determinism ==
+    * `ln` carries no cross-libm bitwise guarantee, so the score is
+    * quantized at the SINGLE ln call — `key_micro =
+    * −round(ln(u)·10^6)` (the [[graft.ops.LanguageModel.pmiTop]]
+    * micro-nat pattern) — and the only subsequent float op is one IEEE
+    * division of exact integers, `score = key_micro / w`. Ranking ties
+    * break by doc_id.
+    *
+    * == Scale shape ==
+    * Score is a narrow projection; `orderBy(score).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k heaps merged on one
+    * reducer row set, never a global sort. Weighted-sample partials are
+    * mergeable exactly like [[graft.ops.Sketches.kmvReport]]'s k-min. */
+  def weightedSample(seqs: DataFrame, k: Int,
+                     weightCol: String = "n_tok"): DataFrame = {
+    val h60 = conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 15),
+      16, 10).cast("long")
+    val keyMicro = expr(
+      s"""-CAST(round(ln((CAST(${"__h60"} AS DOUBLE) + 1.0)
+         |  / 1152921504606846977.0) * 1000000) AS BIGINT)""".stripMargin)
+    val scored = seqs
+      .withColumn("__h60", h60)
+      .withColumn("__key_micro", keyMicro)
+      .select(col("doc_id"), col(weightCol),
+        (col("__key_micro").cast("double") /
+          col(weightCol).cast("double")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").asc, col("doc_id").asc)
+    scored.orderBy(col("score").asc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("doc_id"), col(weightCol), col("score"))
+  }
+
+  /** DuckDB mirror of [[weightedSample]] over a `seqs` CTE body bound by
+    * `prelude` (no leading WITH). */
+  def duckWeightedSampleSql(prelude: String, k: Int,
+                            weightCol: String = "n_tok"): String =
+    s"""WITH $prelude,
+       |h AS (
+       |  SELECT doc_id, $weightCol,
+       |    ('0x' || substr(md5('ws:' || doc_id), 1, 15))::BIGINT AS h60
+       |  FROM seqs),
+       |s AS (
+       |  SELECT doc_id, $weightCol,
+       |    CAST(-CAST(round(ln((CAST(h60 AS DOUBLE) + 1.0)
+       |        / 1152921504606846977.0) * 1000000) AS BIGINT) AS DOUBLE)
+       |      / CAST($weightCol AS DOUBLE) AS score
+       |  FROM h)
+       |SELECT CAST(row_number() OVER (ORDER BY score ASC, doc_id ASC)
+       |         AS INTEGER) AS rank,
+       |  doc_id, $weightCol, score
+       |FROM s ORDER BY score ASC, doc_id ASC LIMIT $k""".stripMargin
+
   /** DuckDB mirror of [[assignSplit]] over the documents table. */
   def duckSplitSql(spec: SplitSpec = SplitSpec()): String =
     s"""SELECT doc_id, ${duckMilleSlot("doc_id")} AS bucket,

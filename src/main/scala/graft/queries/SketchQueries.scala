@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Sketches
+import graft.ops.{Sampling, Sketches}
 import graft.sources.Seqs
 
 /** Mergeable-sketch queries: count-min frequency sketch, KMV distinct
@@ -29,6 +29,9 @@ object SketchQueries {
   val SkipWindow = 3
   val SkipTopK = 100
 
+  // weighted sample: 100 docs, selection probability proportional to n_tok
+  val WsK = 100
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // count-min sketch error report (gram, c_exact, c_est, overest)
@@ -50,7 +53,11 @@ object SketchQueries {
     // global top-k skip-gram context pairs, window 3
     "skipgram_top" -> ((s, dir) =>
       Sketches.skipgramTop(Seqs.fromDocuments(s, dir),
-        SkipWindow, SkipTopK))
+        SkipWindow, SkipTopK)),
+
+    // deterministic weighted sample (selection probability ~ n_tok)
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Seqs.fromDocuments(s, dir), WsK))
   )
 
   def oracles: Map[String, String] = Map(
@@ -67,6 +74,9 @@ object SketchQueries {
         BloomBits, BloomHashes),
 
     "skipgram_top" ->
-      Sketches.duckSkipgramSql(Seqs.duckSql, SkipWindow, SkipTopK)
+      Sketches.duckSkipgramSql(Seqs.duckSql, SkipWindow, SkipTopK),
+
+    "weighted_sample" ->
+      Sampling.duckWeightedSampleSql(s"seqs AS (${Seqs.duckSql})", WsK)
   )
 }

@@ -127,6 +127,26 @@ class SketchSpec extends AnyFunSuite {
     assert(native.length == 3 * 700 - (1 + 2 + 3))
   }
 
+  test("weighted sample: length bias, determinism, exact-k without replacement") {
+    import graft.ops.Sampling
+    val docs = (0 until 400).map { i =>
+      (f"d$i%06d", Seq(1, 2, 3), 10 + (i % 40) * 25, "s")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val a = Sampling.weightedSample(docs, k = 60).collect()
+    assert(a.length == 60)
+    assert(a.map(_.getAs[String]("doc_id")).distinct.length == 60,
+      "without replacement: no doc twice")
+    // selection probability ~ n_tok: the sample must skew long
+    val sampleMean = a.map(_.getAs[Int]("n_tok").toDouble).sum / 60
+    val corpusMean = (0 until 400).map(i => 10 + (i % 40) * 25).sum / 400.0
+    assert(sampleMean > corpusMean * 1.15,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+    // deterministic: re-run is bitwise identical
+    val b = Sampling.weightedSample(docs.repartition(13), k = 60).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "repartitioning must not change the sample")
+  }
+
   test("skip-gram: top-k order is count desc then (t1, t2, dist) asc") {
     val seqs = toySeqs("a" -> Seq(5, 5, 5, 5, 9, 9, 9, 9))
     val rows = Sketches.skipgramTop(seqs, window = 2, topK = 3).collect()
