@@ -253,4 +253,74 @@ object TextAnalysis {
        |  fingerprint
        |FROM c""".stripMargin
   }
+
+  /** Vocabulary-growth (Heaps'-law) report: distinct-token vocabulary and
+    * token volume at `nCkpts` evenly-spaced doc-id checkpoints — the
+    * corpus diagnostic behind "is more data still adding new vocabulary".
+    *
+    * == Scale shape ==
+    * The naive form (a distinct count per prefix) rescans the corpus per
+    * checkpoint; this one reduces each gram to its FIRST-APPEARANCE doc id
+    * (one `groupBy(gram).min` shuffle over the per-doc distinct grams from
+    * the [[graft.functions.expressions.UnigramCounts]] histogram kernel —
+    * vocab-bounded output), then every checkpoint's vocabulary is a
+    * conditional count over that vocab-sized table against a broadcast
+    * checkpoint list. Doc/token volumes fan the scan out `nCkpts`-fold
+    * through the same broadcast — fan-out = checkpoint count, constant.
+    * All integers; bitwise across engines. */
+  def vocabGrowth(seqs: DataFrame, nCkpts: Int = 5): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val bounds = seqs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val ckpts = bounds
+      .select(explode(expr(s"sequence(1, $nCkpts)")).as("i"),
+        expr("CAST(substring(lo, 2) AS BIGINT)").as("lo_n"),
+        expr("CAST(substring(hi, 2) AS BIGINT)").as("hi_n"))
+      .select(col("i").cast("int").as("ckpt"),
+        expr(s"""concat('d', lpad(CAST(lo_n + (hi_n - lo_n) * i div $nCkpts
+                |  AS STRING), 6, '0'))""".stripMargin).as("thr"))
+    val firstSeen = seqs
+      .select(col("doc_id"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("doc_id"),
+        graft.functions.expressions.gramOf(col("gc")).as("g"))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("first_seen"))
+    val vocab = firstSeen.join(broadcast(ckpts),
+        col("first_seen") <= col("thr"))
+      .groupBy(col("ckpt"), col("thr")).agg(count(lit(1)).as("vocab"))
+    val volume = seqs.select(col("doc_id"), col("n_tok"))
+      .join(broadcast(ckpts), col("doc_id") <= col("thr"))
+      .groupBy(col("ckpt"), col("thr"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"))
+    volume.join(vocab, Seq("ckpt", "thr"))
+      .select(col("ckpt"), col("thr"), col("n_docs"), col("n_tokens"),
+        col("vocab"))
+  }
+
+  /** DuckDB mirror of [[vocabGrowth]] over a `seqs` CTE body bound by
+    * `prelude` (no leading WITH). */
+  def duckVocabGrowthSql(prelude: String, nCkpts: Int = 5): String =
+    s"""WITH $prelude,
+       |b AS (
+       |  SELECT CAST(substr(min(doc_id), 2) AS BIGINT) AS lo_n,
+       |         CAST(substr(max(doc_id), 2) AS BIGINT) AS hi_n
+       |  FROM seqs),
+       |ck AS (
+       |  SELECT CAST(i AS INTEGER) AS ckpt,
+       |    'd' || lpad(CAST(lo_n + (hi_n - lo_n) * i // $nCkpts AS VARCHAR),
+       |      6, '0') AS thr
+       |  FROM b CROSS JOIN (SELECT unnest(range(1, $nCkpts + 1)) AS i)),
+       |fs AS (
+       |  SELECT t AS g, min(doc_id) AS first_seen
+       |  FROM (SELECT doc_id, unnest(tokens) AS t FROM seqs) GROUP BY 1),
+       |v AS (
+       |  SELECT ck.ckpt, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM fs JOIN ck ON fs.first_seen <= ck.thr GROUP BY 1),
+       |d AS (
+       |  SELECT ck.ckpt, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(s.n_tok) AS BIGINT) AS n_tokens
+       |  FROM seqs s JOIN ck ON s.doc_id <= ck.thr GROUP BY 1)
+       |SELECT ck.ckpt, ck.thr, d.n_docs, d.n_tokens, v.vocab
+       |FROM ck JOIN v ON v.ckpt = ck.ckpt JOIN d ON d.ckpt = ck.ckpt"""
+      .stripMargin
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Sampling, Sketches}
+import graft.ops.{Sampling, Sketches, TextAnalysis}
 import graft.sources.Seqs
 
 /** Mergeable-sketch queries: count-min frequency sketch, KMV distinct
@@ -32,6 +32,9 @@ object SketchQueries {
   // weighted sample: 100 docs, selection probability proportional to n_tok
   val WsK = 100
 
+  // vocabulary growth: 5 evenly-spaced doc-id checkpoints
+  val VocabCkpts = 5
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // count-min sketch error report (gram, c_exact, c_est, overest)
@@ -57,7 +60,11 @@ object SketchQueries {
 
     // deterministic weighted sample (selection probability ~ n_tok)
     "weighted_sample" -> ((s, dir) =>
-      Sampling.weightedSample(Seqs.fromDocuments(s, dir), WsK))
+      Sampling.weightedSample(Seqs.fromDocuments(s, dir), WsK)),
+
+    // Heaps'-law vocabulary growth at doc-id checkpoints
+    "vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Seqs.fromDocuments(s, dir), VocabCkpts))
   )
 
   def oracles: Map[String, String] = Map(
@@ -77,6 +84,9 @@ object SketchQueries {
       Sketches.duckSkipgramSql(Seqs.duckSql, SkipWindow, SkipTopK),
 
     "weighted_sample" ->
-      Sampling.duckWeightedSampleSql(s"seqs AS (${Seqs.duckSql})", WsK)
+      Sampling.duckWeightedSampleSql(s"seqs AS (${Seqs.duckSql})", WsK),
+
+    "vocab_growth" ->
+      TextAnalysis.duckVocabGrowthSql(s"seqs AS (${Seqs.duckSql})", VocabCkpts)
   )
 }

@@ -30,6 +30,25 @@ class PropertySpec extends AnyFunSuite {
     (x.isNaN && y.isNaN) ||
       math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
 
+  test("kmin buffer: random inserts + merges == sorted.take(k)") {
+    val rnd = new Random(99)
+    for (_ <- 1 to Trials) {
+      val k = 1 + rnd.nextInt(40)
+      val parts = List.fill(1 + rnd.nextInt(5))(
+        List.fill(rnd.nextInt(200))(rnd.nextLong()))
+      val merged = parts.map { p =>
+        val b = new graft.functions.expressions.KMinBuffer(k)
+        p.foreach(b.insert); b
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < b.size) { a.insert(b.heap(i)); i += 1 }
+        a
+      }
+      assert(merged.sortedAsc.toList == parts.flatten.sorted.take(k),
+        s"k=$k sizes=${parts.map(_.length)}")
+    }
+  }
+
   test("leakage: appending tokens never changes completed frames") {
     val rnd = new Random(4242)
     for (_ <- 1 to Trials) {

@@ -127,6 +127,24 @@ class SketchSpec extends AnyFunSuite {
     assert(native.length == 3 * 700 - (1 + 2 + 3))
   }
 
+  test("vocab growth: hand-computed checkpoints on a 4-doc corpus") {
+    import graft.ops.TextAnalysis
+    val seqs = Seq(
+      ("d000000", Seq(1, 1, 2), 3, "s"),
+      ("d000001", Seq(2, 3), 2, "s"),
+      ("d000002", Seq(3, 4), 2, "s"),
+      ("d000003", Seq(1), 1, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val got = TextAnalysis.vocabGrowth(seqs, nCkpts = 4).collect()
+      .map(r => r.getAs[Int]("ckpt") ->
+        (r.getAs[String]("thr"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"))).toMap
+    assert(got(1) == (("d000000", 1L, 3L, 2L)))
+    assert(got(2) == (("d000001", 2L, 5L, 3L)))
+    assert(got(3) == (("d000002", 3L, 7L, 4L)))
+    assert(got(4) == (("d000003", 4L, 8L, 4L)))
+  }
+
   test("weighted sample: length bias, determinism, exact-k without replacement") {
     import graft.ops.Sampling
     val docs = (0 until 400).map { i =>
