@@ -457,4 +457,62 @@ object Dedup {
        |       CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
        |FROM pairs
        |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $minJaccard""".stripMargin
+
+  /** Token-shingle CONTAINMENT scores over a given candidate-pair set:
+    * `containment_a = |A∩B| / |A|` and the mirror `containment_b` — the
+    * asymmetric near-dup measure Jaccard misses (a short doc fully quoted
+    * inside a long one scores containment ≈ 1 while Jaccard stays small;
+    * the planted near-dup pairs differ exactly this way, by silence runs
+    * and length). Shingles are distinct packed 3-grams
+    * ([[graft.functions.expressions.PackNgrams]]); verification cost is
+    * O(|pairs|) like [[ngramJaccardPairs]] — feed it LSH candidates,
+    * never all pairs. */
+  def containmentPairs(seqs: DataFrame, pairs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val sh = seqs.select(col("doc_id"),
+      expr("array_distinct(graft_pack_ngrams(tokens, 3))").as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(expr("array_intersect(sa, sb)")).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .withColumn("containment_a", expr(
+        "IF(na = 0, CAST(0.0 AS DOUBLE), CAST(common AS DOUBLE) / na)"))
+      .withColumn("containment_b", expr(
+        "IF(nb = 0, CAST(0.0 AS DOUBLE), CAST(common AS DOUBLE) / nb)"))
+  }
+
+  /** DuckDB mirror of [[containmentPairs]]. `seqsPrelude` binds the
+    * `seqs` CTE body (no leading WITH); `pairsSql` yields
+    * (doc_a, doc_b). */
+  def duckContainmentPairsSql(seqsPrelude: String, pairsSql: String): String =
+    // CTE named `shingles` (NOT `sh`): the nested minhash pairs SQL has
+    // its own `sh` CTE, and a collision re-binds the inner reference to
+    // the outer table (DuckDB resolved `hs` against this CTE's column)
+    s"""WITH $seqsPrelude,
+       |shingles AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(CAST(greatest(len(tokens) - 2, 0) AS BIGINT)),
+       |      i -> ((tokens[i + 1] + 2048)::BIGINT * 4096
+       |            + (tokens[i + 2] + 2048)) * 4096
+       |            + (tokens[i + 3] + 2048))) AS sh
+       |  FROM seqs),
+       |pairs AS MATERIALIZED ($pairsSql)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS common,
+       |  CAST(len(a.sh) AS INTEGER) AS na,
+       |  CAST(len(b.sh) AS INTEGER) AS nb,
+       |  CASE WHEN len(a.sh) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |            / len(a.sh) END AS containment_a,
+       |  CASE WHEN len(b.sh) = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |            / len(b.sh) END AS containment_b
+       |FROM pairs p
+       |JOIN shingles a ON a.doc_id = p.doc_a
+       |JOIN shingles b ON b.doc_id = p.doc_b""".stripMargin
 }

@@ -101,6 +101,13 @@ object CurationQueries {
         Dedup.lshCandidates(Seqs.fromDocumentsSub(s, dir)))
     }),
 
+    // asymmetric containment scores on the same LSH candidate set —
+    // catches short-in-long near-dups that symmetric Jaccard misses
+    "dedup_containment" -> ((s, dir) => {
+      val sq = Seqs.fromDocumentsSub(s, dir)
+      Dedup.containmentPairs(sq, Dedup.lshCandidates(sq))
+    }),
+
     // recall@k of the LSH bucket path vs the exact cosine baseline
     "ann_recall" -> ((s, dir) =>
       Similarity.annRecall(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -402,6 +409,9 @@ object CurationQueries {
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
     "dedup_verify_pairs" ->
       Dedup.duckNgramPairsSql(duckLshPairsSql, Seqs.DedupSubPred),
+    "dedup_containment" ->
+      Dedup.duckContainmentPairsSql(s"seqs AS (${Seqs.duckSqlSub})",
+        duckLshPairsSql), // nested WITH — fine as a CTE body in DuckDB
     "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
     "dedup_exact" -> Dedup.duckExactSql,
     "dedup_minhash" ->

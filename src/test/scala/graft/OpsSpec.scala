@@ -902,6 +902,21 @@ class OpsSpec extends AnyFunSuite {
     for ((f, px) <- kept) assert(px.sameElements(all(f)))
   }
 
+  test("containment: short doc quoted in a long one scores 1.0 one-way") {
+    val long = Seq.tabulate(1000)(i => (i * 13) % 2003 - 1000)
+    val short = long.slice(100, 200)
+    val seqs = Seq(
+      ("a", short, short.length, "s"), ("b", long, long.length, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val pairs = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    val r = Dedup.containmentPairs(seqs, pairs).collect()(0)
+    assert(r.getAs[Double]("containment_a") == 1.0,
+      "every shingle of the quoted doc appears in the host")
+    assert(r.getAs[Double]("containment_b") < 0.2,
+      "the host is mostly NOT the quote")
+    assert(r.getAs[Int]("common") == r.getAs[Int]("na"))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
