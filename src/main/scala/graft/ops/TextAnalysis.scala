@@ -297,6 +297,79 @@ object TextAnalysis {
         col("vocab"))
   }
 
+  /** Robust per-source length-outlier report: lower median and MAD
+    * (median absolute deviation) of `n_tok`, plus the count of docs
+    * beyond `k·MAD` — the quality-monitoring gate that, unlike
+    * mean/stddev, a few giant documents cannot drag. ALL comparisons stay
+    * in exact integers (`|x − med| > k·mad` — no division anywhere), so
+    * both engines agree bitwise.
+    *
+    * == Scale shape ==
+    * Median/MAD come from per-source rank windows (one sort exchange per
+    * pass, keyed by source); the two medians then broadcast back as a
+    * strata-sized table — no per-group collect, no global sort. */
+  def lengthOutliers(seqs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = seqs.select(col("source"), col("doc_id"),
+      col("n_tok").cast("long").as("x"))
+    val wN = Window.partitionBy(col("source"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col(v).asc, col("doc_id").asc)
+      // floor((n+1)/2): Spark's `/` is double division — without the
+      // floor, even-sized groups select rank n/2 + 0.5 = no row at all
+      // (DuckDB's `//` truncates; this keeps the two rank rules equal)
+      df.withColumn("__r", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wN))
+        .filter(col("__r") === floor((col("__n") + 1) / 2))
+        .select(col("source"), col(v).as(out))
+    }
+    val med = lowerMedian(base, "x", "med_tok")
+    val dev = base.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("x") - col("med_tok")))
+    val mad = lowerMedian(dev.select(col("source"), col("doc_id"),
+      col("dev").as("x")), "x", "mad_tok")
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("med_tok")).as("med_tok"),
+        min(col("mad_tok")).as("mad_tok"),
+        sum(when(col("dev") > lit(k) * col("mad_tok"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** DuckDB mirror of [[lengthOutliers]] (same lower-median rank
+    * selection, same integer-only outlier comparison). */
+  def duckLengthOutliersSql(prelude: String, k: Int = 3): String =
+    s"""WITH $prelude,
+       |base AS (
+       |  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS x FROM seqs),
+       |med AS (
+       |  SELECT source, x AS med_tok FROM (
+       |    SELECT source, x,
+       |      row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+       |        AS r,
+       |      count(*) OVER (PARTITION BY source) AS n
+       |    FROM base)
+       |  WHERE r = (n + 1) // 2),
+       |dev AS (
+       |  SELECT b.source, b.doc_id, abs(b.x - m.med_tok) AS dev, m.med_tok
+       |  FROM base b JOIN med m USING (source)),
+       |mad AS (
+       |  SELECT source, dev AS mad_tok FROM (
+       |    SELECT source, dev,
+       |      row_number() OVER (PARTITION BY source ORDER BY dev, doc_id)
+       |        AS r,
+       |      count(*) OVER (PARTITION BY source) AS n
+       |    FROM dev)
+       |  WHERE r = (n + 1) // 2)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(d.med_tok) AS med_tok, min(a.mad_tok) AS mad_tok,
+       |  CAST(sum(CASE WHEN d.dev > $k * a.mad_tok THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers
+       |FROM dev d JOIN mad a USING (source)
+       |GROUP BY d.source""".stripMargin
+
   /** DuckDB mirror of [[vocabGrowth]] over a `seqs` CTE body bound by
     * `prelude` (no leading WITH). */
   def duckVocabGrowthSql(prelude: String, nCkpts: Int = 5): String =

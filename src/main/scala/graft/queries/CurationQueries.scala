@@ -395,7 +395,14 @@ object CurationQueries {
           Seq("doc_id"))
         .select(col("logit").as("score"), col("label"))
       graft.ops.Evaluation.prCurve(scored, "score", "label", PrBuckets)
-    })
+    }),
+
+    // robust per-source length-outlier report: lower median + MAD of
+    // n_tok, integer-only k*MAD comparison (mean/stddev-free — giant
+    // docs cannot drag the gate)
+    "length_outliers" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lengthOutliers(
+        Seqs.fromDocuments(s, dir), OutlierMadK))
   )
 
   /** PMI report depth and pair-count floor. */
@@ -404,6 +411,9 @@ object CurationQueries {
 
   /** PR-curve decile count (9 interior thresholds). */
   val PrBuckets = 10
+
+  /** Length-outlier gate: flag docs with |n_tok − median| > k·MAD. */
+  val OutlierMadK = 3
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
@@ -511,6 +521,8 @@ object CurationQueries {
                TopKQueries, TopK, IvfProbe)}) t
          |JOIN (${Similarity.duckIvfRecallSql(
                TopKQueries, TopK, IvfCells, IvfProbe)}) b
-         |  USING (query_id)""".stripMargin
+         |  USING (query_id)""".stripMargin,
+    "length_outliers" -> graft.ops.TextAnalysis.duckLengthOutliersSql(
+      s"seqs AS (${Seqs.duckSql})", OutlierMadK)
   )
 }

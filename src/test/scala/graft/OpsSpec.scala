@@ -917,6 +917,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("common") == r.getAs[Int]("na"))
   }
 
+  test("lengthOutliers: lower median + MAD, even-sized group included") {
+    // source "a" (5 docs, odd): x = 10,10,11,40,100 -> med 11 (rank 3);
+    //   dev = 1,1,0,29,89 -> sorted 0,1,1,29,89 -> mad 1 (rank 3);
+    //   outliers (dev > 3*1): 29 and 89 -> 2
+    // source "b" (4 docs, EVEN — pins the floor((n+1)/2) rank rule):
+    //   x = 5,7,9,1000 -> lower median = rank 2 -> 7;
+    //   dev = 2,0,2,993 -> sorted 0,2,2,993 -> mad rank 2 -> 2;
+    //   outliers (dev > 6): only 993 -> 1
+    val seqs = Seq(
+      ("a", "d1", 10), ("a", "d2", 10), ("a", "d3", 11),
+      ("a", "d4", 40), ("a", "d5", 100),
+      ("b", "e1", 5), ("b", "e2", 7), ("b", "e3", 9), ("b", "e4", 1000))
+      .toDF("source", "doc_id", "n_tok")
+    val out = graft.ops.TextAnalysis.lengthOutliers(seqs, k = 3).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((5L, 11L, 1L, 2L)))
+    assert(out("b") == ((4L, 7L, 2L, 1L)))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
