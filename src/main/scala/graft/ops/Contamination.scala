@@ -78,4 +78,71 @@ object Contamination {
        |FROM tr JOIN ev USING (gram_h)
        |GROUP BY 1
        |HAVING count(*) >= $minHits""".stripMargin
+
+  /** Cross-source overlap matrix: for every source pair (a < b), the
+    * number of DISTINCT word n-grams they share, each side's distinct
+    * n-gram count, and the Jaccard similarity — the "which sources
+    * duplicate which" diagnostic a curation pipeline runs before choosing
+    * mixture weights (a high-overlap pair means double-counted mass).
+    * Zero-overlap pairs emit no row.
+    *
+    * == Scale shape ==
+    * Everything is keyed by `gram_h`, never by document: the distinct
+    * `(source, gram_h)` table is bounded by Σ per-source vocabulary (NOT
+    * corpus size), the self-join bucket per gram holds ≤ |sources| rows
+    * (pair output ≤ |S|²/2 per gram — linear in vocabulary, constant in
+    * corpus growth), and the per-source size table is |S| rows, broadcast.
+    * Jaccard = one IEEE divide of exact int64 counts → bitwise across
+    * engines. */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val gs = ngramHashes(
+        docs.select(col("source").as("doc_id"), col("text")), n)
+      .select(col("doc_id").as("source"), col("gram_h"))
+      .distinct()
+    val sizes = gs.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val common = gs.as("a")
+      .join(gs.as("b"), col("a.gram_h") === col("b.gram_h") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_grams").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_grams").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** DuckDB mirror of [[sourceOverlap]] over `documents`. */
+  def duckSourceOverlapSql(n: Int): String =
+    s"""WITH w AS (
+       |  SELECT source, ${TextAnalysis.duckWordsExpr} AS words
+       |  FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, gram_h FROM (
+       |    SELECT source, unnest(CASE WHEN len(words) >= $n THEN
+       |        list_distinct(list_transform(range(CAST(len(words) - ${n - 1} AS BIGINT)),
+       |          i -> CAST(concat('0x', substr(md5(
+       |                 array_to_string(words[i + 1:i + $n], ' ')
+       |               ), 1, 15)) AS BIGINT)))
+       |      ELSE [] END) AS gram_h
+       |    FROM w)),
+       |sz AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM g GROUP BY 1),
+       |cm AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM g a JOIN g b ON a.gram_h = b.gram_h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT cm.source_a, cm.source_b, sa.n_grams AS n_a,
+       |  sb.n_grams AS n_b, cm.n_common,
+       |  CAST(cm.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - cm.n_common)
+       |    AS jaccard
+       |FROM cm
+       |JOIN sz sa ON sa.source = cm.source_a
+       |JOIN sz sb ON sb.source = cm.source_b""".stripMargin
 }

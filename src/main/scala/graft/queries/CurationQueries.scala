@@ -402,7 +402,14 @@ object CurationQueries {
     // docs cannot drag the gate)
     "length_outliers" -> ((s, dir) =>
       graft.ops.TextAnalysis.lengthOutliers(
-        Seqs.fromDocuments(s, dir), OutlierMadK))
+        Seqs.fromDocuments(s, dir), OutlierMadK)),
+
+    // cross-source overlap matrix: distinct shared word n-grams + Jaccard
+    // per source pair — the double-counted-mass diagnostic behind mixture
+    // weights; gram-keyed throughout, never doc-pair-keyed
+    "source_overlap" -> ((s, dir) =>
+      graft.ops.Contamination.sourceOverlap(
+        s.read.parquet(s"$dir/documents.parquet"), ContamN))
   )
 
   /** PMI report depth and pair-count floor. */
@@ -523,6 +530,8 @@ object CurationQueries {
                TopKQueries, TopK, IvfCells, IvfProbe)}) b
          |  USING (query_id)""".stripMargin,
     "length_outliers" -> graft.ops.TextAnalysis.duckLengthOutliersSql(
-      s"seqs AS (${Seqs.duckSql})", OutlierMadK)
+      s"seqs AS (${Seqs.duckSql})", OutlierMadK),
+    "source_overlap" ->
+      graft.ops.Contamination.duckSourceOverlapSql(ContamN)
   )
 }

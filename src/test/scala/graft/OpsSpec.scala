@@ -937,6 +937,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out("b") == ((4L, 7L, 2L, 1L)))
   }
 
+  test("sourceOverlap: shared-gram counts and Jaccard, zero pairs absent") {
+    // 2-grams: s1 = {a b, b c} (the extra "a b" doc collapses by distinct);
+    // s2 = {a b, b d}; s3 = {x y}. Pairs: (s1,s2) share {a b} -> jaccard
+    // 1/(2+2-1); s3 overlaps nothing -> no rows.
+    val docs = Seq(
+      ("d1", "s1", "a b c"), ("d2", "s1", "a b"),
+      ("d3", "s2", "a b d"), ("d4", "s3", "x y"))
+      .toDF("doc_id", "source", "text")
+    val rows = graft.ops.Contamination.sourceOverlap(docs, n = 2).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 1.0 / 3.0)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
