@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Equal-frequency (quantile) discretization of an integer feature — the
+  * classic feature-eng binning step (Spark ML's QuantileDiscretizer
+  * analog, kept in pure SQL so the oracle can replay it): k bins with
+  * boundaries at the k−1 interior quantile VALUES, every row assigned by
+  * VALUE against those boundaries. Value-based assignment (not raw ntile
+  * output) is what makes the result a reusable feature map: equal inputs
+  * land in equal bins, and the boundary table can re-bin NEW data (e.g.
+  * the serving path) without re-ranking the corpus.
+  *
+  * Boundary rule: boundary i = `max(x)` of ntile bucket i under the total
+  * order `(x, key)` — the value at a fixed global rank, deterministic
+  * under ties regardless of tie ordering. Assignment: `bin = 1 + |{i :
+  * b_i < x}|`, so x equal to a boundary joins that boundary's bucket.
+  * All comparisons are exact integers → bitwise across engines.
+  *
+  * Plan/scale: the ntile is ONE global-order window — the exactness cost
+  * (same note as [[Evaluation.prCurve]] / [[LanguageModel.perplexityBuckets]]).
+  * The boundary table is k−1 rows, collapsed to a single broadcast array
+  * row; assignment is a narrow projection (the k-element filter runs per
+  * ROW, not per token — interpreted HOF cost is O(k) on a tiny array).
+  * At extreme scale substitute [[quantileBinApprox]]'s mergeable
+  * sketch boundaries; this form is that report's oracle backstop. */
+object Binning {
+
+  /** Exact k-bin assignment: `(key, x, bin)`, bin ∈ 1..k. */
+  def quantileBin(df0: DataFrame, v: String, key: String, k: Int): DataFrame = {
+    val df = df0.select(col(key).as("key"), col(v).cast("long").as("x"))
+    val w = Window.orderBy(col("x"), col("key"))
+    val bounds = df.withColumn("q", ntile(k).over(w))
+      .filter(col("q") < k)
+      .groupBy("q").agg(max(col("x")).as("hi"))
+    val barr = bounds.agg(sort_array(collect_list(col("hi"))).as("bs"))
+    df.crossJoin(broadcast(barr))
+      .select(col("key"), col("x"),
+        (lit(1) + expr("size(filter(bs, b -> b < x))")).as("bin"))
+  }
+
+  /** Scale path: boundaries from the Greenwald–Khanna sketch
+    * (`approx_percentile` — mergeable map-side partials, NO global sort),
+    * same value-based assignment. Bin populations deviate from n/k only
+    * by the sketch's rank error (`relErr`); equal inputs still land in
+    * equal bins exactly. */
+  def quantileBinApprox(df0: DataFrame, v: String, key: String, k: Int,
+                        relErr: Double = 0.001): DataFrame = {
+    val df = df0.select(col(key).as("key"), col(v).cast("long").as("x"))
+    val pcts = (1 until k).map(i => i.toDouble / k)
+    val acc = math.max(1L, math.round(1.0 / relErr))
+    val barr = df.agg(expr(
+      s"approx_percentile(x, array(${pcts.mkString(",")}), $acc)").as("bs"))
+    df.crossJoin(broadcast(barr))
+      .select(col("key"), col("x"),
+        (lit(1) + expr("size(filter(bs, b -> b < x))")).as("bin"))
+  }
+
+  /** DuckDB mirror of [[quantileBin]] over `baseSql` — a SELECT yielding
+    * `(key, x)` with x already integral. */
+  def duckSql(baseSql: String, k: Int): String =
+    s"""WITH base AS (SELECT key, CAST(x AS BIGINT) AS x FROM ($baseSql) q0),
+       |t AS (
+       |  SELECT x, ntile($k) OVER (ORDER BY x, key) AS q FROM base),
+       |b AS (
+       |  SELECT q, max(x) AS hi FROM t WHERE q < $k GROUP BY 1)
+       |SELECT base.key, base.x, CAST(1 + count(b.hi) AS INT) AS bin
+       |FROM base LEFT JOIN b ON b.hi < base.x
+       |GROUP BY 1, 2""".stripMargin
+}

@@ -409,7 +409,14 @@ object CurationQueries {
     // weights; gram-keyed throughout, never doc-pair-keyed
     "source_overlap" -> ((s, dir) =>
       graft.ops.Contamination.sourceOverlap(
-        s.read.parquet(s"$dir/documents.parquet"), ContamN))
+        s.read.parquet(s"$dir/documents.parquet"), ContamN)),
+
+    // equal-frequency discretizer: 10 bins of n_chars, value-based
+    // assignment against rank-selected boundaries (reusable feature map)
+    "quantile_bin" -> ((s, dir) =>
+      graft.ops.Binning.quantileBin(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "n_chars", "doc_id", BinK))
   )
 
   /** PMI report depth and pair-count floor. */
@@ -421,6 +428,9 @@ object CurationQueries {
 
   /** Length-outlier gate: flag docs with |n_tok − median| > k·MAD. */
   val OutlierMadK = 3
+
+  /** Quantile-discretizer bin count. */
+  val BinK = 10
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
@@ -532,6 +542,8 @@ object CurationQueries {
     "length_outliers" -> graft.ops.TextAnalysis.duckLengthOutliersSql(
       s"seqs AS (${Seqs.duckSql})", OutlierMadK),
     "source_overlap" ->
-      graft.ops.Contamination.duckSourceOverlapSql(ContamN)
+      graft.ops.Contamination.duckSourceOverlapSql(ContamN),
+    "quantile_bin" -> graft.ops.Binning.duckSql(
+      "SELECT doc_id AS key, n_chars AS x FROM documents", BinK)
   )
 }

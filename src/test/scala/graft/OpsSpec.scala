@@ -953,6 +953,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(5) == 1.0 / 3.0)
   }
 
+  test("quantileBin: equal-frequency bins, boundary values stay together") {
+    // 9 rows, k=3 -> tiles of 3 under (x, key) order: (1,2,5 | 5,5,8 |
+    // 9,9,12); boundaries = {5, 8}. Value-based assignment: ALL 5s -> bin
+    // 1 (x <= b1), 8 -> bin 2, 9/9/12 -> bin 3 — equal inputs never split
+    // even though raw ntile would split the 5s across tiles.
+    val df = Seq(("a", 1), ("b", 2), ("c", 5), ("d", 5), ("e", 5),
+      ("f", 8), ("g", 9), ("h", 9), ("i", 12)).toDF("doc_id", "v")
+    val bins = graft.ops.Binning.quantileBin(df, "v", "doc_id", 3)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(bins == Map("a" -> 1, "b" -> 1, "c" -> 1, "d" -> 1, "e" -> 1,
+      "f" -> 2, "g" -> 3, "h" -> 3, "i" -> 3))
+  }
+
+  test("quantileBinApprox: same bin map as exact on a spread-out column") {
+    // distinct, evenly spread values: sketch boundaries at relErr 1e-3
+    // are exact ranks here, so the two assignments agree row for row
+    val df = (1 to 200).map(i => (f"k$i%03d", i * 7)).toDF("doc_id", "v")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val exact = m(graft.ops.Binning.quantileBin(df, "v", "doc_id", 10))
+    val approx = m(graft.ops.Binning.quantileBinApprox(df, "v", "doc_id", 10))
+    assert(exact == approx)
+    assert(exact.values.groupBy(identity).forall(_._2.size == 20))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
