@@ -322,6 +322,40 @@ object Sampling {
        |  doc_id, $weightCol, score
        |FROM s ORDER BY score ASC, doc_id ASC LIMIT $k""".stripMargin
 
+  /** Deterministic per-group exact-k sample ("take k docs per source" —
+    * the eval-set construction primitive the Bernoulli samplers cannot
+    * give, because keep-rate sampling only hits k in expectation):
+    * rank by md5(key) WITHIN each group, keep rank ≤ k. Selection and
+    * rank are pure functions of (group, key) — stable across runs and
+    * partitionings; appending docs to a group can displace earlier picks
+    * (rank-based, unlike the hash-threshold samplers — documented
+    * trade-off for exactness).
+    *
+    * Scale: one hash exchange on `group` + per-group sort window —
+    * parallelism = group cardinality; for very hot groups pre-filter
+    * with [[sampleMille]] at a rate that keeps ≳k expected survivors,
+    * then rank the survivors. Output keeps `sample_rank` so the ORDER
+    * (not just membership) is part of the bitwise contract. */
+  def groupSample(df: DataFrame, key: Column, group: Column,
+                  k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(md5(key.cast("string")).asc, key.cast("string").asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** DuckDB mirror of [[groupSample]] over the documents table
+    * (key = doc_id, group = source). */
+  def duckGroupSampleSql(k: Int): String =
+    s"""SELECT doc_id, source, sample_rank FROM (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+       |               CAST(doc_id AS VARCHAR)) AS INTEGER) AS sample_rank
+       |  FROM documents)
+       |WHERE sample_rank <= $k""".stripMargin
+
   /** DuckDB mirror of [[assignSplit]] over the documents table. */
   def duckSplitSql(spec: SplitSpec = SplitSpec()): String =
     s"""SELECT doc_id, ${duckMilleSlot("doc_id")} AS bucket,

@@ -416,7 +416,16 @@ object CurationQueries {
     "quantile_bin" -> ((s, dir) =>
       graft.ops.Binning.quantileBin(
         s.read.parquet(s"$dir/documents.parquet"),
-        "n_chars", "doc_id", BinK))
+        "n_chars", "doc_id", BinK)),
+
+    // per-group exact-k deterministic sample: k docs per source by
+    // in-group md5 rank — the eval-set construction primitive (Bernoulli
+    // keep-rates only hit k in expectation); rank is part of the contract
+    "group_sample" -> ((s, dir) =>
+      graft.ops.Sampling.groupSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source"),
+        col("doc_id"), col("source"), GroupSampleK))
   )
 
   /** PMI report depth and pair-count floor. */
@@ -431,6 +440,9 @@ object CurationQueries {
 
   /** Quantile-discretizer bin count. */
   val BinK = 10
+
+  /** Per-group exact sample size. */
+  val GroupSampleK = 10
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
@@ -544,6 +556,7 @@ object CurationQueries {
     "source_overlap" ->
       graft.ops.Contamination.duckSourceOverlapSql(ContamN),
     "quantile_bin" -> graft.ops.Binning.duckSql(
-      "SELECT doc_id AS key, n_chars AS x FROM documents", BinK)
+      "SELECT doc_id AS key, n_chars AS x FROM documents", BinK),
+    "group_sample" -> graft.ops.Sampling.duckGroupSampleSql(GroupSampleK)
   )
 }

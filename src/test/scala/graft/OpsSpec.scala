@@ -978,6 +978,20 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.values.groupBy(identity).forall(_._2.size == 20))
   }
 
+  test("groupSample: exact k per group, rank deterministic, partition-invariant") {
+    val df = (1 to 30).map(i => (s"d$i", if (i % 3 == 0) "g0" else "g1"))
+      .toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.groupSample(d, col("doc_id"), col("source"), 4)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .toSet
+    val a = run(df)
+    assert(a.count(_._2 == "g0") == 4 && a.count(_._2 == "g1") == 4)
+    assert(a.groupBy(_._2).forall(_._2.map(_._3) == Set(1, 2, 3, 4)))
+    // same picks and ranks under a different physical partitioning
+    assert(run(df.repartition(7)) == a)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
