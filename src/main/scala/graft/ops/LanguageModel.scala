@@ -396,4 +396,109 @@ object LanguageModel {
        |      ORDER BY dg.tf * idf.idf_micro DESC, dg.gram) AS rank
        |  FROM dg JOIN idf USING (gram))
        |WHERE rank <= $k""".stripMargin
+
+  /** Per-source token-distribution drift: the Jensen–Shannon divergence
+    * between each source's unigram distribution `p` and the REST of the
+    * corpus `q` — the corpus-level "is this slice distributionally off?"
+    * monitor (the token-space sibling of [[graft.sink.Drift]]'s feature
+    * moments). JSD ∈ [0, ln 2]; 0 = identical mixtures, ln 2 = disjoint
+    * vocabularies. Output: `(source, n_tok, jsd)`.
+    *
+    * == Exactness ==
+    * With m = (p+q)/2 and integer counts, each log argument is a pure
+    * ratio: p_g/m_g = 2·c·Nq / (c·Nq + d·Np) (c,d = the gram's count in
+    * the source / the rest; Np,Nq = the token totals). Every product is
+    * evaluated as the SAME IEEE double expression in both engines, the
+    * single `ln` per (source, gram) is quantized to micro-nats
+    * (`round(·1e6)` → BIGINT — the [[importanceWeights]] convention), and
+    * the weighted sums Σc·mn, Σd·mn are exact int64 — order-free. The
+    * final JSD is three IEEE divides/adds of exact integers. (Magnitude
+    * note: c·mn ≤ N·|ln ratio|·1e6 — fits int64 through ~3·10^11 tokens
+    * per gram even at ratio e±30; beyond that split the sum like
+    * [[pmiTop]]'s two-term trick.)
+    *
+    * == Scale shape ==
+    * One (source, gram)-keyed count off the native histogram kernel is
+    * the only corpus-sized exchange; everything after runs on the
+    * |sources|×|vocab| grid (bounded by the token alphabet, NOT the
+    * corpus), with the vocab histogram and per-source totals broadcast. */
+  def sourceDrift(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val e = graft.functions.expressions
+    val sg = seqs
+      .select(col("source"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("source"), e.gramOf(col("gc")).as("gram"),
+        e.cntOf(col("gc")).as("n_occ"))
+      .groupBy("source", "gram").agg(sum(col("n_occ")).as("c"))
+    val g = sg.groupBy("gram").agg(sum(col("c")).as("cg"))
+    val np = sg.groupBy("source").agg(sum(col("c")).as("np"))
+    val n = g.agg(sum(col("cg")).as("n"))
+    val mnP =
+      """CAST(round(ln((2.0 * CAST(c AS DOUBLE) * CAST(nq AS DOUBLE))
+        |  / (CAST(c AS DOUBLE) * CAST(nq AS DOUBLE)
+        |     + CAST(d AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+        |  AS BIGINT)""".stripMargin
+    val mnQ =
+      """CAST(round(ln((2.0 * CAST(d AS DOUBLE) * CAST(np AS DOUBLE))
+        |  / (CAST(c AS DOUBLE) * CAST(nq AS DOUBLE)
+        |     + CAST(d AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+        |  AS BIGINT)""".stripMargin
+    np.crossJoin(broadcast(g))
+      .join(sg, Seq("source", "gram"), "left")
+      .select(col("source"), col("np"), col("cg"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(n))
+      .withColumn("d", col("cg") - col("c"))
+      .withColumn("nq", col("n") - col("np"))
+      .withColumn("tp",
+        when(col("c") > 0, col("c") * expr(mnP)).otherwise(lit(0L)))
+      .withColumn("tq",
+        when(col("d") > 0, col("d") * expr(mnQ)).otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(min(col("np")).as("n_tok"), min(col("nq")).as("__nq"),
+        sum(col("tp")).as("__sp"), sum(col("tq")).as("__sq"))
+      .select(col("source"), col("n_tok"),
+        when(col("__nq") > 0,
+          (col("__sp").cast("double") / col("n_tok").cast("double")
+            + col("__sq").cast("double") / col("__nq").cast("double"))
+            / lit(2000000.0)).as("jsd"))
+  }
+
+  /** DuckDB mirror of [[sourceDrift]] (same grid, same micro-nat
+    * quantization, same IEEE expression shapes). */
+  def duckSourceDriftSql(seqsSql: String): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT source, (t + 2048)::BIGINT AS gram
+       |  FROM (SELECT source, unnest(tokens) AS t FROM seqs)),
+       |sg AS (SELECT source, gram, count(*) AS c FROM inst GROUP BY 1, 2),
+       |g AS (SELECT gram, CAST(sum(c) AS BIGINT) AS cg FROM sg GROUP BY 1),
+       |np AS (SELECT source, CAST(sum(c) AS BIGINT) AS np FROM sg GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(cg) FROM g) AS n),
+       |grid AS (
+       |  SELECT np.source, np.np, g.gram, g.cg,
+       |    coalesce(sg.c, 0) AS c, g.cg - coalesce(sg.c, 0) AS d,
+       |    tot.n - np.np AS nq
+       |  FROM np CROSS JOIN g CROSS JOIN tot
+       |  LEFT JOIN sg ON sg.source = np.source AND sg.gram = g.gram),
+       |terms AS (
+       |  SELECT source, np, nq,
+       |    CASE WHEN c > 0 THEN c * CAST(round(ln(
+       |        (2.0 * CAST(c AS DOUBLE) * CAST(nq AS DOUBLE))
+       |        / (CAST(c AS DOUBLE) * CAST(nq AS DOUBLE)
+       |           + CAST(d AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+       |      AS BIGINT) ELSE 0 END AS tp,
+       |    CASE WHEN d > 0 THEN d * CAST(round(ln(
+       |        (2.0 * CAST(d AS DOUBLE) * CAST(np AS DOUBLE))
+       |        / (CAST(c AS DOUBLE) * CAST(nq AS DOUBLE)
+       |           + CAST(d AS DOUBLE) * CAST(np AS DOUBLE))) * 1000000)
+       |      AS BIGINT) ELSE 0 END AS tq
+       |  FROM grid)
+       |SELECT source, CAST(min(np) AS BIGINT) AS n_tok,
+       |  CASE WHEN min(nq) > 0 THEN
+       |    (CAST(sum(tp) AS DOUBLE) / CAST(min(np) AS DOUBLE)
+       |     + CAST(sum(tq) AS DOUBLE) / CAST(min(nq) AS DOUBLE))
+       |    / 2000000.0 END AS jsd
+       |FROM terms GROUP BY source""".stripMargin
 }

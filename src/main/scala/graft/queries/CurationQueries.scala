@@ -425,7 +425,13 @@ object CurationQueries {
       graft.ops.Sampling.groupSample(
         s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "source"),
-        col("doc_id"), col("source"), GroupSampleK))
+        col("doc_id"), col("source"), GroupSampleK)),
+
+    // per-source token-distribution drift: JSD(source || rest) in exact
+    // micro-nat sums — the token-space sibling of the snapshot Drift
+    // report; one corpus exchange, then vocab-bounded grid math
+    "source_drift" -> ((s, dir) =>
+      graft.ops.LanguageModel.sourceDrift(Seqs.fromDocuments(s, dir)))
   )
 
   /** PMI report depth and pair-count floor. */
@@ -557,6 +563,8 @@ object CurationQueries {
       graft.ops.Contamination.duckSourceOverlapSql(ContamN),
     "quantile_bin" -> graft.ops.Binning.duckSql(
       "SELECT doc_id AS key, n_chars AS x FROM documents", BinK),
-    "group_sample" -> graft.ops.Sampling.duckGroupSampleSql(GroupSampleK)
+    "group_sample" -> graft.ops.Sampling.duckGroupSampleSql(GroupSampleK),
+    "source_drift" ->
+      graft.ops.LanguageModel.duckSourceDriftSql(Seqs.duckSql)
   )
 }

@@ -992,6 +992,22 @@ class OpsSpec extends AnyFunSuite {
     assert(run(df.repartition(7)) == a)
   }
 
+  test("sourceDrift: 0 for identical mixtures, ln 2 for disjoint vocabularies") {
+    def seqs(rows: (String, Seq[Int], String)*) =
+      rows.map { case (d, t, s) => (d, t, t.size, s) }
+        .toDF("doc_id", "tokens", "n_tok", "source")
+    // identical unigram distributions -> every ratio 1 -> jsd exactly 0
+    val same = graft.ops.LanguageModel.sourceDrift(seqs(
+      ("a", Seq(1, 1, 2), "s1"), ("b", Seq(1, 1, 2), "s2"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(same("s1") == 0.0 && same("s2") == 0.0)
+    // disjoint vocabularies -> jsd = ln 2 (micro-nat quantized)
+    val disj = graft.ops.LanguageModel.sourceDrift(seqs(
+      ("a", Seq(1, 1), "s1"), ("b", Seq(2, 2), "s2"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(disj("s1") == 0.693147 && disj("s2") == 0.693147)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
