@@ -85,4 +85,46 @@ object Partitioning {
   def bucketedJoin(spark: SparkSession, tableA: String, tableB: String,
                    key: String): DataFrame =
     spark.table(tableA).join(spark.table(tableB), Seq(key))
+
+  /** Key-skew diagnostics: the top-`topK` hottest values of `key` with
+    * their row counts and skew factor (count ÷ mean count per key) — the
+    * report an operator reads BEFORE choosing [[saltKey]] buckets or
+    * trusting AQE's skew split (a skew factor near the reducer count
+    * means one task carries a reducer's worth of a single key).
+    *
+    * Scale shape: one count exchange with map-side partials (the same
+    * shuffle the skewed job itself would run — measuring costs nothing
+    * extra), a TakeOrdered top-k (no global sort materialization), and a
+    * 1-row broadcast of the totals. Skew = one IEEE divide of exact
+    * int64s (`n_rows · n_keys / total_rows`) — bitwise across engines. */
+  def skewReport(df: DataFrame, key: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).cast("long").as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col(key).asc)
+    counts.orderBy(col("n_rows").desc, col(key).asc).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col(key), col("n_rows"), col("total_rows"),
+        col("n_keys"),
+        ((col("n_rows") * col("n_keys")).cast("double") /
+          col("total_rows").cast("double")).as("skew"))
+  }
+
+  /** DuckDB mirror of [[skewReport]] over catalog table `table`. */
+  def duckSkewSql(table: String, key: String, topK: Int): String =
+    s"""WITH c AS (
+       |  SELECT $key, count(*) AS n_rows FROM $table GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       |    CAST(count(*) AS BIGINT) AS n_keys FROM c)
+       |SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, $key)
+       |    AS INTEGER) AS rank,
+       |  $key, CAST(n_rows AS BIGINT) AS n_rows, total_rows, n_keys,
+       |  CAST(n_rows * n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)
+       |    AS skew
+       |FROM c CROSS JOIN t
+       |ORDER BY n_rows DESC, $key LIMIT $topK""".stripMargin
 }

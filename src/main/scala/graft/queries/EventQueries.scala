@@ -193,8 +193,17 @@ object EventQueries {
         sum(col("cents")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("cum_cents"))
-    })
+    }),
+
+    // key-skew diagnostics: hottest join/group keys + skew factor — the
+    // report read before choosing salt buckets (see Partitioning.saltKey)
+    "skew_report" -> ((s, dir) =>
+      graft.core.Partitioning.skewReport(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", SkewTopK))
   )
+
+  /** Skew-report depth. */
+  val SkewTopK = 20
 
   def oracles: Map[String, String] = Map(
 
@@ -345,6 +354,9 @@ object EventQueries {
         |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
         |FROM ev
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)""".stripMargin
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)""".stripMargin,
+
+    "skew_report" ->
+      graft.core.Partitioning.duckSkewSql("events", "user_id", SkewTopK)
   )
 }

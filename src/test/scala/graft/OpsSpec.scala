@@ -1008,6 +1008,18 @@ class OpsSpec extends AnyFunSuite {
     assert(disj("s1") == 0.693147 && disj("s2") == 0.693147)
   }
 
+  test("skewReport: hot keys ranked, skew factor = count over mean") {
+    // 4 keys over 12 rows: h=6, a=3, b=2, c=1; mean = 3 -> skews 2, 1,
+    // 2/3 (top-3 report drops c)
+    val rows = Seq.fill(6)("h") ++ Seq.fill(3)("a") ++ Seq.fill(2)("b") ++
+      Seq("c")
+    val df = rows.zipWithIndex.map { case (k, i) => (i, k) }.toDF("id", "k")
+    val r = graft.core.Partitioning.skewReport(df, "k", 3).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(5)))
+    assert(r.toSeq == Seq((1, "h", 6L, 2.0), (2, "a", 3L, 1.0),
+      (3, "b", 2L, 2.0 / 3.0)))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
