@@ -44,6 +44,8 @@ object Bench {
     "seq_split",          // training-window materialization (packing family)
     "skipgram_top",       // native skip-gram codes + global top-k
     "sketch_kmv",         // KMV distinct sketch (bucketed two-stage merge)
+    "source_overlap",     // gram-keyed cross-source self-join + Jaccard
+    "source_drift",       // per-source JSD off the vocab-bounded grid
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
