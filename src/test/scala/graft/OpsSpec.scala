@@ -1020,6 +1020,44 @@ class OpsSpec extends AnyFunSuite {
       (3, "b", 2L, 2.0 / 3.0)))
   }
 
+  test("lengthOutliers: randomized parity with a brute-force Scala oracle") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 300).map { i =>
+      (s"s${rnd.nextInt(7)}", f"d$i%03d", rnd.nextInt(2000)) }
+    val df = rows.toDF("source", "doc_id", "n_tok")
+    def lowerMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val expect = rows.groupBy(_._1).map { case (s, rs) =>
+      val xs = rs.map(_._3.toLong)
+      val med = lowerMed(xs)
+      val devs = rs.sortBy(_._2).map(r => math.abs(r._3.toLong - med))
+      val mad = lowerMed(devs)
+      s -> ((xs.size.toLong, med, mad, devs.count(_ > 3 * mad).toLong))
+    }
+    val got = graft.ops.TextAnalysis.lengthOutliers(df, 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("quantileBin: randomized — monotone in value, near-equal populations") {
+    val rnd = new scala.util.Random(777)
+    val rows = (1 to 400).map(i => (f"k$i%03d", rnd.nextInt(100000)))
+    val k = 8
+    val out = graft.ops.Binning.quantileBin(
+        rows.toDF("doc_id", "v"), "v", "doc_id", k).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    // equal values share a bin; bins are monotone in value
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1))
+    val byBin = out.sortBy(_._1).map(_._2)
+    assert(byBin.zip(byBin.tail).forall { case (a, b) => a <= b })
+    assert(out.map(_._2).forall(b => b >= 1 && b <= k))
+    // distinct-heavy input: populations within duplicate slack of n/k
+    val pops = out.groupBy(_._2).view.mapValues(_.length)
+    val dupSlack = out.length - out.map(_._1).distinct.length
+    assert(pops.values.forall(p =>
+      math.abs(p - out.length / k) <= 1 + dupSlack))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
