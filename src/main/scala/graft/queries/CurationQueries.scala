@@ -431,7 +431,18 @@ object CurationQueries {
     // micro-nat sums — the token-space sibling of the snapshot Drift
     // report; one corpus exchange, then vocab-bounded grid math
     "source_drift" -> ((s, dir) =>
-      graft.ops.LanguageModel.sourceDrift(Seqs.fromDocuments(s, dir)))
+      graft.ops.LanguageModel.sourceDrift(Seqs.fromDocuments(s, dir))),
+
+    // feature correlation matrix: single-pass int64 moment sums (one
+    // global agg, zero shuffle), corr assembled at the boundary — the
+    // collinearity screen before model fitting
+    "feature_corr" -> ((s, dir) =>
+      graft.ops.FeatureStats.corrMatrix(
+        s.read.parquet(s"$dir/documents.parquet").select(
+          col("n_chars"),
+          expr(s"size(${graft.ops.TextAnalysis.wordsExpr})").as("n_words"),
+          least(col("n_chars") * 16, lit(Seqs.MaxTokens)).as("n_tok")),
+        CorrFeats))
   )
 
   /** PMI report depth and pair-count floor. */
@@ -449,6 +460,9 @@ object CurationQueries {
 
   /** Per-group exact sample size. */
   val GroupSampleK = 10
+
+  /** Correlation-matrix feature columns. */
+  val CorrFeats = Seq("n_chars", "n_words", "n_tok")
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
@@ -565,6 +579,13 @@ object CurationQueries {
       "SELECT doc_id AS key, n_chars AS x FROM documents", BinK),
     "group_sample" -> graft.ops.Sampling.duckGroupSampleSql(GroupSampleK),
     "source_drift" ->
-      graft.ops.LanguageModel.duckSourceDriftSql(Seqs.duckSql)
+      graft.ops.LanguageModel.duckSourceDriftSql(Seqs.duckSql),
+    "feature_corr" -> graft.ops.FeatureStats.duckCorrSql(
+      s"""SELECT CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(len(${graft.ops.TextAnalysis.duckWordsExpr}) AS BIGINT)
+         |    AS n_words,
+         |  CAST(least(n_chars * 16, ${Seqs.MaxTokens}) AS BIGINT) AS n_tok
+         |FROM documents""".stripMargin,
+      CorrFeats)
   )
 }

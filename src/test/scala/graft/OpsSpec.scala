@@ -1058,6 +1058,23 @@ class OpsSpec extends AnyFunSuite {
       math.abs(p - out.length / k) <= 1 + dupSlack))
   }
 
+  test("corrMatrix: +1 / -1 / NULL-on-constant, one pass of integer moments") {
+    // y = 2x (corr +1), z = -x (corr -1 with x, -1 with y), w constant
+    // (NULL against everything)
+    val df = Seq((1, 2, -1, 5), (2, 4, -2, 5), (3, 6, -3, 5), (7, 14, -7, 5))
+      .toDF("x", "y", "z", "w")
+    val rows = graft.ops.FeatureStats.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows.size == 6)
+    assert(rows(("x", "y")) == Some(1.0))
+    assert(rows(("x", "z")) == Some(-1.0))
+    assert(rows(("y", "z")) == Some(-1.0))
+    assert(rows(("x", "w")) == None && rows(("y", "w")) == None &&
+      rows(("z", "w")) == None)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
