@@ -82,7 +82,13 @@ object Explain {
       "length_outliers (per-source rank windows, medians broadcast back)" ->
         SparkEntry.queries("length_outliers")(spark, sfDir),
       "group_sample (one group-keyed window, exact k per group)" ->
-        SparkEntry.queries("group_sample")(spark, sfDir))
+        SparkEntry.queries("group_sample")(spark, sfDir),
+      "source_drift (one corpus count, vocab-bounded JSD grid)" ->
+        SparkEntry.queries("source_drift")(spark, sfDir),
+      "skew_report (count exchange + TakeOrdered, broadcast totals)" ->
+        SparkEntry.queries("skew_report")(spark, sfDir),
+      "feature_corr (single-pass moment agg, zero shuffle)" ->
+        SparkEntry.queries("feature_corr")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")

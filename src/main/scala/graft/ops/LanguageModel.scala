@@ -421,7 +421,13 @@ object LanguageModel {
     * One (source, gram)-keyed count off the native histogram kernel is
     * the only corpus-sized exchange; everything after runs on the
     * |sources|×|vocab| grid (bounded by the token alphabet, NOT the
-    * corpus), with the vocab histogram and per-source totals broadcast. */
+    * corpus), with the vocab histogram and per-source totals broadcast.
+    * The count sub-plan is REFERENCED three times below (vocab histogram,
+    * per-source totals, grid join) but EXECUTED once: the three exchanges
+    * are canonically identical, so AQE stage reuse runs the corpus scan +
+    * count one time and serves the other two as ReusedQueryStage —
+    * measured by `graft.tools.ReuseProbe` (2 reused stages, exactly the
+    * two re-references). */
   def sourceDrift(seqs: DataFrame): DataFrame = {
     graft.functions.expressions.register(seqs.sparkSession)
     val e = graft.functions.expressions
