@@ -144,6 +144,81 @@ object Evaluation {
           col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
   }
 
+  /** Reliability (calibration) report: bin documents on a FIXED
+    * milli-score grid and compare each bin's mean predicted score with
+    * its empirical positive rate — the "is the score honest as a
+    * probability proxy" complement of [[prCurve]]'s operating-point
+    * sweep (a well-RANKED scorer can still be badly calibrated after
+    * resampling or loss reweighting; this report catches that).
+    *
+    * Scores are quantized to integer MILLI-units first
+    * (`floor(s*1000 + 0.5)` — the shared grid rule, NOT `round(x, 3)`;
+    * see [[TreeEnsemble.quant6Sql]]), so the per-bin score sum is an
+    * exact int64 and every output is a single divide of exact integers —
+    * bitwise across engines and partitionings (a raw float score sum
+    * would be accumulation-order-dependent). Bin assignment clamps into
+    * [0, bins) BEFORE the integer divide, so truncating (Spark `div`)
+    * and flooring (DuckDB `//`) division agree: operands are
+    * non-negative. Out-of-grid scores land in the edge bins (their
+    * `mean_score` can therefore sit outside [lo_milli, hi_milli) — the
+    * usual open-ended-edge-bin convention).
+    *
+    * Scale: one narrow projection + one `bins`-row aggregation with
+    * map-side partials — no corpus-sized shuffle at all. Empty bins are
+    * absent from the output (all their counts are zero). */
+  def calibrationBins(scored: DataFrame, score: String, label: String,
+                      loMilli: Long, binMilli: Long, bins: Int): DataFrame = {
+    require(binMilli > 0 && bins > 0, s"bad calibration grid: $binMilli x $bins")
+    val l = col(label)
+    scored
+      .withColumn("__sm",
+        floor(col(score) * lit(1000.0) + lit(0.5)).cast("long"))
+      .withColumn("bin",
+        least(
+          expr(s"(greatest(__sm, ${loMilli}L) - ${loMilli}L) div ${binMilli}L"),
+          lit((bins - 1).toLong)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(l, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__sm")).as("sum_milli"))
+      .withColumn("lo_milli", lit(loMilli) + col("bin") * lit(binMilli))
+      .withColumn("hi_milli", lit(loMilli) + (col("bin") + lit(1L)) * lit(binMilli))
+      .withColumn("mean_score",
+        col("sum_milli").cast("double")
+          / (lit(1000.0) * col("n").cast("double")))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .select(col("bin"), col("lo_milli"), col("hi_milli"), col("n"),
+        col("n_pos"), col("mean_score"), col("frac_pos"))
+  }
+
+  /** DuckDB mirror of [[calibrationBins]] (same milli grid, same clamp
+    * order, same divide shapes). */
+  def duckCalibrationSql(scoredSql: String, score: String, label: String,
+                         loMilli: Long, binMilli: Long, bins: Int): String =
+    s"""WITH scored AS (SELECT * FROM ($scoredSql) src),
+       |q AS (
+       |  SELECT CAST(floor($score * CAST(1000.0 AS DOUBLE)
+       |                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sm,
+       |    $label AS lbl
+       |  FROM scored),
+       |b AS (
+       |  SELECT least((greatest(sm, $loMilli) - $loMilli) // $binMilli,
+       |               ${bins - 1}) AS bin,
+       |    sm, lbl
+       |  FROM q)
+       |SELECT bin,
+       |  $loMilli + bin * $binMilli AS lo_milli,
+       |  $loMilli + (bin + 1) * $binMilli AS hi_milli,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(sm) AS DOUBLE)
+       |    / (CAST(1000.0 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+       |    AS mean_score,
+       |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS frac_pos
+       |FROM b GROUP BY bin""".stripMargin
+
   /** DuckDB mirror of [[prCurve]]. */
   def duckPrCurveSql(scoredSql: String, score: String, label: String,
                      buckets: Int): String =

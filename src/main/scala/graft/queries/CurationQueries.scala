@@ -442,7 +442,30 @@ object CurationQueries {
           col("n_chars"),
           expr(s"size(${graft.ops.TextAnalysis.wordsExpr})").as("n_words"),
           least(col("n_chars") * 16, lit(Seqs.MaxTokens)).as("n_tok")),
-        CorrFeats))
+        CorrFeats)),
+
+    // supervised feature selection: one-vs-rest chi^2 over gram document
+    // frequencies, top-k per source — one corpus exchange (the (source,
+    // gram) doc-frequency count off the histogram kernel), then pure
+    // vocab-grid math and a model-sized top-k window
+    "chi2_select" -> ((s, dir) =>
+      graft.ops.FeatureSelect.chi2Select(Seqs.fromDocuments(s, dir), Chi2K)),
+
+    // reliability report of the hashed linear scorer: fixed milli-logit
+    // bins, exact int64 score sums, mean predicted vs empirical positive
+    // rate — the calibration complement of pr_curve's operating points
+    "calibration" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.ops.LinearModel.score(
+          base.select(col("doc_id"), col("text")),
+          graft.ops.LinearModel.synthWeights(s, LinearDim),
+          LinearDim, LinearBiasMilli)
+        .join(base.select(col("doc_id"), (col("doc_id") % 7 < 3).as("label")),
+          Seq("doc_id"))
+        .select(col("logit").as("score"), col("label"))
+      graft.ops.Evaluation.calibrationBins(scored, "score", "label",
+        CalibLoMilli, CalibBinMilli, CalibBins)
+    })
   )
 
   /** PMI report depth and pair-count floor. */
@@ -463,6 +486,14 @@ object CurationQueries {
 
   /** Correlation-matrix feature columns. */
   val CorrFeats = Seq("n_chars", "n_words", "n_tok")
+
+  /** Chi^2 feature-selection depth (grams kept per source). */
+  val Chi2K = 15
+
+  /** Calibration grid: 10 bins of 100 milli-logits over [-0.5, 0.5). */
+  val CalibLoMilli = -500L
+  val CalibBinMilli = 100L
+  val CalibBins = 10
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
@@ -580,6 +611,13 @@ object CurationQueries {
     "group_sample" -> graft.ops.Sampling.duckGroupSampleSql(GroupSampleK),
     "source_drift" ->
       graft.ops.LanguageModel.duckSourceDriftSql(Seqs.duckSql),
+    "chi2_select" ->
+      graft.ops.FeatureSelect.duckChi2Sql(Seqs.duckSql, Chi2K),
+    "calibration" -> graft.ops.Evaluation.duckCalibrationSql(
+      s"""SELECT s.logit AS score, (d.doc_id % 7 < 3) AS label
+         |FROM (${graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli)}) s
+         |JOIN documents d USING (doc_id)""".stripMargin,
+      "score", "label", CalibLoMilli, CalibBinMilli, CalibBins),
     "feature_corr" -> graft.ops.FeatureStats.duckCorrSql(
       s"""SELECT CAST(n_chars AS BIGINT) AS n_chars,
          |  CAST(len(${graft.ops.TextAnalysis.duckWordsExpr}) AS BIGINT)

@@ -1075,6 +1075,68 @@ class OpsSpec extends AnyFunSuite {
       rows(("z", "w")) == None)
   }
 
+  test("calibration bins: grid assignment and rates match brute force") {
+    import graft.ops.Evaluation
+    // scores straddle the grid on both sides so the edge clamps are hit
+    val rows = (1 to 60).map { i =>
+      (((i * 41) % 29).toDouble / 20.0 - 0.7, i % 4 == 0)
+    }
+    val lo = -500L; val bw = 100L; val bins = 10
+    val got = Evaluation.calibrationBins(
+        rows.toDF("score", "label"), "score", "label", lo, bw, bins)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    val brute = rows
+      .map { case (s, l) => (math.floor(s * 1000.0 + 0.5).toLong, l) }
+      .groupBy { case (sm, _) =>
+        math.min((math.max(sm, lo) - lo) / bw, (bins - 1).toLong) }
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (bin, members) =>
+      val (loM, hiM, n, nPos, mean, frac) = got(bin)
+      assert(loM == lo + bin * bw && hiM == lo + (bin + 1) * bw)
+      assert(n == members.size && nPos == members.count(_._2))
+      assert(mean == members.map(_._1).sum.toDouble / (1000.0 * n))
+      assert(frac == nPos.toDouble / n)
+    }
+    // every doc lands in exactly one bin
+    assert(got.values.map(_._3).sum == rows.size)
+  }
+
+  test("chi2 select: contingency and ranking match brute force") {
+    import graft.ops.FeatureSelect
+    // two sources with deliberately skewed token alphabets: 11,12 mark a;
+    // 7,8 mark b; 3 is universal; i%5 in [0,4] is shared noise
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      val toks =
+        if (src == "a") Seq(11, 12, 3, i % 5)
+        else Seq(7, 8, 3, i % 5)
+      (s"d$i", toks, toks.size, src)
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val out = FeatureSelect.chi2Select(docs, 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getInt(7), r.getDouble(8))).toMap
+    // brute force contingency for a perfect marker of source a
+    val d = 40L; val dS = 20L
+    val aCell = 20L; val dfAll = 20L
+    val b = dfAll - aCell; val c = dS - aCell; val dd = d - dS - b
+    val det = (aCell * dd - b * c).toDouble
+    val chi2 = d.toDouble * det * det /
+      (dfAll.toDouble * (d - dfAll).toDouble * dS.toDouble * (d - dS).toDouble)
+    assert(chi2 == 40.0) // perfect separation: chi2 == D
+    // rank 1 for source a: markers 11,12 tie on chi2, gram asc breaks it
+    assert(out(("a", 1)) == ((2059L, 20L, 20L, 20L, 40L, 1, chi2)))
+    // and b's markers 7,8 (gram 2055 first)
+    assert(out(("b", 1)) == ((2055L, 20L, 20L, 20L, 40L, 1, chi2)))
+    // shared gram 3 (in every doc) is filtered as zero-variance, and no
+    // chi2 in the output exceeds the perfect-separation bound D
+    assert(out.values.forall(_._7 <= 40.0))
+    val k3 = FeatureSelect.chi2Select(docs, 3)
+    assert(k3.filter(col("gram") === 3 + 2048).count() == 0)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
