@@ -88,7 +88,11 @@ object Explain {
       "skew_report (count exchange + TakeOrdered, broadcast totals)" ->
         SparkEntry.queries("skew_report")(spark, sfDir),
       "feature_corr (single-pass moment agg, zero shuffle)" ->
-        SparkEntry.queries("feature_corr")(spark, sfDir))
+        SparkEntry.queries("feature_corr")(spark, sfDir),
+      "chi2_select (one corpus doc-frequency exchange, vocab-grid chi2, model-sized top-k)" ->
+        SparkEntry.queries("chi2_select")(spark, sfDir),
+      "calibration (narrow milli-quantize projection, bins-row aggregation)" ->
+        SparkEntry.queries("calibration")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")
