@@ -199,13 +199,57 @@ object EventQueries {
     // report read before choosing salt buckets (see Partitioning.saltKey)
     "skew_report" -> ((s, dir) =>
       graft.core.Partitioning.skewReport(
-        s.read.parquet(s"$dir/events.parquet"), "user_id", SkewTopK))
+        s.read.parquet(s"$dir/events.parquet"), "user_id", SkewTopK)),
+
+    // point-in-interval (range) join: each click × every campaign interval
+    // of its user that was ACTIVE at click time. Campaigns are synthesized
+    // deterministically from signup events — duration (1 + id % 5) × 12 h —
+    // so one user's intervals OVERLAP: a probe matches several at once, the
+    // one-to-many range form that as-of (single latest state) cannot express
+    "events_interval_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("iv_id"),
+          col("ts_us").as("from_us"),
+          expr(s"ts_us + (1L + event_id % 5L) * ${CampaignSlotUs}L")
+            .as("to_us"))
+      graft.operators.IntervalJoin.pointInInterval(
+          probes, iv, "user_id", "ts_us", "from_us", "to_us",
+          IntervalBucketUs)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("iv_id"), col("from_us"), col("to_us"))
+    })
   )
+
+  /** Synthetic campaign-duration slot (12 h, microseconds): interval k
+    * lasts `(1 + k % 5)` slots, 12 h – 60 h — guaranteed same-user overlap
+    * at the events table's signup cadence. */
+  val CampaignSlotUs: Long = 12L * 60 * 60 * 1000000
+
+  /** Interval-join coarse bucket width (24 h): near the typical campaign
+    * span, so the explode fan-out is ≤ `60 h / 24 h + 1` = 3.5 rows per
+    * interval (see [[graft.operators.IntervalJoin]]). */
+  val IntervalBucketUs: Long = 24L * 60 * 60 * 1000000
 
   /** Skew-report depth. */
   val SkewTopK = 20
 
   def oracles: Map[String, String] = Map(
+
+    "events_interval_join" ->
+      s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),
+         |probes AS (SELECT user_id, event_id, ts_us FROM ev
+         |           WHERE event_type = 'click'),
+         |iv AS (SELECT user_id, event_id AS iv_id, ts_us AS from_us,
+         |         ts_us + (1 + event_id % 5) * $CampaignSlotUs AS to_us
+         |       FROM ev WHERE event_type = 'signup')
+         |SELECT p.user_id, p.event_id, p.ts_us, i.iv_id, i.from_us, i.to_us
+         |FROM probes p JOIN iv i
+         |  ON p.user_id = i.user_id
+         | AND p.ts_us >= i.from_us AND p.ts_us < i.to_us""".stripMargin,
 
     "events_sessionize" ->
       s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, IntervalJoin}
 
 /** As-of join semantics: at-or-before match, tie goes to the series row,
   * missing history falls back to the default (silence-reference semantics,
@@ -262,5 +262,57 @@ class AsOfJoinSpec extends AnyFunSuite {
     // salted output keeps the probe-column contract (no salt leak)
     val cols = AsOfJoin.asOfSalted(prb, ser, "k", "t", "ts", Seq("v")).columns
     assert(cols.toSet == Set("k", "t", "v"))
+  }
+
+  test("interval join: overlap multi-match, half-open bounds, degenerate drop") {
+    val iv = Seq(
+      ("a", 0L, 100L, "x"),   // overlaps y on [50, 100)
+      ("a", 50L, 150L, "y"),
+      ("a", 200L, 200L, "z"), // empty half-open range -> dropped
+      ("a", 300L, 290L, "w"), // reversed -> dropped
+      ("b", 10L, 20L, "q")
+    ).toDF("k", "lo", "hi", "tag")
+    val pr = Seq(("a", 75L), ("a", 0L), ("a", 100L), ("a", 149L),
+      ("a", 200L), ("b", 19L), ("b", 20L), ("c", 5L)).toDF("k", "t")
+    val out = IntervalJoin.pointInInterval(pr, iv, "k", "t", "lo", "hi", 64L)
+      .select("k", "t", "tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.length == out.toSet.size) // each match found exactly once
+    assert(out.toSet == Set(
+      ("a", 75L, "x"), ("a", 75L, "y"), // multi-match in the overlap zone
+      ("a", 0L, "x"),                   // `from` inclusive
+      ("a", 100L, "y"),                 // `to` exclusive for x
+      ("a", 149L, "y"),
+      ("b", 19L, "q")))                 // t=20 out; t=200 empty interval
+  }
+
+  test("interval join: randomized brute-force parity across bucket widths") {
+    val rnd = new scala.util.Random(20260819L)
+    val ivRows = (for {
+      t <- 0 until 40
+      _ <- 0 until rnd.nextInt(8)
+    } yield (s"k$t", rnd.nextInt(500).toLong, rnd.nextInt(120).toLong))
+      .zipWithIndex.map { case ((k, lo, span), i) =>
+        (k, lo, lo + span, i.toLong) } // span 0 => degenerate, must drop
+    val prs = (for {
+      t <- 0 until 40
+      _ <- 0 until (rnd.nextInt(12) + 1)
+    } yield (s"k$t", rnd.nextInt(650).toLong)).distinct
+    val ivDf = ivRows.toDF("k", "lo", "hi", "id")
+    val prDf = prs.toDF("k", "t")
+    val expected = (for {
+      (k, t) <- prs
+      (ik, lo, hi, id) <- ivRows if ik == k && t >= lo && t < hi
+    } yield (k, t, id)).toSet
+    assert(expected.nonEmpty &&
+      expected.groupBy(x => (x._1, x._2)).values.exists(_.size > 1))
+    // the match set is an invariant of the plan, not of the bucket dial
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = IntervalJoin.pointInInterval(prDf, ivDf, "k", "t", "lo", "hi", w)
+        .select("k", "t", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == got.toSet.size, s"duplicate matches at w=$w")
+      assert(got.toSet == expected, s"w=$w")
+    }
   }
 }
