@@ -92,7 +92,9 @@ object Explain {
       "chi2_select (one corpus doc-frequency exchange, vocab-grid chi2, model-sized top-k)" ->
         SparkEntry.queries("chi2_select")(spark, sfDir),
       "calibration (narrow milli-quantize projection, bins-row aggregation)" ->
-        SparkEntry.queries("calibration")(spark, sfDir))
+        SparkEntry.queries("calibration")(spark, sfDir),
+      "events_interval_join (bucketed range join: bounded explode, one (key,bucket) exchange)" ->
+        SparkEntry.queries("events_interval_join")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")
