@@ -451,6 +451,12 @@ object CurationQueries {
     "chi2_select" -> ((s, dir) =>
       graft.ops.FeatureSelect.chi2Select(Seqs.fromDocuments(s, dir), Chi2K)),
 
+    // the MI twin of chi2_select off the SAME contingency grid: chi2
+    // over-weights rare high-ratio grams, MI weights by explained corpus
+    // mass — the standard two-screen vocabulary audit before training
+    "mi_select" -> ((s, dir) =>
+      graft.ops.FeatureSelect.miSelect(Seqs.fromDocuments(s, dir), Chi2K)),
+
     // reliability report of the hashed linear scorer: fixed milli-logit
     // bins, exact int64 score sums, mean predicted vs empirical positive
     // rate — the calibration complement of pr_curve's operating points
@@ -613,6 +619,8 @@ object CurationQueries {
       graft.ops.LanguageModel.duckSourceDriftSql(Seqs.duckSql),
     "chi2_select" ->
       graft.ops.FeatureSelect.duckChi2Sql(Seqs.duckSql, Chi2K),
+    "mi_select" ->
+      graft.ops.FeatureSelect.duckMiSql(Seqs.duckSql, Chi2K),
     "calibration" -> graft.ops.Evaluation.duckCalibrationSql(
       s"""SELECT s.logit AS score, (d.doc_id % 7 < 3) AS label
          |FROM (${graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli)}) s

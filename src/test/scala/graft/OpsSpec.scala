@@ -1137,6 +1137,37 @@ class OpsSpec extends AnyFunSuite {
     assert(k3.filter(col("gram") === 3 + 2048).count() == 0)
   }
 
+  test("mi select: micro-nat cell sums match brute force; zero-MI noise") {
+    import graft.ops.FeatureSelect
+    // same fixture as the chi2 test: 11,12 mark a; 7,8 mark b; 3 universal;
+    // i%5 spread EVENLY across sources (every cell ratio 1 -> MI exactly 0)
+    val docs = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      val toks =
+        if (src == "a") Seq(11, 12, 3, i % 5)
+        else Seq(7, 8, 3, i % 5)
+      (s"d$i", toks, toks.size, src)
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val out = FeatureSelect.miSelect(docs, 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getInt(7), r.getDouble(8))).toMap
+    // brute force for a perfect marker: cells a=20,b=0,c=0,dd=20 ->
+    // two nonzero terms, each 20 * round(ln(40*20/(20*20)) * 1e6)
+    val q = math.round(math.log(2.0) * 1e6)
+    val miSum = 2 * 20L * q
+    val mi = miSum.toDouble / (40L * 1000000L).toDouble
+    assert(out(("a", 1)) == ((2059L, 20L, 20L, 20L, 40L, 1, mi)))
+    assert(out(("a", 2)) == ((2060L, 20L, 20L, 20L, 40L, 1, mi)))
+    assert(out(("b", 1)) == ((2055L, 20L, 20L, 20L, 40L, 1, mi)))
+    // rank 3 is the first zero-MI noise gram by the gram tie-break, and
+    // its MI is EXACTLY zero (all four cells have ratio 1)
+    assert(out(("a", 3))._1 == 2048L && out(("a", 3))._7 == 0.0)
+    // universal gram 3 filtered as zero-variance
+    assert(FeatureSelect.miSelect(docs, 5)
+      .filter(col("gram") === 3 + 2048).count() == 0)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
