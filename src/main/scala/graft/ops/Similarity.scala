@@ -172,6 +172,141 @@ object Similarity {
        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
        |FROM qb q LEFT JOIN hits h USING (query_id)""".stripMargin
 
+  /** Ranked-quality metrics (NDCG@k + MRR) of the sign-LSH ANN path,
+    * graded against the exact cosine baseline — the standard retrieval
+    * scorecard next to [[annRecall]]'s set-overlap recall. Relevance of a
+    * retrieved neighbor is its exact-baseline grade `k + 1 − brute_rank`
+    * (top exact neighbor = k, …, k-th = 1, not in the exact top-k = 0), so
+    * NDCG rewards the ANN for returning the RIGHT neighbors EARLY, which
+    * recall@k cannot see.
+    *
+    * == Bitwise parity ==
+    * Each DCG term `rel / log2(pos+1)` is quantized to integer micro-units
+    * (`floor(rel·10⁶ / log2(pos+1) + 0.5)`) before summation: the terms
+    * depend only on the small integers (rel ≤ k, pos ≤ k) — a ≤ k² value
+    * table far from any rounding boundary — and integer sums are
+    * order-free, so `dcg_micro`/`idcg_micro` are exact across engines and
+    * partitionings; `ndcg_at_k` is ONE IEEE divide at the boundary. MRR is
+    * kept in exact micro-units (`10⁶ DIV first_relevant_pos`).
+    *
+    * == Scale shape ==
+    * Reuses the [[annRecall]] candidate plan: bucket equi-join (never the
+    * corpus cross product), per-query window top-k, two small aggregations
+    * keyed by query_id. Cost is the candidate scoring; the metric math adds
+    * one narrow projection. */
+  def annRankingMetrics(embeddings0: DataFrame, nQueries: Int, k: Int,
+                        nPlanes: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val dcgTerm = "CAST(floor(rel * 1000000.0 / log2(pos + 1) + 0.5) AS BIGINT)"
+    val exact = bruteTopK(embeddings0, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1) - col("rank")).cast("long").as("rel"),
+        col("rank").cast("long").as("pos"))
+    val idcg = exact.groupBy(col("query_id"))
+      .agg(sum(expr(dcgTerm)).as("idcg_micro"))
+    val b = lshBuckets(embeddings0, nPlanes).select(col("vec_id"), col("bucket"))
+    val qb = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val cand = b.join(qb, Seq("bucket")).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val queries = embeddings0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = cand
+      .join(embeddings0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", expr("graft_cosine(qv, embedding)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = scored.withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("pos"))
+    val withRel = approx
+      .join(exact.select(col("query_id"), col("neighbor_id"), col("rel")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val perQ = withRel.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_ret"),
+      sum(expr(dcgTerm)).as("dcg_micro"),
+      min(when(col("rel") > 0, col("pos"))).as("first_rel"))
+    qb.select(col("query_id"))
+      .join(perQ, Seq("query_id"), "left_outer")
+      .join(idcg, Seq("query_id"))
+      .select(col("query_id"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        (coalesce(col("dcg_micro"), lit(0L)).cast("double") / col("idcg_micro"))
+          .as("ndcg_at_k"),
+        coalesce(expr("CAST(1000000 AS BIGINT) DIV first_rel"), lit(0L))
+          .as("rr_micro"))
+  }
+
+  /** DuckDB mirror of [[annRankingMetrics]] — same micro-unit DCG terms,
+    * same tie order, sums cast back to BIGINT (DuckDB sum(BIGINT) widens
+    * to HUGEINT). */
+  def duckAnnRankingSql(nQueries: Int, k: Int, nPlanes: Int): String = {
+    val dcgTerm = "CAST(floor(rel * 1000000.0 / log2(pos + 1) + 0.5) AS BIGINT)"
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id,
+       |    CAST($k + 1 - rank AS BIGINT) AS rel, CAST(rank AS BIGINT) AS pos
+       |  FROM (${duckBruteTopKSql(nQueries, k)})),
+       |idcg AS (
+       |  SELECT query_id, CAST(sum($dcgTerm) AS BIGINT) AS idcg_micro
+       |  FROM exact GROUP BY query_id),
+       |b AS (SELECT vec_id, bucket FROM (${duckLshBucketsSql(nPlanes)})),
+       |qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT qb.query_id, b.vec_id
+       |  FROM b JOIN qb USING (bucket) WHERE b.vec_id <> qb.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    (SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+       |            ELSE dot / sqrt(na * nb) END
+       |     FROM (SELECT
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.embedding, (x, i) ->
+       |           CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+       |         (a, b) -> a + b) AS dot,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.embedding, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS na,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(e.embedding, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS nb)) AS cos
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id, pos FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY cos DESC, neighbor_id ASC)
+       |           AS BIGINT) AS pos
+       |    FROM scored)
+       |  WHERE pos <= $k),
+       |withrel AS (
+       |  SELECT a.query_id, a.pos, coalesce(e.rel, 0) AS rel
+       |  FROM approx a LEFT JOIN exact e
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+       |perq AS (
+       |  SELECT query_id, count(*) AS n_ret,
+       |    CAST(sum($dcgTerm) AS BIGINT) AS dcg_micro,
+       |    min(CASE WHEN rel > 0 THEN pos END) AS first_rel
+       |  FROM withrel GROUP BY query_id)
+       |SELECT q.query_id,
+       |  coalesce(p.n_ret, 0) AS n_ret,
+       |  coalesce(p.dcg_micro, 0) AS dcg_micro,
+       |  i.idcg_micro,
+       |  CAST(coalesce(p.dcg_micro, 0) AS DOUBLE) / i.idcg_micro AS ndcg_at_k,
+       |  coalesce(1000000 // p.first_rel, 0) AS rr_micro
+       |FROM qb q
+       |LEFT JOIN perq p USING (query_id)
+       |JOIN idcg i USING (query_id)""".stripMargin
+  }
+
   /** The ONE centroid-selection rule (bootstrap seed): a deterministic
     * stride sample of the corpus, `cell` = the seed's vec_id. Shared by
     * [[ivfCells]] / [[ivfRecall]] and their Duck mirrors so the engine and

@@ -113,6 +113,13 @@ object CurationQueries {
       Similarity.annRecall(s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK, LshPlanes)),
 
+    // NDCG@k + MRR of the same ANN path, graded by exact-baseline rank —
+    // rewards returning the RIGHT neighbors EARLY (recall@k cannot see
+    // ordering); micro-unit integer DCG terms keep it bitwise
+    "ann_ndcg" -> ((s, dir) =>
+      Similarity.annRankingMetrics(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK, LshPlanes)),
+
 
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
@@ -509,6 +516,7 @@ object CurationQueries {
       Dedup.duckContainmentPairsSql(s"seqs AS (${Seqs.duckSqlSub})",
         duckLshPairsSql), // nested WITH — fine as a CTE body in DuckDB
     "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
+    "ann_ndcg" -> Similarity.duckAnnRankingSql(TopKQueries, TopK, LshPlanes),
     "dedup_exact" -> Dedup.duckExactSql,
     "dedup_minhash" ->
       s"""SELECT doc_id,

@@ -95,6 +95,44 @@ class OpsSpec extends AnyFunSuite {
     assert(rec.getAs[Double]("recall") == 1.0)
   }
 
+  test("ANN NDCG/MRR: perfect bucket retrieval scores 1.0; a bucket miss discounts by position") {
+    // all same-direction vectors share every sign bucket; -v0 flips all bits
+    val base = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val perfect = Seq(
+      (0L, base, 0),
+      (1L, base.map(_ * 2), 0),
+      (2L, base.map(_ * 3), 0),
+      (3L, base.map(-_), 1))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.annRankingMetrics(perfect, nQueries = 1, k = 2,
+      nPlanes = 8).collect()(0)
+    // exact top-2 = ANN top-2 = (1, 2), both cos 1, ties by vec_id
+    val t1 = math.floor(2e6 / (math.log(2) / math.log(2)) + 0.5).toLong // 2000000
+    val t2 = math.floor(1e6 / (math.log(3) / math.log(2)) + 0.5).toLong // 630930
+    assert(p.getAs[Long]("n_ret") == 2L)
+    assert(p.getAs[Long]("dcg_micro") == t1 + t2)
+    assert(p.getAs[Long]("idcg_micro") == t1 + t2)
+    assert(p.getAs[Double]("ndcg_at_k") == 1.0)
+    assert(p.getAs[Long]("rr_micro") == 1000000L)
+
+    // only ONE same-direction neighbor: the exact list still has k = 2
+    // entries (second is a cos = -1 tie -> vec_id 2), but the bucket holds
+    // just vec 1 -> DCG misses the second exact slot entirely
+    val degraded = Seq(
+      (0L, base, 0),
+      (1L, base.map(_ * 2), 0),
+      (2L, base.map(-_), 1),
+      (3L, base.map(x => -2 * x), 1))
+      .toDF("vec_id", "embedding", "label")
+    val d = Similarity.annRankingMetrics(degraded, nQueries = 1, k = 2,
+      nPlanes = 8).collect()(0)
+    assert(d.getAs[Long]("n_ret") == 1L)
+    assert(d.getAs[Long]("dcg_micro") == t1)
+    assert(d.getAs[Long]("idcg_micro") == t1 + t2)
+    assert(d.getAs[Double]("ndcg_at_k") == t1.toDouble / (t1 + t2))
+    assert(d.getAs[Long]("rr_micro") == 1000000L)
+  }
+
   test("production normalizer fit (var_pop partials) == ordered fold, allclose") {
     val xs = Seq.tabulate(400)(i => ((i * 37 % 101) - 50).toDouble / 7.0)
     val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
