@@ -843,4 +843,82 @@ object Similarity {
     }.mkString(" + ")
     s"SELECT vec_id, label, CAST($bits AS BIGINT) AS bucket FROM embeddings"
   }
+
+  /** Scalar int8 quantization of the embedding column (FAISS-style SQ8,
+    * per-vector max-abs scale): `q_i = floor(x_i · 127 / scale + 0.5)` ∈
+    * [−127, 127], stored beside one double `scale` — 4× smaller than the
+    * float32 source, the difference between an ANN candidate store that
+    * fits executor memory at corpus scale and one that doesn't. The
+    * reconstruction-error report (`err2` = Σ(x − q·scale/127)²,
+    * `max_abs_err`, bounded by scale/254) is the measurement a pipeline
+    * reads before switching its candidate scoring to the quantized form.
+    *
+    * == Scale shape ==
+    * One narrow per-row projection — no shuffle, no driver state; the
+    * quantized array is emitted as an md5 digest of its canonical CSV
+    * rendering (integer formatting is identical across engines, the
+    * [[graft.ops.Dedup]] minhash-digest convention).
+    *
+    * == Parity ==
+    * `scale` is an order-free max of exact doubles; `q` uses the shared
+    * half-up `floor(x + 0.5)` rule; `err2`/`max_abs_err` fold left-to-right
+    * in both engines (the [[CosineSim]]-mirror fold-order identity), so
+    * every column is bitwise across engines and partitionings. */
+  def quantizeInt8(embeddings0: DataFrame): DataFrame = {
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    embeddings
+      .withColumn("scale", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))""".stripMargin))
+      .withColumn("qv", expr(
+        """transform(embedding, x ->
+          |  CAST(CASE WHEN scale = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+          |       ELSE floor(CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE) / scale
+          |                  + CAST(0.5 AS DOUBLE)) END AS INT))""".stripMargin))
+      .withColumn("dv", expr(
+        """zip_with(embedding, qv, (x, qi) ->
+          |  CAST(x AS DOUBLE) - CAST(qi AS DOUBLE) * scale
+          |    / CAST(127.0 AS DOUBLE))""".stripMargin))
+      .select(col("vec_id"), col("scale"),
+        size(col("qv")).as("n_dims"),
+        expr("md5(array_join(transform(qv, q -> CAST(q AS STRING)), ','))")
+          .as("q_md5"),
+        expr("""aggregate(dv, CAST(0.0 AS DOUBLE), (a, d) -> a + d * d)""")
+          .as("err2"),
+        expr("""aggregate(dv, CAST(0.0 AS DOUBLE),
+               |  (a, d) -> greatest(a, abs(d)))""".stripMargin)
+          .as("max_abs_err"))
+  }
+
+  /** DuckDB mirror of [[quantizeInt8]] — same scale max, half-up rule,
+    * and left fold order. */
+  def duckQuantizeInt8Sql: String =
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+       |      (a, b) -> greatest(a, b)) AS scale
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, embedding, scale,
+       |    list_transform(embedding, x ->
+       |      CAST(CASE WHEN scale = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+       |           ELSE floor(CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE) / scale
+       |                      + CAST(0.5 AS DOUBLE)) END AS INTEGER)) AS qv
+       |  FROM s),
+       |d AS (
+       |  SELECT vec_id, scale, qv,
+       |    list_transform(embedding, (x, i) ->
+       |      CAST(x AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scale
+       |        / CAST(127.0 AS DOUBLE)) AS dv
+       |  FROM q)
+       |SELECT vec_id, scale,
+       |  CAST(len(qv) AS INTEGER) AS n_dims,
+       |  md5(array_to_string(qv, ',')) AS q_md5,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(dv, e -> e * e)), (a, b) -> a + b) AS err2,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(dv, e -> abs(e))),
+       |    (a, b) -> greatest(a, b)) AS max_abs_err
+       |FROM d""".stripMargin
 }

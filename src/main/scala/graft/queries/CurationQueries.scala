@@ -120,6 +120,11 @@ object CurationQueries {
       Similarity.annRankingMetrics(s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK, LshPlanes)),
 
+    // int8 scalar quantization (FAISS-style SQ8) + reconstruction-error
+    // report — the 4x-smaller candidate store for the ANN scale path
+    "embed_quant" -> ((s, dir) =>
+      Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))),
+
 
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
@@ -517,6 +522,7 @@ object CurationQueries {
         duckLshPairsSql), // nested WITH — fine as a CTE body in DuckDB
     "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
     "ann_ndcg" -> Similarity.duckAnnRankingSql(TopKQueries, TopK, LshPlanes),
+    "embed_quant" -> Similarity.duckQuantizeInt8Sql,
     "dedup_exact" -> Dedup.duckExactSql,
     "dedup_minhash" ->
       s"""SELECT doc_id,

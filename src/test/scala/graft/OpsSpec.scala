@@ -133,6 +133,34 @@ class OpsSpec extends AnyFunSuite {
     assert(d.getAs[Long]("rr_micro") == 1000000L)
   }
 
+  test("int8 quantization: exact values round-trip, error bounded by scale/254") {
+    val emb = Seq(
+      (0L, Array(1.0f, -1.0f, 0.0f, 0.5f), 0),  // 0.5 -> 64 (half-up)
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0),   // zero vector: scale 0
+      (2L, Array(0.25f, -0.125f, 1.0f, -0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val r0 = rows(0L)
+    assert(r0.getAs[Double]("scale") == 1.0)
+    assert(r0.getAs[Int]("n_dims") == 4)
+    // q = [127, -127, 0, 64]; the md5 digest convention (CSV of ints)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("127,-127,0,64".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r0.getAs[String]("q_md5") == md)
+    // only the 0.5 slot carries error: |0.5 - 64/127| = 1/254
+    assert(math.abs(r0.getAs[Double]("max_abs_err") - 1.0 / 254) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("err2") - 1.0 / (254.0 * 254)) < 1e-12)
+    val r1 = rows(1L)
+    assert(r1.getAs[Double]("scale") == 0.0)
+    assert(r1.getAs[Double]("err2") == 0.0)
+    val r2 = rows(2L)
+    assert(r2.getAs[Double]("scale") == 1.0)
+    // every element's error is within the SQ8 bound scale/254 (+0.5 ulp)
+    assert(r2.getAs[Double]("max_abs_err") <= 1.0 / 254 + 1e-12)
+  }
+
   test("production normalizer fit (var_pop partials) == ordered fold, allclose") {
     val xs = Seq.tabulate(400)(i => ((i * 37 % 101) - 50).toDouble / 7.0)
     val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
