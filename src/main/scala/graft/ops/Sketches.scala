@@ -174,6 +174,154 @@ object Sketches {
        |FROM sk""".stripMargin
 
   // ------------------------------------------------------------------
+  // HyperLogLog distinct-count sketch
+  // ------------------------------------------------------------------
+
+  /** HLL register width: 60-bit md5 hash → p index bits + (60 − p)
+    * pattern bits, so an all-zero pattern word gets rho = 61 − p. */
+  private def hllMaxRho(p: Int): Int = 61 - p
+
+  /** HyperLogLog distinct-count report over the distinct source-bigram
+    * sets — the fixed-size (2^p registers) counterpart of [[kmvReport]]'s
+    * k-min sketch. Where KMV salts hashes per source (disjoint key sets,
+    * merged row = SUM of per-source distincts), HLL here hashes the gram
+    * UNSALTED, so the `__all__` row is the element-wise MAX merge of the
+    * per-source register tables — the true union-cardinality merge that
+    * makes HLL the industry-standard distributed sketch: registers built
+    * on 1000 executors (or 1000 days of increments) combine with max, no
+    * rescan.
+    *
+    * == Determinism / parity ==
+    * Registers are exact integers: bucket = h mod 2^p, rho = index of the
+    * lowest set bit of the pattern word via `bit_count((w & -w) - 1) + 1`
+    * (pure integer ops, identical both engines). The harmonic-mean
+    * denominator is kept in EXACT fixed point — each register contributes
+    * `2^(54 − reg)` (an integer shift; Σ ≤ 2^p·2^54 = 2^62 fits int64) —
+    * so `sum_scaled` is an order-free integer sum. `raw_est` =
+    * `alpha·m²·2^54 / sum_scaled` is ONE IEEE divide of a shared decimal
+    * constant by an exact integer; the small-range linear-counting branch
+    * (`m·ln(m/V)`, V = zero registers > 0 and raw_est ≤ 2.5m) is
+    * micro-quantized to int64 — its ln argument set is ≤ m small
+    * rationals, the [[graft.ops.FeatureSelect]] micro-nat rule.
+    *
+    * The exact per-source/global distinct counts exist only because the
+    * report *measures* the sketch error (the [[countMinReport]] rule);
+    * production keeps the 2^p-row register table alone. */
+  def hllReport(seqs: DataFrame, p: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // alpha·m²·2^54 — rendered via Double.toString so the DuckDB mirror
+    // parses the bit-identical constant
+    val numer = alpha * m * m * math.pow(2.0, 54)
+    val bi = seqs
+      .select(col("source"),
+        explode(expr("graft_pack_ngrams(tokens, 2)")).as("gram"))
+      .distinct()
+    val h = bi.select(col("source"),
+      conv(substring(md5(concat(lit("hll:"), col("gram").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+    val rho =
+      s"""IF(h DIV $m = 0, ${hllMaxRho(p)},
+         |   CAST(bit_count(((h DIV $m) & -(h DIV $m)) - 1) AS INT) + 1)"""
+        .stripMargin
+    val regsSrc = h
+      .select(col("source"), (col("h") % m).cast("int").as("bucket"),
+        expr(rho).as("rho"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+    // the union merge: element-wise max of the per-source register tables
+    val regsAll = regsSrc.groupBy(col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+      .select(lit("__all__").as("source"), col("bucket"), col("reg"))
+    val est = regsSrc.unionByName(regsAll)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr("IF(reg <= 54, shiftleft(CAST(1 AS BIGINT), 54 - reg), " +
+          "CAST(0 AS BIGINT))")).as("sum_present"))
+      .select(col("source"),
+        (lit(m.toLong) - col("n_used")).as("n_zero"),
+        (col("sum_present") +
+          (lit(m.toLong) - col("n_used")) * lit(1L << 54)).as("sum_scaled"))
+      .withColumn("raw_est",
+        lit(numer) / col("sum_scaled").cast("double"))
+      .withColumn("est_micro", expr(
+        s"""CASE WHEN n_zero > 0 AND raw_est <= CAST(${5L * m / 2} AS DOUBLE)
+           |  THEN CAST(floor(CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE)
+           |    / CAST(n_zero AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           |  ELSE CAST(floor(raw_est * 1000000.0 + 0.5) AS BIGINT)
+           |END""".stripMargin))
+    val nSrc = bi.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val nAll = bi.select(col("gram")).distinct()
+      .agg(count(lit(1)).as("n_exact"))
+      .select(lit("__all__").as("source"), col("n_exact"))
+    est.join(nSrc.unionByName(nAll), Seq("source"))
+      .select(col("source"), col("n_zero"), col("sum_scaled"),
+        col("raw_est"), col("est_micro"), col("n_exact"))
+  }
+
+  /** DuckDB mirror of [[hllReport]] — same hash, register, fixed-point
+    * and correction rules (sums cast back to BIGINT against HUGEINT
+    * widening). */
+  def duckHllSql(seqsSql: String, p: Int): String = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, 54)
+    s"""WITH seqs AS ($seqsSql),
+       |bi AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
+       |  FROM (SELECT source, unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)),
+       |h AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5('hll:' || gram), 1, 15))::BIGINT AS h
+       |  FROM bi),
+       |regs_src AS MATERIALIZED (
+       |  SELECT source, CAST(h % $m AS INTEGER) AS bucket,
+       |    max(CASE WHEN h // $m = 0 THEN ${hllMaxRho(p)}
+       |        ELSE CAST(bit_count(((h // $m) & -(h // $m)) - 1) AS INTEGER)
+       |             + 1 END) AS reg
+       |  FROM h GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT * FROM regs_src
+       |  UNION ALL
+       |  SELECT '__all__' AS source, bucket, max(reg) AS reg
+       |  FROM regs_src GROUP BY bucket),
+       |est AS (
+       |  SELECT source,
+       |    CAST($m - count(*) AS BIGINT) AS n_zero,
+       |    CAST(CAST(sum(CASE WHEN reg <= 54
+       |            THEN (CAST(1 AS BIGINT) << (54 - reg))
+       |            ELSE 0 END) AS BIGINT)
+       |      + ($m - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
+       |      AS sum_scaled
+       |  FROM regs GROUP BY 1),
+       |est2 AS (
+       |  SELECT source, n_zero, sum_scaled,
+       |    CAST($numer AS DOUBLE) / CAST(sum_scaled AS DOUBLE) AS raw_est
+       |  FROM est),
+       |est3 AS (
+       |  SELECT source, n_zero, sum_scaled, raw_est,
+       |    CASE WHEN n_zero > 0 AND raw_est <= CAST(${5L * m / 2} AS DOUBLE)
+       |      THEN CAST(floor(CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE)
+       |        / CAST(n_zero AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |      ELSE CAST(floor(raw_est * 1000000.0 + 0.5) AS BIGINT)
+       |    END AS est_micro
+       |  FROM est2),
+       |n_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM bi GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__all__' AS source,
+       |    CAST(count(DISTINCT gram) AS BIGINT) AS n_exact
+       |  FROM bi)
+       |SELECT e.source, e.n_zero, e.sum_scaled, e.raw_est, e.est_micro,
+       |  n.n_exact
+       |FROM est3 e JOIN n_src n USING (source)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Bloom-filter join pruning
   // ------------------------------------------------------------------
 

@@ -19,6 +19,10 @@ object SketchQueries {
   // KMV: k = 64 minimum 60-bit hashes (native bounded graft_kmin agg)
   val KmvK = 64
 
+  // HLL: 2^8 = 256 registers — ~6.5% standard error, enough to land well
+  // inside the linear-counting regime boundary on both sides at sf0.01
+  val HllP = 8
+
   // Bloom: 1024 bits × 3 hashes over the 'zh' member set (~15% of docs)
   // — fill ratio ≈ 0.2, fp rate ≈ 0.8% ⇒ a few expected false positives
   val BloomBits = 1024
@@ -45,6 +49,10 @@ object SketchQueries {
     // KMV distinct-count sketch per source + merged global row
     "sketch_kmv" -> ((s, dir) =>
       Sketches.kmvReport(Seqs.fromDocuments(s, dir), KmvK)),
+
+    // HLL register sketch per source + element-wise-max-merged union row
+    "sketch_hll" -> ((s, dir) =>
+      Sketches.hllReport(Seqs.fromDocuments(s, dir), HllP)),
 
     // Bloom-filter semi-join pruning report (single row)
     "bloom_prune" -> ((s, dir) =>
@@ -73,6 +81,9 @@ object SketchQueries {
 
     "sketch_kmv" ->
       Sketches.duckKmvSql(Seqs.duckSql, KmvK),
+
+    "sketch_hll" ->
+      Sketches.duckHllSql(Seqs.duckSql, HllP),
 
     "bloom_prune" ->
       Sketches.duckBloomSql(

@@ -54,6 +54,51 @@ class SketchSpec extends AnyFunSuite {
       s"global estimate $estAll too far from exact $nAll")
   }
 
+  test("HLL: union row is the register max-merge; estimate within sketch error") {
+    // two sources share half their grams: the union row must count the
+    // true distinct union (< sum of per-source counts), built purely by
+    // max-merging the per-source register tables
+    val seqs = (0 until 6).map { d =>
+      val off = (d % 2) * 500 // sources overlap on a 500-gram band
+      (s"d$d",
+        Seq.tabulate(800)(i => (off + (d / 2) * 67 + i * 13) % 1000 - 500),
+        800, s"src${d % 2}")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = Sketches.hllReport(seqs, p = 8).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rep.size == 3, "2 per-source rows + the merged '__all__' row")
+    val all = rep("__all__")
+    val nAll = all.getAs[Long]("n_exact")
+    val sumSrc = Seq("src0", "src1").map(rep(_).getAs[Long]("n_exact")).sum
+    assert(nAll < sumSrc, "overlapping grams: union < sum of per-source")
+    // m = 256 registers: rel stddev ~ 1.04/sqrt(256) ~ 6.5%; allow 3 sigma
+    val est = all.getAs[Long]("est_micro").toDouble / 1e6
+    assert(math.abs(est - nAll) < 3 * 0.065 * nAll,
+      s"union estimate $est too far from exact $nAll")
+    for (s <- Seq("src0", "src1")) {
+      val r = rep(s)
+      val e = r.getAs[Long]("est_micro").toDouble / 1e6
+      val n = r.getAs[Long]("n_exact")
+      assert(math.abs(e - n) < 3 * 0.065 * n, s"$s estimate $e vs exact $n")
+      // the union's harmonic denominator can never exceed a source's
+      // (registers only grow under max-merge)
+      assert(all.getAs[Long]("sum_scaled") <= r.getAs[Long]("sum_scaled"))
+    }
+  }
+
+  test("HLL: identical sources leave the merged registers unchanged") {
+    val toks = Seq.tabulate(300)(i => (i * 7) % 211 - 100)
+    val seqs = Seq(("a", toks, 300, "sA"), ("b", toks, 300, "sB"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = Sketches.hllReport(seqs, p = 8).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val ss = Seq("sA", "sB", "__all__").map(rep(_).getAs[Long]("sum_scaled"))
+    assert(ss.distinct.size == 1,
+      "identical gram sets -> identical registers -> identical merge")
+    assert(Seq("sA", "sB", "__all__")
+      .map(rep(_).getAs[Long]("est_micro")).distinct.size == 1)
+  }
+
   test("KMV: source with fewer than k distinct falls back to exact") {
     val seqs = toySeqs("a" -> Seq.tabulate(40)(i => i % 5))
     val rep = Sketches.kmvReport(seqs, k = 64).collect()
