@@ -221,7 +221,17 @@ object EventQueries {
           IntervalBucketUs)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("iv_id"), col("from_us"), col("to_us"))
-    })
+    }),
+
+    // per-group lower-median imputation: values on a deterministic
+    // missingness mask (event_id % 13 = 0) are filled with their
+    // event_type's median — an order statistic (an exact copy of an
+    // existing double), never an average, so the fill is bitwise
+    "impute_median" -> ((s, dir) =>
+      graft.ops.Impute.groupMedianFill(
+        s.read.parquet(s"$dir/events.parquet"),
+        group = "event_type", id = "event_id", value = "value",
+        missing = expr(s"event_id % $ImputeMissMod = 0")))
   )
 
   /** Synthetic campaign-duration slot (12 h, microseconds): interval k
@@ -237,7 +247,16 @@ object EventQueries {
   /** Skew-report depth. */
   val SkewTopK = 20
 
+  /** Deterministic missingness mask for the imputation query. */
+  val ImputeMissMod = 13
+
   def oracles: Map[String, String] = Map(
+
+    "impute_median" -> graft.ops.Impute.duckGroupMedianFillSql(
+      s"""SELECT event_type AS g, event_id AS k, value AS v,
+         |  event_id % $ImputeMissMod = 0 AS is_missing FROM events"""
+        .stripMargin,
+      group = "event_type", id = "event_id"),
 
     "events_interval_join" ->
       s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events),

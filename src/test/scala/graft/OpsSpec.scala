@@ -161,6 +161,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("max_abs_err") <= 1.0 / 254 + 1e-12)
   }
 
+  test("group-median imputation: lower median fills, all-missing group stays NULL") {
+    val rows = Seq(
+      // group A present values {1.0, 5.0, 9.0, 20.0} -> lower median 5.0
+      ("A", 1L, 1.0, false), ("A", 2L, 5.0, false), ("A", 3L, 9.0, false),
+      ("A", 4L, 20.0, false), ("A", 5L, -99.0, true),
+      // group B present {7.0} -> median 7.0
+      ("B", 6L, 7.0, false), ("B", 7L, 0.0, true),
+      // group C entirely missing -> fill stays NULL
+      ("C", 8L, 0.0, true))
+      .toDF("g", "k", "v", "miss")
+    val out = graft.ops.Impute.groupMedianFill(rows, "g", "k", "v",
+      col("miss")).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Boolean]("was_missing"), Option(r.get(3)))).toMap
+    assert(out(1L) == (false, Some(1.0)))
+    assert(out(5L) == (true, Some(5.0)), "even group: LOWER median (rank 2)")
+    assert(out(7L) == (true, Some(7.0)))
+    assert(out(8L) == (true, None), "all-missing group keeps NULL")
+    assert(out.size == 8)
+  }
+
   test("production normalizer fit (var_pop partials) == ordered fold, allclose") {
     val xs = Seq.tabulate(400)(i => ((i * 37 % 101) - 50).toDouble / 7.0)
     val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
