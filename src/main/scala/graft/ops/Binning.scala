@@ -69,4 +69,52 @@ object Binning {
        |SELECT base.key, base.x, CAST(1 + count(b.hi) AS INT) AS bin
        |FROM base LEFT JOIN b ON b.hi < base.x
        |GROUP BY 1, 2""".stripMargin
+
+  /** Hashed feature cross (the hashing trick for categorical crosses —
+    * the Vowpal-Wabbit / wide-model `cross_column` analog): the cartesian
+    * interaction of `cols` is mapped into `dim` buckets by the shared
+    * [[Sampling.md5Slot]] hash, and the report measures what the model
+    * will actually see — per-bucket row mass, how many DISTINCT raw
+    * crosses collided into the bucket, and the lexicographically smallest
+    * one as a stable exemplar. Crossing is how linear/wide models get
+    * interaction features without materializing a vocabulary; the
+    * collision count is the price paid for the fixed dimension.
+    *
+    * == Scale shape ==
+    * Two-stage: the corpus reduces to the exact distinct-cross table
+    * first (ONE shuffle with map-side combine, ≤ |cross vocabulary| rows
+    * — same rule as [[Sketches.countMinReport]]), then the vocab-sized
+    * table is hashed and re-aggregated to ≤ `dim` rows. Hash cost lands
+    * on the vocabulary, not on every row; the report is model-sized.
+    *
+    * Raw-cross rendering `'cross:' || c1 || '|' || … ` is canonical in
+    * both engines; counts are exact int64 — bitwise everywhere. */
+  def hashedCross(df: DataFrame, cols: Seq[String], dim: Int): DataFrame = {
+    val raw = df
+      .select(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+        .as("raw"))
+      .groupBy(col("raw")).agg(count(lit(1)).as("n_rows"))
+    raw
+      .select(Sampling.md5Slot(concat(lit("cross:"), col("raw")), dim)
+        .as("bucket"), col("raw"), col("n_rows"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_crosses"),
+        min(col("raw")).as("min_cross"))
+  }
+
+  /** DuckDB mirror of [[hashedCross]] over a `(raw)` SELECT (one row per
+    * input row, the pre-concatenated cross string). */
+  def duckHashedCrossSql(rawSql: String, dim: Int): String =
+    s"""WITH raw AS (
+       |  SELECT raw, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM ($rawSql) q0 GROUP BY 1),
+       |h AS (
+       |  SELECT ${Sampling.duckMd5Slot("'cross:' || raw", dim)} AS bucket,
+       |    raw, n_rows
+       |  FROM raw)
+       |SELECT bucket, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_crosses,
+       |  min(raw) AS min_cross
+       |FROM h GROUP BY 1""".stripMargin
 }

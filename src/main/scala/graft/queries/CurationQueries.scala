@@ -41,6 +41,8 @@ object CurationQueries {
   val DupNgramK = 4
   // per-doc tf-idf salience ranking depth
   val TfidfK = 3
+  // hashed-cross dimension: small enough that collisions are measured
+  val CrossDim = 64
   // epoch shuffle: epochs checked x head size per epoch
   val EpochN = 3
   val EpochHeadK = 25
@@ -445,6 +447,14 @@ object CurationQueries {
     "source_drift" -> ((s, dir) =>
       graft.ops.LanguageModel.sourceDrift(Seqs.fromDocuments(s, dir))),
 
+    // hashed feature cross (lang x source -> 64 buckets): the wide-model
+    // interaction trick with a measured collision report; hash cost lands
+    // on the cross vocabulary, never per row
+    "feature_cross" -> ((s, dir) =>
+      graft.ops.Binning.hashedCross(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("lang", "source"), CrossDim)),
+
     // feature correlation matrix: single-pass int64 moment sums (one
     // global agg, zero shuffle), corr assembled at the boundary — the
     // collinearity screen before model fitting
@@ -640,6 +650,8 @@ object CurationQueries {
          |FROM (${graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli)}) s
          |JOIN documents d USING (doc_id)""".stripMargin,
       "score", "label", CalibLoMilli, CalibBinMilli, CalibBins),
+    "feature_cross" -> graft.ops.Binning.duckHashedCrossSql(
+      "SELECT lang || '|' || source AS raw FROM documents", CrossDim),
     "feature_corr" -> graft.ops.FeatureStats.duckCorrSql(
       s"""SELECT CAST(n_chars AS BIGINT) AS n_chars,
          |  CAST(len(${graft.ops.TextAnalysis.duckWordsExpr}) AS BIGINT)

@@ -161,6 +161,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("max_abs_err") <= 1.0 / 254 + 1e-12)
   }
 
+  test("hashed cross: row mass preserved, dim=1 collapses all crosses to one bucket") {
+    val df = Seq(("en", "s0"), ("en", "s0"), ("en", "s1"), ("de", "s0"),
+      ("de", "s1"), ("zh", "s2")).toDF("lang", "source")
+    val one = graft.ops.Binning.hashedCross(df, Seq("lang", "source"), 1)
+      .collect()
+    assert(one.length == 1)
+    assert(one(0).getAs[Long]("bucket") == 0L)
+    assert(one(0).getAs[Long]("n_rows") == 6L)
+    assert(one(0).getAs[Long]("n_crosses") == 5L)
+    assert(one(0).getAs[String]("min_cross") == "de|s0")
+    // wide dim: per-bucket masses still sum to the corpus
+    val wide = graft.ops.Binning.hashedCross(df, Seq("lang", "source"), 4096)
+      .collect()
+    assert(wide.map(_.getAs[Long]("n_rows")).sum == 6L)
+    assert(wide.map(_.getAs[Long]("n_crosses")).sum == 5L)
+  }
+
   test("group-median imputation: lower median fills, all-missing group stays NULL") {
     val rows = Seq(
       // group A present values {1.0, 5.0, 9.0, 20.0} -> lower median 5.0
