@@ -219,6 +219,79 @@ object Evaluation {
        |    / CAST(count(*) AS DOUBLE) AS frac_pos
        |FROM b GROUP BY bin""".stripMargin
 
+  /** Isotonic (monotone) calibration fit over the reliability bins — the
+    * pool-adjacent-violators regression, computed by PAV's minimax
+    * characterization `iso(i) = max_{j≤i} min_{k≥i} mean(y, j..k)`
+    * instead of the sequential pooling loop: every candidate segment mean
+    * comes from two exact cumulative int64 sums (ONE IEEE divide each),
+    * and the min/max lattice over the ≤ bins³ (i, j, k) triples is pure
+    * comparison — no float accumulation anywhere, bitwise across engines.
+    *
+    * == Scale shape ==
+    * The corpus touches ONLY [[calibrationBins]]' narrow projection +
+    * bins-row aggregation; everything after is model-sized (`bins` ≤ a
+    * few dozen → the triple grid is thousands of rows), so the global-
+    * order cumsum window and the two tiny aggregations cost nothing at
+    * any corpus size. The output is the serving-side calibration map:
+    * monotone `iso_rate` per score bin, the lookup table a scorer applies
+    * with one broadcast join. */
+  def isotonicFit(scored: DataFrame, score: String, label: String,
+                  loMilli: Long, binMilli: Long, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = calibrationBins(scored, score, label, loMilli, binMilli, bins)
+      .select(col("bin"), col("lo_milli"), col("n"), col("n_pos"),
+        col("frac_pos"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.select(col("bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(w).as("cn"), sum(col("n_pos")).over(w).as("cp"))
+    val segStart = cum.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cn_jm1"),
+      (col("cp") - col("n_pos")).as("cp_jm1"))
+    val segEnd = cum.select(col("bin").as("k"), col("cn").as("cn_k"),
+      col("cp").as("cp_k"))
+    val pairs = segStart.join(segEnd, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cp_k") - col("cp_jm1")).cast("double")
+          / (col("cn_k") - col("cn_jm1")).cast("double")).as("m"))
+    val minByJ = b.select(col("bin").as("i"))
+      .join(pairs, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("m")).as("mn"))
+    val iso = minByJ.groupBy(col("i")).agg(max(col("mn")).as("iso_rate"))
+    b.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("lo_milli"), col("n"), col("n_pos"),
+        col("frac_pos"), col("iso_rate"))
+  }
+
+  /** DuckDB mirror of [[isotonicFit]] — same bins, cumsums, and minimax
+    * lattice. */
+  def duckIsotonicSql(scoredSql: String, score: String, label: String,
+                      loMilli: Long, binMilli: Long, bins: Int): String =
+    s"""WITH bcal AS (
+       |  SELECT bin, lo_milli, n, n_pos, frac_pos
+       |  FROM (${duckCalibrationSql(scoredSql, score, label,
+                                     loMilli, binMilli, bins)}) q0),
+       |cum AS (
+       |  SELECT bin, n, n_pos,
+       |    CAST(sum(n) OVER (ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+       |    CAST(sum(n_pos) OVER (ORDER BY bin
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+       |  FROM bcal),
+       |pairs AS (
+       |  SELECT a.bin AS j, k.bin AS k,
+       |    CAST(k.cp - (a.cp - a.n_pos) AS DOUBLE)
+       |      / CAST(k.cn - (a.cn - a.n) AS DOUBLE) AS m
+       |  FROM cum a JOIN cum k ON a.bin <= k.bin),
+       |minbyj AS (
+       |  SELECT i.bin AS i, p.j, min(p.m) AS mn
+       |  FROM bcal i JOIN pairs p ON p.j <= i.bin AND p.k >= i.bin
+       |  GROUP BY 1, 2),
+       |iso AS (
+       |  SELECT i, max(mn) AS iso_rate FROM minbyj GROUP BY 1)
+       |SELECT b.bin, b.lo_milli, b.n, b.n_pos, b.frac_pos, s.iso_rate
+       |FROM bcal b JOIN iso s ON s.i = b.bin""".stripMargin
+
   /** DuckDB mirror of [[prCurve]]. */
   def duckPrCurveSql(scoredSql: String, score: String, label: String,
                      buckets: Int): String =

@@ -493,6 +493,23 @@ object CurationQueries {
         .select(col("logit").as("score"), col("label"))
       graft.ops.Evaluation.calibrationBins(scored, "score", "label",
         CalibLoMilli, CalibBinMilli, CalibBins)
+    }),
+
+    // isotonic (PAV) calibration fit over the same bins: the monotone
+    // score -> probability map, via the minimax characterization (exact
+    // cumulative int64 segment means, one divide each; min/max lattice is
+    // pure comparison) -- the corpus is touched only by the bin pass
+    "isotonic" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.ops.LinearModel.score(
+          base.select(col("doc_id"), col("text")),
+          graft.ops.LinearModel.synthWeights(s, LinearDim),
+          LinearDim, LinearBiasMilli)
+        .join(base.select(col("doc_id"), (col("doc_id") % 7 < 3).as("label")),
+          Seq("doc_id"))
+        .select(col("logit").as("score"), col("label"))
+      graft.ops.Evaluation.isotonicFit(scored, "score", "label",
+        CalibLoMilli, CalibBinMilli, CalibBins)
     })
   )
 
@@ -645,6 +662,11 @@ object CurationQueries {
       graft.ops.FeatureSelect.duckChi2Sql(Seqs.duckSql, Chi2K),
     "mi_select" ->
       graft.ops.FeatureSelect.duckMiSql(Seqs.duckSql, Chi2K),
+    "isotonic" -> graft.ops.Evaluation.duckIsotonicSql(
+      s"""SELECT s.logit AS score, (d.doc_id % 7 < 3) AS label
+         |FROM (${graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli)}) s
+         |JOIN documents d USING (doc_id)""".stripMargin,
+      "score", "label", CalibLoMilli, CalibBinMilli, CalibBins),
     "calibration" -> graft.ops.Evaluation.duckCalibrationSql(
       s"""SELECT s.logit AS score, (d.doc_id % 7 < 3) AS label
          |FROM (${graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli)}) s

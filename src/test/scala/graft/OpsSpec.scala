@@ -161,6 +161,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("max_abs_err") <= 1.0 / 254 + 1e-12)
   }
 
+  test("isotonic fit: adjacent violators pool to their weighted mean, result monotone") {
+    // bin rates [0, 1, 0.5] with weights [2, 1, 2]: PAV pools bins 1-2 to
+    // (1+1)/3 = 2/3 -> iso = [0, 2/3, 2/3]
+    val scored = Seq(
+      (0.05, false), (0.05, false),          // bin 0: 0/2
+      (0.15, true),                          // bin 1: 1/1
+      (0.25, true), (0.25, false))           // bin 2: 1/2
+      .toDF("score", "label")
+    val iso = graft.ops.Evaluation.isotonicFit(scored, "score", "label",
+      loMilli = 0L, binMilli = 100L, bins = 10).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Double]("frac_pos"), r.getAs[Double]("iso_rate"))).toMap
+    assert(iso(0L) == ((0.0, 0.0)))
+    assert(iso(1L)._1 == 1.0 && iso(1L)._2 == 2.0 / 3.0)
+    assert(iso(2L)._1 == 0.5 && iso(2L)._2 == 2.0 / 3.0)
+    // monotone in bin order
+    val ordered = iso.toSeq.sortBy(_._1).map(_._2._2)
+    assert(ordered == ordered.sorted)
+  }
+
   test("hashed cross: row mass preserved, dim=1 collapses all crosses to one bucket") {
     val df = Seq(("en", "s0"), ("en", "s0"), ("en", "s1"), ("de", "s0"),
       ("de", "s1"), ("zh", "s2")).toDF("lang", "source")
