@@ -94,7 +94,21 @@ object Explain {
       "calibration (narrow milli-quantize projection, bins-row aggregation)" ->
         SparkEntry.queries("calibration")(spark, sfDir),
       "events_interval_join (bucketed range join: bounded explode, one (key,bucket) exchange)" ->
-        SparkEntry.queries("events_interval_join")(spark, sfDir))
+        SparkEntry.queries("events_interval_join")(spark, sfDir),
+      "mi_select (shared chi2 contingency grid, micro-nat integer ranking)" ->
+        SparkEntry.queries("mi_select")(spark, sfDir),
+      "ann_ndcg (bucket equi-join candidates, micro-unit DCG aggregation)" ->
+        SparkEntry.queries("ann_ndcg")(spark, sfDir),
+      "embed_quant (one narrow SQ8 projection, zero shuffle)" ->
+        SparkEntry.queries("embed_quant")(spark, sfDir),
+      "sketch_hll (register groupBy with map-side partials, max-merge union)" ->
+        SparkEntry.queries("sketch_hll")(spark, sfDir),
+      "impute_median (rank window over present rows, strata medians broadcast back)" ->
+        SparkEntry.queries("impute_median")(spark, sfDir),
+      "feature_cross (vocab-sized distinct-cross agg, then bucket re-agg)" ->
+        SparkEntry.queries("feature_cross")(spark, sfDir),
+      "isotonic (corpus bin pass only; model-sized minimax lattice)" ->
+        SparkEntry.queries("isotonic")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")

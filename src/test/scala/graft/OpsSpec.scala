@@ -161,6 +161,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("max_abs_err") <= 1.0 / 254 + 1e-12)
   }
 
+  test("z-order layout: interleaved chunks prune a point box; natural layout cannot") {
+    // 2x2 grid, two copies of each cell; ids interleave the cells so the
+    // NATURAL chunking mixes every envelope while z-order separates them
+    val pts = Seq((0L, 0L, 0L), (1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 1L),
+      (4L, 0L, 0L), (5L, 1L, 1L), (6L, 1L, 0L), (7L, 0L, 1L))
+      .toDF("k", "x", "y")
+    val rep = graft.ops.Layout.zorderReport(pts, "k", "x", "y",
+      bits = 2, chunkRows = 2, qx0 = 0, qx1 = 0, qy0 = 0, qy1 = 0)
+      .collect()
+    val byLayout = rep.groupBy(_.getAs[String]("layout"))
+    assert(byLayout("zorder").map(_.getAs[Long]("n")).sum == 8L)
+    assert(byLayout("natural").map(_.getAs[Long]("n")).sum == 8L)
+    // z-order: chunks are exactly the four grid cells (z = 0,1,2,3 pairs)
+    // -> only the (0,0) chunk intersects the point box
+    assert(byLayout("zorder").count(_.getAs[Boolean]("overlaps")) == 1)
+    assert(byLayout("zorder").forall(r =>
+      r.getAs[Long]("x_min") == r.getAs[Long]("x_max") &&
+        r.getAs[Long]("y_min") == r.getAs[Long]("y_max")),
+      "each z-order chunk must hold a single grid cell")
+    // natural: every chunk spans the full grid -> nothing prunes
+    assert(byLayout("natural").count(_.getAs[Boolean]("overlaps")) == 4)
+  }
+
   test("isotonic fit: adjacent violators pool to their weighted mean, result monotone") {
     // bin rates [0, 1, 0.5] with weights [2, 1, 2]: PAV pools bins 1-2 to
     // (1+1)/3 = 2/3 -> iso = [0, 2/3, 2/3]
