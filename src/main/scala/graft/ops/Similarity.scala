@@ -844,6 +844,55 @@ object Similarity {
     s"SELECT vec_id, label, CAST($bits AS BIGINT) AS bucket FROM embeddings"
   }
 
+  /** Embedding-level train/eval contamination: near-duplicate pairs that
+    * STRADDLE a split boundary — the SemDeDup-style leak the n-gram
+    * decontamination pass cannot see (a paraphrase shares no exact grams
+    * but sits at cosine ≈ 0.97). Composes the banded sign-LSH near-dup
+    * detector with the deterministic hash split: candidate generation,
+    * id-only shuffles, and the split table all reuse their audited scale
+    * shapes; this operator adds two id-keyed joins of the (small) pair
+    * list against the split labels and a label-inequality filter. */
+  def crossSplitContam(embeddings0: DataFrame, nBands: Int,
+                       bitsPerBand: Int, minCos: Double): DataFrame = {
+    val dups = embeddingNearDups(embeddings0, nBands, bitsPerBand, minCos)
+    val split = Sampling.assignSplit(
+        embeddings0.select(col("vec_id")), col("vec_id"))
+      .select(col("vec_id"), col("split"))
+    dups
+      .join(split.select(col("vec_id").as("vec_a"),
+        col("split").as("split_a")), Seq("vec_a"))
+      .join(split.select(col("vec_id").as("vec_b"),
+        col("split").as("split_b")), Seq("vec_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("vec_a"), col("vec_b"), col("cos"),
+        col("split_a"), col("split_b"))
+  }
+
+  /** DuckDB mirror of [[crossSplitContam]] over the planted corpus. */
+  def duckCrossSplitContamSql(nBands: Int, bitsPerBand: Int, minCos: Double,
+                              plantMod: Int): String = {
+    val spec = Sampling.SplitSpec()
+    val slot = Sampling.duckMd5Slot("vec_id", 1000)
+    s"""WITH aug AS MATERIALIZED (
+       |${duckPlantSql(plantMod)}),
+       |nd AS MATERIALIZED (
+       |  SELECT * FROM (
+       |${duckEmbeddingNearDupsSql(nBands, bitsPerBand, minCos, src = "aug")}
+       |  ) q0),
+       |sp AS (
+       |  SELECT vec_id,
+       |    CASE WHEN $slot < ${spec.train} THEN 'train'
+       |         WHEN $slot < ${spec.train + spec.valid} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM aug)
+       |SELECT nd.vec_a, nd.vec_b, nd.cos,
+       |  a.split AS split_a, b.split AS split_b
+       |FROM nd
+       |JOIN sp a ON a.vec_id = nd.vec_a
+       |JOIN sp b ON b.vec_id = nd.vec_b
+       |WHERE a.split <> b.split""".stripMargin
+  }
+
   /** Scalar int8 quantization of the embedding column (FAISS-style SQ8,
     * per-vector max-abs scale): `q_i = floor(x_i · 127 / scale + 0.5)` ∈
     * [−127, 127], stored beside one double `scale` — 4× smaller than the

@@ -128,6 +128,15 @@ object CurationQueries {
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))),
 
 
+    // near-dup pairs that straddle the train/val/test hash split — the
+    // embedding-level (SemDeDup-style) eval-contamination check n-gram
+    // decontamination cannot see
+    "contam_embed" -> ((s, dir) =>
+      Similarity.crossSplitContam(
+        Similarity.plantNearDups(
+          s.read.parquet(s"$dir/embeddings.parquet"), EmbedPlantMod),
+        EmbedBands, EmbedBits, EmbedMinCos)),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))),
 
@@ -550,6 +559,8 @@ object CurationQueries {
     "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
     "ann_ndcg" -> Similarity.duckAnnRankingSql(TopKQueries, TopK, LshPlanes),
     "embed_quant" -> Similarity.duckQuantizeInt8Sql,
+    "contam_embed" -> Similarity.duckCrossSplitContamSql(
+      EmbedBands, EmbedBits, EmbedMinCos, EmbedPlantMod),
     "dedup_exact" -> Dedup.duckExactSql,
     "dedup_minhash" ->
       s"""SELECT doc_id,

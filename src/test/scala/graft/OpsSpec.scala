@@ -161,6 +161,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("max_abs_err") <= 1.0 / 254 + 1e-12)
   }
 
+  test("cross-split contamination: only boundary-straddling near-dup pairs survive") {
+    // 0/1 and 2/3 are identical pairs; hash split assigns per vec_id, so
+    // we only assert the filter semantics: every reported pair straddles
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => (i + 1).toFloat), 0),
+      (1L, Array.tabulate(16)(i => (i + 1).toFloat), 0),
+      (2L, Array.tabulate(16)(i => (i * 3 % 7 + 1).toFloat), 1),
+      (3L, Array.tabulate(16)(i => (i * 3 % 7 + 1).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+    val all = graft.ops.Similarity.embeddingNearDups(vecs, 3, 8, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((0L, 1L), (2L, 3L)))
+    val contam = graft.ops.Similarity.crossSplitContam(vecs, 3, 8, 0.9)
+      .collect()
+    assert(contam.forall(r =>
+      r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+    assert(contam.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(
+      all.map { case (a, b) => (b, a) } ++ all))
+  }
+
   test("z-order layout: interleaved chunks prune a point box; natural layout cannot") {
     // 2x2 grid, two copies of each cell; ids interleave the cells so the
     // NATURAL chunking mixes every envelope while z-order separates them
