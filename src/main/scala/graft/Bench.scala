@@ -44,8 +44,10 @@ object Bench {
     "seq_split",          // training-window materialization (packing family)
     "skipgram_top",       // native skip-gram codes + global top-k
     "sketch_kmv",         // KMV distinct sketch (bucketed two-stage merge)
+    "sketch_hll",         // HLL registers + max-merge union row
     "source_overlap",     // gram-keyed cross-source self-join + Jaccard
     "source_drift",       // per-source JSD off the vocab-bounded grid
+    "embed_quant",        // int8 SQ8 quantization (narrow projection)
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -101,7 +101,7 @@ object Explain {
         SparkEntry.queries("ann_ndcg")(spark, sfDir),
       "embed_quant (one narrow SQ8 projection, zero shuffle)" ->
         SparkEntry.queries("embed_quant")(spark, sfDir),
-      "sketch_hll (register groupBy with map-side partials, max-merge union)" ->
+      "sketch_hll (one gram pass, GROUPING SETS registers + max-merge union, no diamond)" ->
         SparkEntry.queries("sketch_hll")(spark, sfDir),
       "impute_median (rank window over present rows, strata medians broadcast back)" ->
         SparkEntry.queries("impute_median")(spark, sfDir),
