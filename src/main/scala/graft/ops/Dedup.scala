@@ -260,17 +260,19 @@ object Dedup {
     *
     * Grams are exact packed identities ([[graft.functions.expressions
     * .PackNgrams]], k ≤ 4) — no collision noise. Plan: one narrow explode
-    * (doc_id-only payload) → per-(doc, gram) partial agg → gram-keyed
-    * doc-frequency agg → join back + doc-keyed agg. Two gram exchanges +
-    * one doc exchange, all with map-side partials; the Zipf-head gram rows
-    * are bounded by the per-(doc,gram) pre-aggregation (join input is
-    * distinct docs per gram, never raw occurrences). */
+    * (doc_id-only payload) → per-(doc, gram) partial agg → doc-frequency
+    * as `count(*) OVER (PARTITION BY gram)` → doc-keyed agg. A STRAIGHT
+    * pipeline: the window replaces an earlier doc-frequency self-join
+    * whose two references to the per-(doc, gram) table re-ran the corpus
+    * explode when AQE stage reuse missed (the sketch_hll diamond,
+    * BENCH.md); the gram partition is bounded by distinct docs per gram,
+    * never raw occurrences, so the Zipf head stays pre-aggregated. */
   def duplicatedNgramStats(seqs: DataFrame, k: Int): DataFrame = {
     val perDocGram = LanguageModel.gramInstances(seqs, k)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
-    val docFreq = perDocGram.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
-    perDocGram.join(docFreq, Seq("gram"))
+    perDocGram
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_grams"),
         sum(when(col("n_docs") >= 2, col("n_occ")).otherwise(0L)).as("n_dup"),
@@ -289,22 +291,28 @@ object Dedup {
     * duplicated fraction — the removal signal substring dedup acts on.
     *
     * Spark shape instead of a suffix array: the window table carries ONLY
-    * (doc_id, hash) — never token payload — through one gram-keyed
-    * doc-frequency aggregation (map-side partials) and one semi-join back
-    * (AQE splits hot boilerplate hashes), then a doc-keyed agg. Stride
-    * trades recall granularity for a 1/stride window count, the standard
-    * production dial; windows per doc are capped by the analysis cap.
-    * A same-doc repeat does not count (n_docs ≥ 2 is cross-document, the
-    * within-doc signal is [[duplicatedNgramStats]]). */
+    * (doc_id, hash) — never token payload — through one per-(hash, doc)
+    * partial agg, then the cross-doc frequency as `count(*) OVER
+    * (PARTITION BY h)` on that deduplicated table, then a doc-keyed agg.
+    * A STRAIGHT pipeline (an earlier doc-frequency self-join referenced
+    * the corpus explode twice — the sketch_hll diamond, BENCH.md); the
+    * hash partition is bounded by distinct docs per span, so a hot
+    * boilerplate span costs its doc count, never its occurrence count.
+    * Stride trades recall granularity for a 1/stride window count, the
+    * standard production dial; windows per doc are capped by the analysis
+    * cap. A same-doc repeat does not count (n_docs ≥ 2 is cross-document,
+    * the within-doc signal is [[duplicatedNgramStats]]). */
   def spanDupStats(seqs: DataFrame, winLen: Int, stride: Int): DataFrame = {
-    val w = seqs.select(col("doc_id"),
+    val perDocSpan = seqs
+      .select(col("doc_id"),
         explode(expr(s"graft_span_hashes(tokens, $winLen, $stride)")).as("h"))
-    val docFreq = w.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-    w.join(docFreq, Seq("h"))
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("n_win"))
+    perDocSpan
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("n_win")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("n_win")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         col("n_dup").cast("double") / col("n_windows").cast("double"))
   }

@@ -62,13 +62,27 @@ object LanguageModel {
   def scoreBigramNll(seqs: DataFrame): DataFrame = {
     val v = gramInstances(seqs, 1)
       .agg(countDistinct(col("gram")).as("__v"))
-    val nll = bigramCounts(seqs).crossJoin(broadcast(v))
-      .select(col("gram"),
-        expr("CAST(round(ln(CAST(c1 + __v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
-          .as("nll_micro"))
+    // model counts as window sums over the per-(doc, gram) table: c12 =
+    // occurrences of the gram (Σ n_occ over the gram partition), c1 =
+    // occurrences of its left context (Σ n_occ over the t1 partition) —
+    // a STRAIGHT pipeline over ONE bigram explode. The earlier form built
+    // a separate gram-keyed model and joined it back, re-running the
+    // corpus explode when AQE stage reuse missed (the sketch_hll diamond,
+    // BENCH.md) and paying the Zipf-hot gram join the module scaladoc
+    // warns about; window partitions here are bounded by distinct
+    // (doc, gram) rows, never raw occurrences.
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    val byT1 = org.apache.spark.sql.expressions.Window.partitionBy(col("t1"))
     gramInstances(seqs, 2)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
-      .join(nll, Seq("gram"))
+      .withColumn("t1", expr("gram div 4096"))
+      .withColumn("c12", sum(col("n_occ")).over(byGram))
+      .withColumn("c1", sum(col("n_occ")).over(byT1))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("n_occ"),
+        expr("CAST(round(ln(CAST(c1 + __v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("nll_micro"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_bigrams"),
         sum(col("n_occ") * col("nll_micro")).as("__sum"))
