@@ -107,6 +107,108 @@ object WindowFeatures {
         Seq(col(s"w_n_$i"), col(s"w_sum_$i"))): _*)
   }
 
+  /** Half-life DECAYED COUNTER at probe time — the classic feature-store
+    * recency-weighted event counter ("decayed counts" of ad/feed ranking
+    * systems), computed EXACTLY: an event of age `a ≥ 1` (strictly before
+    * the probe) contributes weight `2^(scalePow − k)` with
+    * `k = ceil(a / H) − 1` half-life buckets elapsed (ages `1..H` are
+    * bucket 0 — the strictly-before rule shifts the boundary by one tick),
+    * and events older than `nBuckets` half-lives contribute 0. All contributions are powers of two in int64
+    * micro-units, so sums are order-free and bitwise across engines —
+    * no floating `exp(−λΔt)` anywhere (the continuous form's libm decay
+    * is irreproducible across engines; bucketed half-life decay is the
+    * standard production approximation and makes the counter exact).
+    *
+    * == Plan shape ==
+    * The same union-tagging as [[trailingAgg]]: ONE hash exchange + ONE
+    * sort, then `nBuckets` RANGE frames `[t−(k+1)H, t−kH−1]` sharing the
+    * same `(PARTITION BY key ORDER BY ts)` spec — Catalyst collapses them
+    * into a single Window operator with k sliding frames over one sorted
+    * run; cost is linear in events per key, never probe × series.
+    *
+    * Overflow bound: `decay_n_micro ≤ n_recent · 2^scalePow`; with the
+    * default `scalePow = 40` an int64 holds ~2^22 events in the newest
+    * bucket per probe — raise `H` or lower `scalePow` for hotter keys.
+    *
+    * @return probes + `decay_n_micro` (Σ weights, i.e. the decayed event
+    *         count scaled by `2^scalePow`) + `decay_sum_micro` (decayed
+    *         value sum, same scale; `valueCol` must be integer-exact) */
+  def decayedCounter(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      valueCol: String,
+      halfLife: Long,
+      nBuckets: Int = 16,
+      scalePow: Int = 40): DataFrame = {
+    require(nBuckets <= scalePow + 1, "bucket weights must stay >= 1")
+    val probeCols = probes.columns.toSeq
+    val ts = "__w_ts"
+    val side = "__w_side"
+    val v = "__w_v"
+    val nonKey = probeCols.filterNot(_ == key)
+
+    val s = series.select(
+      col(key) +: col(seriesTs).cast("long").as(ts) +: lit(0).as(side) +:
+        col(valueCol).cast("long").as(v) +:
+        nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val p = probes.select(
+      col(key) +: col(probeTs).cast("long").as(ts) +: lit(1).as(side) +:
+        lit(null).cast("long").as(v) +:
+        nonKey.map(col): _*)
+
+    val terms = (0 until nBuckets).map { k =>
+      val w = Window.partitionBy(col(key)).orderBy(col(ts))
+        .rangeBetween(-(k + 1L) * halfLife, -k.toLong * halfLife - 1L)
+      val weight = 1L << (scalePow - k)
+      (count(col(v)).over(w) * lit(weight),
+        coalesce(sum(col(v)).over(w), lit(0L)) * lit(weight))
+    }
+    s.unionByName(p)
+      .select(col("*"),
+        terms.map(_._1).reduce(_ + _).as("decay_n_micro"),
+        terms.map(_._2).reduce(_ + _).as("decay_sum_micro"))
+      .filter(col(side) === 1)
+      .select(probeCols.map(col) :+ col("decay_n_micro") :+
+        col("decay_sum_micro"): _*)
+  }
+
+  /** DuckDB mirror of [[decayedCounter]] over the `events` view. */
+  def duckDecayedCounterSql(probeType: String, seriesType: String,
+                            halfLife: Long, nBuckets: Int = 16,
+                            scalePow: Int = 40): String = {
+    val frames = (0 until nBuckets).map { k =>
+      s"d$k AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN " +
+        s"${(k + 1L) * halfLife} PRECEDING AND ${k.toLong * halfLife + 1} PRECEDING)"
+    }.mkString(", ")
+    val nTerms = (0 until nBuckets).map { k =>
+      s"count(cents) OVER d$k * ${1L << (scalePow - k)}"
+    }.mkString(" + ")
+    val sTerms = (0 until nBuckets).map { k =>
+      s"coalesce(sum(cents) OVER d$k, 0) * ${1L << (scalePow - k)}"
+    }.mkString(" + ")
+    s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,
+       |                    CAST(round(value * 100) AS BIGINT) AS cents
+       |            FROM events),
+       |u AS (
+       |  SELECT user_id, ts_us, 0 AS side, cents,
+       |         CAST(NULL AS BIGINT) AS event_id
+       |  FROM ev WHERE event_type = '$seriesType'
+       |  UNION ALL
+       |  SELECT user_id, ts_us, 1 AS side, NULL AS cents, event_id
+       |  FROM ev WHERE event_type = '$probeType'),
+       |f AS (
+       |  SELECT *,
+       |    CAST($nTerms AS BIGINT) AS decay_n_micro,
+       |    CAST($sTerms AS BIGINT) AS decay_sum_micro
+       |  FROM u
+       |  WINDOW $frames)
+       |SELECT user_id, event_id, ts_us, decay_n_micro, decay_sum_micro
+       |FROM f WHERE side = 1""".stripMargin
+  }
+
   /** DuckDB mirror of [[trailingAggMulti]] over the `events` view. */
   def duckTrailingMultiSql(probeType: String, seriesType: String,
                            windows: Seq[Long]): String = {

@@ -128,6 +128,21 @@ object EventQueries {
         "user_id", "ts_us", "p_us", "cents", TrailingWindowsUs)
     }),
 
+    // half-life decayed purchase counter at click time (1-day half-life,
+    // 16 buckets): exact power-of-two weights, one window pass — the
+    // feature-store "decayed counts" with no floating exp(-lambda dt)
+    "events_decay" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val series = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"), col("cents"))
+      graft.operators.WindowFeatures.decayedCounter(probes, series,
+        "user_id", "ts_us", "p_us", "cents", halfLife = LabelHorizonUs)
+    }),
+
     // FLAGSHIP composition: leakage-free training-set assembly — as-of
     // state feature (1 h freshness) + 3-horizon trailing history + 1-day
     // forward label, all from one declarative plan
@@ -370,6 +385,10 @@ object EventQueries {
     "events_trailing_multi" ->
       graft.operators.WindowFeatures.duckTrailingMultiSql(
         "click", "purchase", TrailingWindowsUs),
+
+    "events_decay" ->
+      graft.operators.WindowFeatures.duckDecayedCounterSql(
+        "click", "purchase", LabelHorizonUs),
 
     "training_set" -> {
       val histCols = TrailingWindowsUs.indices

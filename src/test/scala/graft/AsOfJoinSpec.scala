@@ -164,6 +164,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.collect { case e: ShuffleExchangeLike => e }.size == 1)
   }
 
+  test("decayedCounter: half-life bucket weights, hand-computed; one window op") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val ser = Seq(("a", 5L, 3L), ("a", 12L, 7L), ("a", 25L, 11L))
+      .toDF("k", "ts", "cents")
+    val prb = Seq(("a", 5L), ("a", 30L), ("b", 9L)).toDF("k", "t")
+    val dc = graft.operators.WindowFeatures.decayedCounter(
+      prb, ser, "k", "t", "ts", "cents",
+      halfLife = 10L, nBuckets = 3, scalePow = 4)
+    val out = dc.orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // probe (a, 30): ages 25/18/5 -> buckets 2/1/0, weights 4/8/16:
+    //   n = 4 + 8 + 16 = 28; sum = 3*4 + 7*8 + 11*16 = 244
+    // probe (a, 5): the event AT t is excluded (strictly before) -> 0
+    assert(out.toSeq == Seq(
+      ("a", 5L, 0L, 0L),
+      ("a", 30L, 28L, 244L),
+      ("b", 9L, 0L, 0L)))
+    // nBuckets = 1 degenerates to trailingAgg scaled by 2^scalePow
+    val one = graft.operators.WindowFeatures.decayedCounter(
+        prb, ser, "k", "t", "ts", "cents",
+        halfLife = 10L, nBuckets = 1, scalePow = 4)
+      .orderBy("k", "t").collect().map(r => (r.getLong(2), r.getLong(3)))
+    val single = graft.operators.WindowFeatures.trailingAgg(
+        prb, ser, "k", "t", "ts", "cents", window = 10L)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(2) * 16L, r.getLong(3) * 16L))
+    assert(one.toSeq == single.toSeq)
+    // all bucket frames share one sort: ONE window op, ONE exchange
+    dc.count()
+    val plan = dc.queryExecution.executedPlan match {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case w: WindowExec => w }.size == 1)
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.size == 1)
+  }
+
   test("training-set assembly: zero temporal leakage by construction") {
     def assemble(outcomes: Seq[(String, Long, Long)]) =
       graft.features.TrainingSet.assemble(
