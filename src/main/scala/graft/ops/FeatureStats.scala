@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pairwise Pearson correlation matrix over INTEGER feature columns —
@@ -79,4 +80,101 @@ object FeatureStats {
        |m AS (SELECT ${sums.mkString(",\n    ")} FROM base)
        |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // two-sample Kolmogorov–Smirnov drift (per group vs rest-of-corpus)
+  // ------------------------------------------------------------------
+
+  /** Per-group two-sample Kolmogorov–Smirnov statistic of an integer
+    * feature vs the REST of the corpus — the rank-based drift screen that
+    * needs no binning choice (the sibling of the token-space JSD in
+    * [[LanguageModel.sourceDrift]]: that one compares discrete
+    * distributions, this one compares a numeric feature's full CDF).
+    *
+    * `D_g = max_v |F_g(v) − F_rest(v)|` where both ECDFs are step
+    * functions jumping only at observed values, so the max over the
+    * observed value domain is the EXACT statistic.
+    *
+    * == Exactness ==
+    * Per value: cumulative counts `cum_g`, `cum_rest` are exact int64
+    * window sums; the comparison is done on the integer cross-product
+    * form `|cum_g·n_rest − cum_rest·n_g|` (no float enters the argmax),
+    * and `D` is assembled at the boundary as one multiply + one divide of
+    * exact casts → bitwise across engines. `ks_at` is the SMALLEST value
+    * attaining the max (total tie order). Magnitude bound: the products
+    * are ≤ N² — int64-safe through ~3·10⁹ rows; beyond that widen the
+    * two products to DECIMAL(38) (they stay mergeable), as with
+    * [[corrMatrix]]'s moment sums.
+    *
+    * == Scale shape ==
+    * The ONLY corpus exchange is the `(grp, v)` count (map-side partials);
+    * everything after runs on the |V|×|groups| grid. For continuous /
+    * unbounded-domain features pre-discretize with
+    * [[Binning.quantileBin]] (or the Greenwald–Khanna
+    * `quantileBinApprox` sketch path at extreme scale) so |V| ≤ k —
+    * the KS of the binned variable lower-bounds the raw one. Groups with
+    * an empty complement (single-group corpus) yield NULL `ks`. */
+  def ksDrift(df: DataFrame, valueCol: String, grpCol: String): DataFrame = {
+    val c = df
+      .groupBy(col(grpCol).cast("string").as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val vall = c.groupBy("v").agg(sum("c").as("cv"))
+    val ns = c.groupBy("grp").agg(sum("c").as("n_grp"))
+    val tot = vall.agg(sum("cv").as("n_all"))
+    val grid = ns.crossJoin(broadcast(vall))
+      .join(c, Seq("grp", "v"), "left")
+      .select(col("grp"), col("v"), col("n_grp"), col("cv"),
+        coalesce(col("c"), lit(0L)).as("cg"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cr", col("cv") - col("cg"))
+      .withColumn("n_rest", col("n_all") - col("n_grp"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("diff",
+        abs(sum(col("cg")).over(w) * col("n_rest")
+          - sum(col("cr")).over(w) * col("n_grp")))
+    val rw = Window.partitionBy("grp")
+      .orderBy(col("diff").desc, col("v").asc)
+    cum.withColumn("__rn", row_number().over(rw))
+      .where(col("__rn") === 1)
+      .select(col("grp").as("source"), col("n_grp"), col("n_rest"),
+        col("v").as("ks_at"),
+        when(col("n_rest") > 0,
+          col("diff").cast("double")
+            / (col("n_grp").cast("double") * col("n_rest").cast("double")))
+          .as("ks"))
+  }
+
+  /** DuckDB mirror of [[ksDrift]] over `baseSql` — a SELECT yielding
+    * (grp VARCHAR, v BIGINT). Same grid, same integer cross-product
+    * argmax, same boundary IEEE ops. */
+  def duckKsSql(baseSql: String): String =
+    s"""WITH base AS ($baseSql),
+       |c AS (SELECT grp, v, count(*) AS c FROM base GROUP BY 1, 2),
+       |vall AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM c GROUP BY 1),
+       |ns AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_grp FROM c GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cv) AS BIGINT) AS n_all FROM vall),
+       |grid AS (
+       |  SELECT ns.grp, vall.v, ns.n_grp, vall.cv,
+       |    coalesce(c.c, 0) AS cg, vall.cv - coalesce(c.c, 0) AS cr,
+       |    tot.n_all - ns.n_grp AS n_rest
+       |  FROM ns CROSS JOIN vall CROSS JOIN tot
+       |  LEFT JOIN c ON c.grp = ns.grp AND c.v = vall.v),
+       |cum AS (
+       |  SELECT grp, v, n_grp, n_rest,
+       |    abs(CAST(sum(cg) OVER w AS BIGINT) * n_rest
+       |        - CAST(sum(cr) OVER w AS BIGINT) * n_grp) AS diff
+       |  FROM grid
+       |  WINDOW w AS (PARTITION BY grp ORDER BY v
+       |               ROWS UNBOUNDED PRECEDING)),
+       |r AS (SELECT *, row_number() OVER (
+       |        PARTITION BY grp ORDER BY diff DESC, v ASC) AS rn FROM cum)
+       |SELECT grp AS source, n_grp, n_rest, v AS ks_at,
+       |  CASE WHEN n_rest > 0 THEN
+       |    CAST(diff AS DOUBLE)
+       |    / (CAST(n_grp AS DOUBLE) * CAST(n_rest AS DOUBLE))
+       |  END AS ks
+       |FROM r WHERE rn = 1""".stripMargin
 }

@@ -464,6 +464,14 @@ object CurationQueries {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("lang", "source"), CrossDim)),
 
+    // per-source two-sample Kolmogorov–Smirnov drift of doc length vs
+    // rest-of-corpus: the binning-free CDF drift screen (sibling of
+    // source_drift's token-space JSD); one (grp, v) count exchange, then
+    // |V|x|S| grid windows, integer cross-product argmax
+    "ks_drift" -> ((s, dir) =>
+      graft.ops.FeatureStats.ksDrift(
+        s.read.parquet(s"$dir/documents.parquet"), "n_chars", "source")),
+
     // feature correlation matrix: single-pass int64 moment sums (one
     // global agg, zero shuffle), corr assembled at the boundary — the
     // collinearity screen before model fitting
@@ -685,6 +693,8 @@ object CurationQueries {
       "score", "label", CalibLoMilli, CalibBinMilli, CalibBins),
     "feature_cross" -> graft.ops.Binning.duckHashedCrossSql(
       "SELECT lang || '|' || source AS raw FROM documents", CrossDim),
+    "ks_drift" -> graft.ops.FeatureStats.duckKsSql(
+      "SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents"),
     "feature_corr" -> graft.ops.FeatureStats.duckCorrSql(
       s"""SELECT CAST(n_chars AS BIGINT) AS n_chars,
          |  CAST(len(${graft.ops.TextAnalysis.duckWordsExpr}) AS BIGINT)

@@ -1242,6 +1242,40 @@ class OpsSpec extends AnyFunSuite {
       rows(("z", "w")) == None)
   }
 
+  test("ksDrift: exact two-sample KS matches brute-force ECDF sweep") {
+    // three groups with deliberately different length distributions; one
+    // group shares no values with the rest so every pooled value matters
+    val rows =
+      (1 to 40).map(i => ("a", (i % 7) * 10L)) ++
+        (1 to 25).map(i => ("b", (i % 5) * 10L + 5L)) ++
+        (1 to 15).map(i => ("c", (i % 3) * 100L))
+    val got = graft.ops.FeatureStats
+      .ksDrift(rows.toDF("source", "v"), "v", "source")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got.size == 3)
+    for ((g, (nG, nR, at, ks)) <- got) {
+      val mine = rows.filter(_._1 == g).map(_._2)
+      val rest = rows.filter(_._1 != g).map(_._2)
+      assert(nG == mine.size && nR == rest.size)
+      val vs = (mine ++ rest).distinct.sorted
+      // brute force: integer cross-product |cumG*nR - cumR*nG| per value
+      val diffs = vs.map { v =>
+        v -> math.abs(mine.count(_ <= v).toLong * rest.size
+          - rest.count(_ <= v).toLong * mine.size)
+      }
+      val dMax = diffs.map(_._2).max
+      assert(at == diffs.filter(_._2 == dMax).map(_._1).min) // smallest-v tie
+      assert(ks == dMax.toDouble / (mine.size.toDouble * rest.size.toDouble))
+    }
+    // single-group corpus: empty complement -> NULL ks
+    val solo = graft.ops.FeatureStats
+      .ksDrift(Seq(("x", 1L), ("x", 2L)).toDF("source", "v"), "v", "source")
+      .collect()
+    assert(solo.length == 1 && solo.head.isNullAt(4))
+  }
+
   test("calibration bins: grid assignment and rates match brute force") {
     import graft.ops.Evaluation
     // scores straddle the grid on both sides so the edge clamps are hit
