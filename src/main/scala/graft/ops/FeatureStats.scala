@@ -177,4 +177,107 @@ object FeatureStats {
        |    / (CAST(n_grp AS DOUBLE) * CAST(n_rest AS DOUBLE))
        |  END AS ks
        |FROM r WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // population stability index (per group vs rest, quantile bins)
+  // ------------------------------------------------------------------
+
+  /** Per-group Population Stability Index of an integer feature vs the
+    * rest of the corpus — THE standard model-monitoring drift score
+    * (PSI < 0.1 stable / 0.1–0.25 moderate / > 0.25 action), complementing
+    * [[ksDrift]]: KS reports the worst single CDF gap, PSI integrates
+    * mass re-allocation across the whole distribution.
+    *
+    * `PSI_g = Σ_bins (p_i − q_i) · ln(p_i / q_i)` over the corpus's k
+    * equal-frequency bins ([[Binning.quantileBin]]'s exact boundary rule,
+    * REUSED — not re-stated — so binning cannot desynchronize from the
+    * discretizer), with add-1 smoothing so empty bins stay finite:
+    * `p_i = (c_gi + 1) / (n_g + k)`, `q_i` likewise over the complement.
+    *
+    * == Exactness ==
+    * Each bin contributes `m_i · λ_i` where
+    * `m_i = (c_gi+1)(n_r+k) − (c_ri+1)(n_g+k)` is exact int64 and
+    * `λ_i = round(1e6 · ln(p_i/q_i))` is the micro-nat-quantized log term
+    * (the [[LanguageModel.sourceDrift]] idiom — order-free int64 weighted
+    * sums; the single `ln` per GRID CELL is the only transcendental).
+    * PSI = one divide chain at the boundary. Magnitude: `|m_i| ≤ N²` and
+    * `|λ_i| ≤ ~4·10⁷`, so the int64 sum is safe through ~10⁴ rows per
+    * 1e6-row corpus cell; at extreme scale divide `m_i` by a power of two
+    * or widen the term to DECIMAL(38) (still mergeable).
+    *
+    * == Scale shape ==
+    * The quantile window is the one global-order exchange (swap in
+    * `quantileBinApprox`'s mergeable sketch boundaries at extreme scale);
+    * after binning the ONLY exchange is the (grp, bin) count — the grid
+    * is |groups|×k. */
+  def psiDrift(df0: DataFrame, v: String, key: String, grp: String,
+               k: Int): DataFrame = {
+    val df = df0.select(col(key).as("key"),
+      col(grp).cast("string").as("grp"), col(v).cast("long").as("x"))
+    val binned = Binning.quantileBin(df, "x", "key", k)
+      .join(df.select("key", "grp"), Seq("key"))
+    val cgb = binned.groupBy("grp", "bin").agg(count(lit(1)).as("c"))
+    val cb = cgb.groupBy("bin").agg(sum("c").as("cb"))
+    val ng = cgb.groupBy("grp").agg(sum("c").as("n_grp"))
+    val tot = cb.agg(sum("cb").as("n_all"))
+    val grid = ng.crossJoin(broadcast(cb))
+      .join(cgb, Seq("grp", "bin"), "left")
+      .select(col("grp"), col("bin"), col("n_grp"), col("cb"),
+        coalesce(col("c"), lit(0L)).as("cg"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cr", col("cb") - col("cg"))
+      .withColumn("n_rest", col("n_all") - col("n_grp"))
+    val lam =
+      s"""CAST(round(ln(
+         |  CAST((cg + 1) * (n_rest + $k) AS DOUBLE)
+         |  / CAST((cr + 1) * (n_grp + $k) AS DOUBLE)) * 1000000)
+         |  AS BIGINT)""".stripMargin
+    grid
+      .withColumn("term",
+        expr(s"((cg + 1) * (n_rest + $k) - (cr + 1) * (n_grp + $k))")
+          * expr(lam))
+      .groupBy("grp")
+      .agg(min("n_grp").as("n_grp"), min("n_rest").as("n_rest"),
+        sum("term").as("psi_sum"))
+      .select(col("grp").as("source"), col("n_grp"), col("n_rest"),
+        when(col("n_rest") > 0,
+          col("psi_sum").cast("double")
+            / ((col("n_grp") + lit(k)).cast("double")
+              * (col("n_rest") + lit(k)).cast("double"))
+            / lit(1000000.0)).as("psi"))
+  }
+
+  /** DuckDB mirror of [[psiDrift]] over `baseSql` — a SELECT yielding
+    * (key, grp VARCHAR, x BIGINT). Binning delegates to
+    * [[Binning.duckSql]] (the same boundary/assignment rule object). */
+  def duckPsiSql(baseSql: String, k: Int): String =
+    s"""WITH base AS ($baseSql),
+       |bins AS (${Binning.duckSql("SELECT key, x FROM base", k)}),
+       |b2 AS (SELECT bins.bin, base.grp FROM bins JOIN base USING (key)),
+       |cgb AS (SELECT grp, bin, count(*) AS c FROM b2 GROUP BY 1, 2),
+       |cb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cgb GROUP BY 1),
+       |ng AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_grp FROM cgb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS n_all FROM cb),
+       |grid AS (
+       |  SELECT ng.grp, cb.bin, ng.n_grp, cb.cb,
+       |    coalesce(cgb.c, 0) AS cg, cb.cb - coalesce(cgb.c, 0) AS cr,
+       |    tot.n_all - ng.n_grp AS n_rest
+       |  FROM ng CROSS JOIN cb CROSS JOIN tot
+       |  LEFT JOIN cgb ON cgb.grp = ng.grp AND cgb.bin = cb.bin),
+       |terms AS (
+       |  SELECT grp, n_grp, n_rest,
+       |    ((cg + 1) * (n_rest + $k) - (cr + 1) * (n_grp + $k))
+       |    * CAST(round(ln(
+       |        CAST((cg + 1) * (n_rest + $k) AS DOUBLE)
+       |        / CAST((cr + 1) * (n_grp + $k) AS DOUBLE)) * 1000000)
+       |      AS BIGINT) AS term
+       |  FROM grid)
+       |SELECT grp AS source, min(n_grp) AS n_grp, min(n_rest) AS n_rest,
+       |  CASE WHEN min(n_rest) > 0 THEN
+       |    CAST(CAST(sum(term) AS BIGINT) AS DOUBLE)
+       |    / (CAST(min(n_grp) + $k AS DOUBLE)
+       |       * CAST(min(n_rest) + $k AS DOUBLE))
+       |    / 1000000.0
+       |  END AS psi
+       |FROM terms GROUP BY grp""".stripMargin
 }

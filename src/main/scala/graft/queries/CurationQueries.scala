@@ -472,6 +472,15 @@ object CurationQueries {
       graft.ops.FeatureStats.ksDrift(
         s.read.parquet(s"$dir/documents.parquet"), "n_chars", "source")),
 
+    // per-source Population Stability Index over the corpus's 10
+    // equal-frequency length bins: the integrated drift score next to
+    // ks_drift's worst-gap; binning REUSES quantileBin's boundary rule,
+    // log terms micro-nat quantized (the source_drift idiom)
+    "psi_drift" -> ((s, dir) =>
+      graft.ops.FeatureStats.psiDrift(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "n_chars", "doc_id", "source", PsiBins)),
+
     // feature correlation matrix: single-pass int64 moment sums (one
     // global agg, zero shuffle), corr assembled at the boundary — the
     // collinearity screen before model fitting
@@ -542,6 +551,9 @@ object CurationQueries {
 
   /** Quantile-discretizer bin count. */
   val BinK = 10
+
+  /** PSI drift bin count (shares quantileBin's boundary rule). */
+  val PsiBins = 10
 
   /** Per-group exact sample size. */
   val GroupSampleK = 10
@@ -695,6 +707,10 @@ object CurationQueries {
       "SELECT lang || '|' || source AS raw FROM documents", CrossDim),
     "ks_drift" -> graft.ops.FeatureStats.duckKsSql(
       "SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents"),
+    "psi_drift" -> graft.ops.FeatureStats.duckPsiSql(
+      """SELECT doc_id AS key, source AS grp,
+        |  CAST(n_chars AS BIGINT) AS x FROM documents""".stripMargin,
+      PsiBins),
     "feature_corr" -> graft.ops.FeatureStats.duckCorrSql(
       s"""SELECT CAST(n_chars AS BIGINT) AS n_chars,
          |  CAST(len(${graft.ops.TextAnalysis.duckWordsExpr}) AS BIGINT)

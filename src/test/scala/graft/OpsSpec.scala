@@ -1276,6 +1276,45 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.length == 1 && solo.head.isNullAt(4))
   }
 
+  test("psiDrift: add-1 smoothed PSI matches brute force over quantile bins") {
+    val k = 4
+    // group "b" concentrates in the upper tail -> high PSI; "a" tracks the
+    // pooled distribution -> low PSI
+    // with two groups PSI(a||rest) would mirror PSI(b||rest) exactly
+    // (PSI is symmetric in (p, q)) — a third group breaks the mirror
+    val rows = (1 to 48).map(i => (i.toLong, "a", (i % 12).toLong)) ++
+      (49 to 72).map(i => (i.toLong, "b", 9L + (i % 3).toLong)) ++
+      (73 to 108).map(i => (i.toLong, "c", (i % 11).toLong))
+    val df = rows.toDF("doc_id", "source", "v")
+    val got = graft.ops.FeatureStats.psiDrift(df, "v", "doc_id", "source", k)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // brute force: same quantileBin assignment, add-1 smoothing, micro-nat
+    val bins = graft.ops.Binning
+      .quantileBin(df.selectExpr("doc_id AS key", "v AS x"), "x", "key", k)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val byDoc = rows.map { case (id, g, _) => (id, g, bins(id)) }
+    for ((g, (nG, nR, psi)) <- got) {
+      val mine = byDoc.filter(_._2 == g)
+      val rest = byDoc.filter(_._2 != g)
+      assert(nG == mine.size && nR == rest.size)
+      val terms = (1 to k).map { b =>
+        val cg = mine.count(_._3 == b).toLong
+        val cr = rest.count(_._3 == b).toLong
+        val m = (cg + 1) * (nR + k) - (cr + 1) * (nG + k)
+        val lam = math.round(math.log(
+          ((cg + 1) * (nR + k)).toDouble
+            / ((cr + 1) * (nG + k)).toDouble) * 1e6)
+        m * lam
+      }
+      val expect = terms.sum.toDouble /
+        ((nG + k).toDouble * (nR + k).toDouble) / 1e6
+      assert(psi == expect, s"group $g")
+    }
+    assert(got("b")._3 > 0.25 && got("a")._3 < got("b")._3)
+  }
+
   test("calibration bins: grid assignment and rates match brute force") {
     import graft.ops.Evaluation
     // scores straddle the grid on both sides so the edge clamps are hit
