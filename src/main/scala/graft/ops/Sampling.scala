@@ -356,6 +356,57 @@ object Sampling {
        |  FROM documents)
        |WHERE sample_rank <= $k""".stripMargin
 
+  /** Greedy per-source token-budget fill — the final assembly step of a
+    * training-data mixture: each source contributes documents, in a
+    * deterministic priority order, until its token budget is reached
+    * (the "sample X billion tokens per domain" primitive;
+    * [[mixtureRates]] decides the per-source budgets, this op realizes
+    * them at the document level).
+    *
+    * Keep rule: a doc is kept iff the tokens taken BEFORE it
+    * (`cum_tok − n_tok`) are under the budget — so the doc that crosses
+    * the line is kept and the overshoot is < one document (the standard
+    * greedy fill; trimming the final doc is a downstream `slice`).
+    * Priority = the corpus-wide md5 hash order (rerun- and
+    * partitioning-invariant; any total order — e.g. a quality score with
+    * doc_id tie-break — slots in unchanged). `fill_rank`/`cum_tok` are
+    * emitted so the ORDER and the running total are part of the bitwise
+    * contract.
+    *
+    * Scale: one hash exchange on `source` + per-source sort window
+    * (exact int64 cumulative sums, no float) — parallelism = source
+    * cardinality; for very hot sources pre-thin with [[sampleMille]] at
+    * a rate that keeps the expected survivor token mass ≳ budget, then
+    * fill the survivors. */
+  def tokenBudgetFill(seqs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc,
+        col("doc_id").cast("string").asc)
+    seqs
+      .select(col("doc_id"), col("source"),
+        col("n_tok").cast("long").as("n_tok"))
+      .withColumn("fill_rank", row_number().over(w).cast("int"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(col("cum_tok") - col("n_tok") < budget)
+  }
+
+  /** DuckDB mirror of [[tokenBudgetFill]] over a `(doc_id, source,
+    * n_tok)` prelude CTE named `seqs`. */
+  def duckTokenBudgetSql(prelude: String, budget: Long): String =
+    s"""WITH $prelude
+       |SELECT doc_id, source, n_tok, fill_rank, cum_tok FROM (
+       |  SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       |    CAST(row_number() OVER w AS INTEGER) AS fill_rank,
+       |    CAST(sum(n_tok) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_tok
+       |  FROM seqs
+       |  WINDOW w AS (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)))
+       |WHERE cum_tok - n_tok < $budget""".stripMargin
+
   /** DuckDB mirror of [[assignSplit]] over the documents table. */
   def duckSplitSql(spec: SplitSpec = SplitSpec()): String =
     s"""SELECT doc_id, ${duckMilleSlot("doc_id")} AS bucket,

@@ -472,6 +472,13 @@ object CurationQueries {
       graft.ops.FeatureStats.ksDrift(
         s.read.parquet(s"$dir/documents.parquet"), "n_chars", "source")),
 
+    // greedy per-source token-budget fill: docs in hash-priority order
+    // until each source's token budget crosses — the mixture-assembly
+    // step that realizes mixtureRates' budgets at the document level
+    "token_budget" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetFill(
+        Seqs.fromDocuments(s, dir), BudgetTokens)),
+
     // per-source Population Stability Index over the corpus's 10
     // equal-frequency length bins: the integrated drift score next to
     // ks_drift's worst-gap; binning REUSES quantileBin's boundary rule,
@@ -554,6 +561,10 @@ object CurationQueries {
 
   /** PSI drift bin count (shares quantileBin's boundary rule). */
   val PsiBins = 10
+
+  /** Per-source token budget for the greedy fill (≈ half of each
+    * source's gate-scale token mass, so every source truncates). */
+  val BudgetTokens = 60000L
 
   /** Per-group exact sample size. */
   val GroupSampleK = 10
@@ -707,6 +718,8 @@ object CurationQueries {
       "SELECT lang || '|' || source AS raw FROM documents", CrossDim),
     "ks_drift" -> graft.ops.FeatureStats.duckKsSql(
       "SELECT source AS grp, CAST(n_chars AS BIGINT) AS v FROM documents"),
+    "token_budget" -> graft.ops.Sampling.duckTokenBudgetSql(
+      s"seqs AS (${Seqs.duckSql})", BudgetTokens),
     "psi_drift" -> graft.ops.FeatureStats.duckPsiSql(
       """SELECT doc_id AS key, source AS grp,
         |  CAST(n_chars AS BIGINT) AS x FROM documents""".stripMargin,

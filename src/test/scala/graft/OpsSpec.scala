@@ -1276,6 +1276,36 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.length == 1 && solo.head.isNullAt(4))
   }
 
+  test("tokenBudgetFill: greedy fill keeps hash-order prefix, overshoot < 1 doc") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = (1 to 30).map(i => (s"d$i", if (i <= 18) "s1" else "s2",
+      100 + (i * 37) % 300))
+    val budget = 900L
+    val got = graft.ops.Sampling
+      .tokenBudgetFill(rows.toDF("doc_id", "source", "n_tok"), budget)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+    val bySrc = got.groupBy(_._2)
+    for ((src, kept) <- bySrc) {
+      // brute force: same md5 priority order, keep while before-budget
+      val order = rows.filter(_._2 == src)
+        .sortBy(t => (md5hex(t._1), t._1)).map(t => (t._1, t._3.toLong))
+      var cum = 0L
+      val expect = order.takeWhile { case (_, n) =>
+        val keep = cum < budget; cum += n; keep }
+      assert(kept.sortBy(_._4).map(_._1).toSeq == expect.map(_._1))
+      // cum_tok emitted = the running total; overshoot < last doc
+      val last = kept.maxBy(_._4)
+      assert(last._5 - last._3 < budget && last._5 >= budget ||
+        rows.filter(_._2 == src).map(_._3.toLong).sum < budget)
+    }
+    assert(bySrc("s1").length < 18) // budget actually truncates s1
+  }
+
   test("psiDrift: add-1 smoothed PSI matches brute force over quantile bins") {
     val k = 4
     // group "b" concentrates in the upper tail -> high PSI; "a" tracks the
