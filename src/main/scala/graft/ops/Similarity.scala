@@ -970,4 +970,91 @@ object Similarity {
        |    list_transform(dv, e -> abs(e))),
        |    (a, b) -> greatest(a, b)) AS max_abs_err
        |FROM d""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Johnson–Lindenstrauss random projection (sign matrix)
+  // ------------------------------------------------------------------
+
+  /** THE sign rule for the JL projection matrix, in one place so the
+    * Spark plan and the DuckDB mirror cannot desynchronize: entry (j, i)
+    * is +1 iff the top bit of `md5("rp:<seed>:<j>:<i>")` is 0. */
+  def rpSign(seed: Long, j: Int, i: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+    if ((h(0) & 0x80) == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection `R^dim → R^kOut` with a
+    * dense ±1 sign matrix (Achlioptas' database-friendly construction:
+    * `y_j = (1/√k) Σ_i s_ji·x_i`, distance-preserving within `ε` for
+    * `k = O(ln n / ε²)`) — the cheap-embedding step before LSH/IVF when
+    * the native dimension is large, and a 4× (64→16 dims here) smaller
+    * candidate representation for the ANN scale path next to
+    * [[quantizeInt8]]'s 4× byte shrink.
+    *
+    * The matrix rides BOTH plans as literals generated by the shared
+    * [[rpSign]] rule (the GBDT model-as-literals convention — executors
+    * never deserialize a model object, and the oracle replays the exact
+    * same matrix). ±1 is applied as negation (never a float multiply by
+    * a rendered literal), each `y_j` is a LEFT FOLD in index order, and
+    * `norm_ratio = ‖y‖²/‖x‖²` (JL expects ≈ 1) folds the same way — the
+    * [[quantizeInt8]] fold-order identity ⇒ every column bitwise across
+    * engines and partitionings.
+    *
+    * == Scale shape ==
+    * One narrow per-row projection — no shuffle, no driver state. The
+    * interpreted-HOF cost is kOut·dim per ROW (vector-sized, not
+    * token-sized); if the projection ever lands on a hot inner path,
+    * fold it into a native kernel next to [[expressions.CosineSim]]. */
+  def randomProject(embeddings0: DataFrame, dim: Int, kOut: Int,
+                    seed: Long = 7L): DataFrame = {
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    val sqrtK = s"sqrt(CAST($kOut AS DOUBLE))"
+    val withY = (0 until kOut).foldLeft(embeddings) { (df, j) =>
+      val signs = (0 until dim).map(i => rpSign(seed, j, i))
+        .mkString("array(", ", ", ")")
+      df.withColumn(s"y_$j", expr(
+        s"""aggregate(zip_with(embedding, $signs,
+           |    (x, s) -> IF(s = 1, CAST(x AS DOUBLE), -CAST(x AS DOUBLE))),
+           |  CAST(0.0 AS DOUBLE), (a, v) -> a + v) / $sqrtK""".stripMargin))
+    }
+    val ny = (0 until kOut).map(j => s"y_$j * y_$j").mkString(" + ")
+    withY
+      .withColumn("__nx", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+          |  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"""
+          .stripMargin))
+      .select(Seq(col("vec_id")) ++
+        (0 until kOut).map(j => col(s"y_$j")) :+
+        expr(s"CASE WHEN __nx > CAST(0.0 AS DOUBLE) THEN ($ny) / __nx END")
+          .as("norm_ratio"): _*)
+  }
+
+  /** DuckDB mirror of [[randomProject]] — same [[rpSign]] literals, same
+    * negation rule, same left folds (1-based list index). */
+  def duckRandomProjectSql(dim: Int, kOut: Int, seed: Long = 7L): String = {
+    val ys = (0 until kOut).map { j =>
+      val signs = (0 until dim).map(i => rpSign(seed, j, i))
+        .mkString("[", ", ", "]")
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(embedding, (x, i) ->
+         |      CASE WHEN ($signs)[i] = 1 THEN CAST(x AS DOUBLE)
+         |           ELSE -CAST(x AS DOUBLE) END)),
+         |    (a, v) -> a + v) / sqrt(CAST($kOut AS DOUBLE)) AS y_$j"""
+        .stripMargin
+    }.mkString(",\n  ")
+    val ny = (0 until kOut).map(j => s"y_$j * y_$j").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |  $ys,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(embedding, x ->
+       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |    (a, v) -> a + v) AS nx
+       |  FROM embeddings)
+       |SELECT * EXCLUDE (nx),
+       |  CASE WHEN nx > CAST(0.0 AS DOUBLE) THEN ($ny) / nx END
+       |    AS norm_ratio
+       |FROM p""".stripMargin
+  }
 }

@@ -127,6 +127,14 @@ object CurationQueries {
     "embed_quant" -> ((s, dir) =>
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // Johnson–Lindenstrauss ±1 random projection 64 -> 16 dims + norm
+    // preservation report — the dimensionality shrink next to
+    // embed_quant's byte shrink; sign matrix rides both plans as
+    // literals from the shared rpSign rule
+    "rand_proj" -> ((s, dir) =>
+      Similarity.randomProject(
+        s.read.parquet(s"$dir/embeddings.parquet"), RpDim, RpK)),
+
 
     // near-dup pairs that straddle the train/val/test hash split — the
     // embedding-level (SemDeDup-style) eval-contamination check n-gram
@@ -566,6 +574,10 @@ object CurationQueries {
     * source's gate-scale token mass, so every source truncates). */
   val BudgetTokens = 60000L
 
+  /** JL random projection: native dim → projected dim. */
+  val RpDim = 64
+  val RpK = 16
+
   /** Per-group exact sample size. */
   val GroupSampleK = 10
 
@@ -590,6 +602,7 @@ object CurationQueries {
     "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
     "ann_ndcg" -> Similarity.duckAnnRankingSql(TopKQueries, TopK, LshPlanes),
     "embed_quant" -> Similarity.duckQuantizeInt8Sql,
+    "rand_proj" -> Similarity.duckRandomProjectSql(RpDim, RpK),
     "contam_embed" -> Similarity.duckCrossSplitContamSql(
       EmbedBands, EmbedBits, EmbedMinCos, EmbedPlantMod),
     "dedup_exact" -> Dedup.duckExactSql,

@@ -1276,6 +1276,43 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.length == 1 && solo.head.isNullAt(4))
   }
 
+  test("randomProject: bitwise == scalar left fold; norms roughly preserved") {
+    import graft.ops.Similarity
+    val dim = 8; val k = 4; val seed = 7L
+    val vecs = (0 until 40).map { v =>
+      (v.toLong, Array.tabulate(dim)(i => ((v * 31 + i * 17) % 23 - 11) / 7.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, dim, k, seed).collect()
+      .map(r => r.getLong(0) ->
+        ((0 until k).map(j => r.getDouble(1 + j)), r.getDouble(1 + k))).toMap
+    val sqrtK = math.sqrt(k.toDouble)
+    var ratios = List.empty[Double]
+    for ((id, xs) <- vecs) {
+      // scalar reference: the exact same left-fold order
+      val ys = (0 until k).map { j =>
+        var a = 0.0
+        for (i <- 0 until dim) {
+          val t = if (Similarity.rpSign(seed, j, i) == 1) xs(i).toDouble
+                  else -xs(i).toDouble
+          a += t
+        }
+        a / sqrtK
+      }
+      assert(got(id)._1 == ys, s"vec $id")
+      var nx = 0.0
+      for (i <- 0 until dim) nx += xs(i).toDouble * xs(i).toDouble
+      val ny = ys.foldLeft(0.0)((a, y) => a + y * y)
+      if (nx > 0) {
+        assert(got(id)._2 == ny / nx)
+        ratios ::= ny / nx
+      }
+    }
+    // JL sanity: mean norm ratio near 1 (loose — k is small)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"mean norm ratio $mean")
+  }
+
   test("tokenBudgetFill: greedy fill keeps hash-order prefix, overshoot < 1 doc") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
