@@ -108,7 +108,9 @@ object Explain {
       "feature_cross (vocab-sized distinct-cross agg, then bucket re-agg)" ->
         SparkEntry.queries("feature_cross")(spark, sfDir),
       "isotonic (corpus bin pass only; model-sized minimax lattice)" ->
-        SparkEntry.queries("isotonic")(spark, sfDir))
+        SparkEntry.queries("isotonic")(spark, sfDir),
+      "dedup_incremental (broadcast batch bands probe the frozen index — corpus side never shuffles)" ->
+        SparkEntry.queries("dedup_incremental")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")

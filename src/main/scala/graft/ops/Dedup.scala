@@ -523,4 +523,117 @@ object Dedup {
        |FROM pairs p
        |JOIN shingles a ON a.doc_id = p.doc_a
        |JOIN shingles b ON b.doc_id = p.doc_b""".stripMargin
+
+  /** Frozen-corpus LSH band index: one (doc_id, band_id, band_hash) row per
+    * band per doc — the table a production pipeline PERSISTS once (ids +
+    * two small ints, never the tokens) and probes with every new crawl
+    * batch. Narrow per-row pass ([[minhash]] + posexplode), no shuffle. */
+  def bandIndex(seqs: DataFrame): DataFrame =
+    minhash(seqs).select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_hash")))
+
+  /** Incremental candidates: NEW batch docs colliding with the frozen
+    * index on any band bucket. The batch band table is BROADCAST (a crawl
+    * batch is small next to the corpus), so the corpus-scale index is
+    * probed in place — zero exchange on the big side; only the candidate
+    * id pairs (bounded by batch size × bucket occupancy) shuffle for the
+    * distinct. Contrast [[lshCandidates]], which self-joins the whole
+    * corpus — right for the initial build, wasteful per increment. */
+  def incrementalCandidates(index: DataFrame, batchSeqs: DataFrame): DataFrame = {
+    val probe = broadcast(
+      bandIndex(batchSeqs).withColumnRenamed("doc_id", "batch_doc"))
+    index.join(probe, Seq("band_id", "band_hash"))
+      .filter(col("doc_id") =!= col("batch_doc"))
+      .select(col("batch_doc"), col("doc_id").as("corpus_doc"))
+      .distinct()
+  }
+
+  /** Incremental near-dup screen: per NEW batch doc, the keep/drop verdict
+    * against the frozen corpus — n verified matches (token-shingle Jaccard
+    * ≥ `minJaccard` from the [[containmentPairs]] counts — the SAME token
+    * space the band index hashes, O(candidates) only), the best match and
+    * its score (rank = jaccard DESC, corpus doc ASC — a total order, so
+    * the verdict is rerun-stable). Docs with no match survive with
+    * `is_dup = false` — the screen's output is the whole batch, ready to
+    * append to the corpus + index.
+    *
+    * Reference analog: the crawler re-scans only changed files against the
+    * existing pool (`Source/Crawler/Source/Crawler.cpp:934-998`); this is
+    * the same increment-vs-frozen-state contract at corpus scale. */
+  def incrementalScreen(corpusSeqs: DataFrame, batchSeqs: DataFrame,
+                        minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = incrementalCandidates(bandIndex(corpusSeqs), batchSeqs)
+      .select(col("batch_doc").as("doc_a"), col("corpus_doc").as("doc_b"))
+    // verify re-fetches tokens by id from BOTH sides (the candidate
+    // shuffle carried ids only)
+    val verified = containmentPairs(batchSeqs.unionByName(corpusSeqs), cand)
+      .withColumn("jaccard", expr(
+        """IF(na + nb - common = 0, CAST(0.0 AS DOUBLE),
+          |   CAST(common AS DOUBLE) / (na + nb - common))""".stripMargin))
+      .filter(col("jaccard") >= minJaccard)
+    // the verified pair set is candidate-sized (not corpus-sized), so the
+    // per-batch-doc rank window is a cheap post-verify pass
+    val w = Window.partitionBy(col("doc_a"))
+      .orderBy(col("jaccard").desc, col("doc_b"))
+    val agg = verified.withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_a").as("batch_doc"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(when(col("rk") === 1, col("doc_b"))).as("best_match"),
+        max(when(col("rk") === 1, col("jaccard"))).as("best_jaccard"))
+    batchSeqs.select(col("doc_id").as("batch_doc"))
+      .join(agg, Seq("batch_doc"), "left_outer")
+      .select(col("batch_doc"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("is_dup"),
+        col("best_match"), col("best_jaccard"))
+  }
+
+  /** DuckDB mirror of [[incrementalScreen]]. `seqsPrelude` binds the
+    * `seqs` CTE body over the UNION of corpus + batch (minhash is per-doc,
+    * so one pass then a split-by-predicate is identical to two passes);
+    * `batchPred`/`corpusPred` select each side by formatted doc id;
+    * `rawBatchPred` is the batch split on the raw `documents` table. */
+  def duckIncrementalSql(seqsPrelude: String, batchPred: String,
+                         corpusPred: String, rawBatchPred: String,
+                         minJaccard: Double): String = {
+    val candSql =
+      s"""WITH mh AS MATERIALIZED (${duckMinhashSql(seqsPrelude)}),
+         |bx AS MATERIALIZED (
+         |  SELECT doc_id, unnest(bands) AS band_hash,
+         |         generate_subscripts(bands, 1) - 1 AS band_id
+         |  FROM mh)
+         |SELECT DISTINCT bb.doc_id AS doc_a, bc.doc_id AS doc_b
+         |FROM bx bc JOIN bx bb
+         |  ON bc.band_id = bb.band_id AND bc.band_hash = bb.band_hash
+         |WHERE (${batchPred.replace("doc_id", "bb.doc_id")})
+         |  AND (${corpusPred.replace("doc_id", "bc.doc_id")})
+         |  AND bc.doc_id <> bb.doc_id""".stripMargin
+    s"""WITH verified AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT doc_a, doc_b, common, na, nb,
+       |      CASE WHEN na + nb - common = 0 THEN CAST(0.0 AS DOUBLE)
+       |           ELSE CAST(common AS DOUBLE) / (na + nb - common)
+       |      END AS jaccard
+       |    FROM (${duckContainmentPairsSql(seqsPrelude, candSql)}) v) vv
+       |  WHERE vv.jaccard >= $minJaccard),
+       |ranked AS (
+       |  SELECT doc_a, doc_b, jaccard,
+       |         row_number() OVER (PARTITION BY doc_a
+       |                            ORDER BY jaccard DESC, doc_b) AS rk
+       |  FROM verified),
+       |agg AS (
+       |  SELECT doc_a AS batch_doc, count(*) AS n_matches,
+       |         max(CASE WHEN rk = 1 THEN doc_b END) AS best_match,
+       |         max(CASE WHEN rk = 1 THEN jaccard END) AS best_jaccard
+       |  FROM ranked GROUP BY 1),
+       |batch AS (
+       |  SELECT 'd' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS batch_doc
+       |  FROM documents WHERE $rawBatchPred)
+       |SELECT b.batch_doc,
+       |       coalesce(a.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+       |       coalesce(a.n_matches, CAST(0 AS BIGINT)) > 0 AS is_dup,
+       |       a.best_match, a.best_jaccard
+       |FROM batch b LEFT JOIN agg a ON a.batch_doc = b.batch_doc""".stripMargin
+  }
 }

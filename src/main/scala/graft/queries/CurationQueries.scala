@@ -56,6 +56,13 @@ object CurationQueries {
   // exact substring-span dedup: window length (tokens) and stride
   val SpanLen = 64
   val SpanStride = 16
+  // incremental screen: formatted-id predicate carving the NEW-batch slice
+  // out of the dedup subsample (49 mod 50 — always inside DedupSubPred, and
+  // exactly one member of every planted twin pair)
+  val IncBatchPred = "CAST(substring(doc_id, 2) AS INT) % 50 = 49"
+  // verify threshold in TOKEN-shingle space (planted twins score >= 0.79,
+  // the hottest non-dup band collision 0.0002 — wide separation)
+  val IncMinJaccard = 0.5
 
   /** LSH candidate pairs as reusable oracle SQL.
     *
@@ -108,6 +115,19 @@ object CurationQueries {
     "dedup_containment" -> ((s, dir) => {
       val sq = Seqs.fromDocumentsSub(s, dir)
       Dedup.containmentPairs(sq, Dedup.lshCandidates(sq))
+    }),
+
+    // incremental near-dup screen: the doc_id % 50 = 49 slice plays the
+    // NEW crawl batch, the rest of the subsample the FROZEN corpus whose
+    // persisted band index it probes (broadcast batch — the index never
+    // shuffles); per batch doc: keep/drop verdict + best corpus match.
+    // The split puts one member of every planted twin pair on each side,
+    // so the screen has real duplicates to catch.
+    "dedup_incremental" -> ((s, dir) => {
+      val sq = Seqs.fromDocumentsSub(s, dir)
+      val batch = sq.filter(expr(IncBatchPred))
+      val corpus = sq.filter(expr(s"NOT ($IncBatchPred)"))
+      Dedup.incrementalScreen(corpus, batch, IncMinJaccard)
     }),
 
     // recall@k of the LSH bucket path vs the exact cosine baseline
@@ -599,6 +619,12 @@ object CurationQueries {
     "dedup_containment" ->
       Dedup.duckContainmentPairsSql(s"seqs AS (${Seqs.duckSqlSub})",
         duckLshPairsSql), // nested WITH — fine as a CTE body in DuckDB
+    "dedup_incremental" -> Dedup.duckIncrementalSql(
+      s"seqs AS (${Seqs.duckSqlSub})",
+      batchPred = "CAST(substr(doc_id, 2) AS INTEGER) % 50 = 49",
+      corpusPred = "NOT (CAST(substr(doc_id, 2) AS INTEGER) % 50 = 49)",
+      rawBatchPred = "doc_id % 50 = 49", // = DedupSubPred ∧ (%50 = 49)
+      minJaccard = IncMinJaccard),
     "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
     "ann_ndcg" -> Similarity.duckAnnRankingSql(TopKQueries, TopK, LshPlanes),
     "embed_quant" -> Similarity.duckQuantizeInt8Sql,

@@ -1475,6 +1475,39 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("gram") === 3 + 2048).count() == 0)
   }
 
+  test("incrementalScreen: whole-batch verdicts against the frozen index") {
+    val base = Seq.tabulate(2000)(i => (i * 37) % 911 - 400)
+    val edited = base.updated(1000, 999) // near-dup of c1
+    val other = Seq.tabulate(2000)(i => (i * 53) % 701 - 300)
+    val fresh = Seq.tabulate(2000)(i => (i * 71) % 997 - 500)
+    val corpus = Seq(("c1", base, 2000, "s"), ("c2", other, 2000, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val batch = Seq(("b1", edited, 2000, "s"), ("b2", fresh, 2000, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val r = Dedup.incrementalScreen(corpus, batch, 0.5).collect()
+      .map(row => row.getString(0) -> row).toMap
+    assert(r.keySet == Set("b1", "b2"), "verdict covers the WHOLE batch")
+    assert(r("b1").getAs[Boolean]("is_dup"))
+    assert(r("b1").getAs[String]("best_match") == "c1")
+    assert(r("b1").getAs[Double]("best_jaccard") > 0.9)
+    assert(!r("b2").getAs[Boolean]("is_dup"))
+    assert(r("b2").getAs[Long]("n_matches") == 0L)
+    assert(r("b2").isNullAt(r("b2").fieldIndex("best_match")))
+  }
+
+  test("incrementalScreen: best match ranks jaccard DESC then doc id ASC") {
+    val base = Seq.tabulate(2000)(i => (i * 37) % 911 - 400)
+    // two corpus docs tie at jaccard 1.0 -> the SMALLER id must win
+    val corpus = Seq(("c9", base, 2000, "s"), ("c1", base, 2000, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val batch = Seq(("b1", base, 2000, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val r = Dedup.incrementalScreen(corpus, batch, 0.5).collect()(0)
+    assert(r.getAs[Long]("n_matches") == 2L)
+    assert(r.getAs[String]("best_match") == "c1")
+    assert(r.getAs[Double]("best_jaccard") == 1.0)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
