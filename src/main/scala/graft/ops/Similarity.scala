@@ -1057,4 +1057,128 @@ object Similarity {
        |    AS norm_ratio
        |FROM p""".stripMargin
   }
+
+  /** Per-group embedding-centroid drift report — the SEMANTIC analog of
+    * the token-space `source_drift` JSD: for each label (or source), its
+    * centroid norm plus the cosine of the group centroid to (a) the global
+    * centroid and (b) the rest-of-corpus centroid. A group whose centroid
+    * swings away from the rest is drifting in embedding space even when
+    * its token distribution looks stable.
+    *
+    * == Scale shape ==
+    * ONE corpus pass: `groupBy(label, pos)` over the posexploded
+    * components with map-side partials — the only exchange carries
+    * |groups| × dim small rows. Global and rest sums are EXACT integer
+    * rollups of the per-group partials (no second corpus read); every
+    * later step is on the |groups| × dim grid.
+    *
+    * == Cross-engine parity ==
+    * The [[ivfTrainedCents]] idiom: component sums run over
+    * `floor(x · 2^20)` BIGINTs (exact, commutative under any shuffle
+    * order), each centroid component is a single double division, and
+    * dot/norm assemble via the shared LEFT fold in `pos` order — bitwise
+    * identical in both engines. */
+  def centroidDrift(embeddings0: DataFrame): DataFrame = {
+    val emb = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    val sums = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(expr("CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)"))
+          .as("s"),
+        count(lit(1)).as("n"))
+    val glob = sums.groupBy(col("pos"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+    val terms = sums.join(glob, Seq("pos"))
+      .select(col("label"), col("pos"), col("n"),
+        expr("CAST(s AS DOUBLE) / CAST(n * 1048576 AS BIGINT)").as("cl"),
+        expr(
+          """CASE WHEN gn - n = 0 THEN CAST(0.0 AS DOUBLE)
+            |     ELSE CAST(gs - s AS DOUBLE)
+            |          / CAST((gn - n) * 1048576 AS BIGINT) END""".stripMargin)
+          .as("cr"),
+        expr("CAST(gs AS DOUBLE) / CAST(gn * 1048576 AS BIGINT)").as("cg"))
+    val dotFold = (a: String, b: String) =>
+      s"""aggregate(zip_with($a, $b, (x, y) -> x * y),
+         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    terms.groupBy(col("label"))
+      .agg(
+        max(col("n")).as("n_vecs"),
+        expr("transform(array_sort(collect_list(struct(pos, cl))), t -> t.cl)")
+          .as("al"),
+        expr("transform(array_sort(collect_list(struct(pos, cr))), t -> t.cr)")
+          .as("ar"),
+        expr("transform(array_sort(collect_list(struct(pos, cg))), t -> t.cg)")
+          .as("ag"))
+      .select(col("label"), col("n_vecs"),
+        expr(s"sqrt(${dotFold("al", "al")})").as("centroid_norm"),
+        expr(s"sqrt(${dotFold("ar", "ar")})").as("__nr"),
+        expr(s"sqrt(${dotFold("ag", "ag")})").as("__ng"),
+        expr(dotFold("al", "ag")).as("__dg"),
+        expr(dotFold("al", "ar")).as("__dr"))
+      .select(col("label"), col("n_vecs"), col("centroid_norm"),
+        expr(
+          """CASE WHEN centroid_norm = CAST(0.0 AS DOUBLE)
+            |       OR __ng = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+            |     ELSE __dg / (centroid_norm * __ng) END""".stripMargin)
+          .as("cos_to_global"),
+        expr(
+          """CASE WHEN centroid_norm = CAST(0.0 AS DOUBLE)
+            |       OR __nr = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+            |     ELSE __dr / (centroid_norm * __nr) END""".stripMargin)
+          .as("cos_to_rest"))
+  }
+
+  /** DuckDB mirror of [[centroidDrift]] (same quantized integer sums,
+    * same divisions, same left fold order). */
+  def duckCentroidDriftSql: String = {
+    def fold(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform($a, (v, i) -> v * $b[i])),
+         |  (acc, v) -> acc + v)""".stripMargin
+    s"""WITH u AS (
+       |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+       |         unnest(embedding) AS x
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT label, pos,
+       |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+       |         AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM u GROUP BY 1, 2),
+       |g AS (
+       |  SELECT pos, CAST(sum(s) AS BIGINT) AS gs,
+       |         CAST(sum(n) AS BIGINT) AS gn
+       |  FROM s GROUP BY 1),
+       |t AS (
+       |  SELECT label, pos, n,
+       |    CAST(s AS DOUBLE) / CAST(n * 1048576 AS BIGINT) AS cl,
+       |    CASE WHEN gn - n = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(gs - s AS DOUBLE)
+       |              / CAST((gn - n) * 1048576 AS BIGINT) END AS cr,
+       |    CAST(gs AS DOUBLE) / CAST(gn * 1048576 AS BIGINT) AS cg
+       |  FROM s JOIN g USING (pos)),
+       |a AS (
+       |  SELECT label, max(n) AS n_vecs,
+       |    list(cl ORDER BY pos) AS al,
+       |    list(cr ORDER BY pos) AS ar,
+       |    list(cg ORDER BY pos) AS ag
+       |  FROM t GROUP BY 1),
+       |m AS (
+       |  SELECT label, n_vecs,
+       |    sqrt(${fold("al", "al")}) AS centroid_norm,
+       |    sqrt(${fold("ar", "ar")}) AS __nr,
+       |    sqrt(${fold("ag", "ag")}) AS __ng,
+       |    ${fold("al", "ag")} AS __dg,
+       |    ${fold("al", "ar")} AS __dr
+       |  FROM a)
+       |SELECT label, n_vecs, centroid_norm,
+       |  CASE WHEN centroid_norm = CAST(0.0 AS DOUBLE)
+       |         OR __ng = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+       |       ELSE __dg / (centroid_norm * __ng) END AS cos_to_global,
+       |  CASE WHEN centroid_norm = CAST(0.0 AS DOUBLE)
+       |         OR __nr = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+       |       ELSE __dr / (centroid_norm * __nr) END AS cos_to_rest
+       |FROM m""".stripMargin
+  }
 }

@@ -147,6 +147,12 @@ object CurationQueries {
     "embed_quant" -> ((s, dir) =>
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))),
 
+    // per-label embedding-centroid drift (norm + cosine to global/rest
+    // centroids) — the semantic drift screen next to source_drift's
+    // token-space JSD; one corpus pass, exact integer component sums
+    "centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(s.read.parquet(s"$dir/embeddings.parquet"))),
+
     // Johnson–Lindenstrauss ±1 random projection 64 -> 16 dims + norm
     // preservation report — the dimensionality shrink next to
     // embed_quant's byte shrink; sign matrix rides both plans as
@@ -628,6 +634,7 @@ object CurationQueries {
     "ann_recall" -> Similarity.duckAnnRecallSql(TopKQueries, TopK, LshPlanes),
     "ann_ndcg" -> Similarity.duckAnnRankingSql(TopKQueries, TopK, LshPlanes),
     "embed_quant" -> Similarity.duckQuantizeInt8Sql,
+    "centroid_drift" -> Similarity.duckCentroidDriftSql,
     "rand_proj" -> Similarity.duckRandomProjectSql(RpDim, RpK),
     "contam_embed" -> Similarity.duckCrossSplitContamSql(
       EmbedBands, EmbedBits, EmbedMinCos, EmbedPlantMod),

@@ -1508,6 +1508,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("best_jaccard") == 1.0)
   }
 
+  test("centroidDrift: hand-computed centroids, orthogonal groups, guards") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0), // centroid (1,0)
+      (3L, Seq(0.0f, 1.0f), 1))                           // centroid (0,1)
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(emb).collect()
+      .map(row => row.getInt(0) -> row).toMap
+    assert(r(0).getAs[Long]("n_vecs") == 2L)
+    assert(r(0).getAs[Double]("centroid_norm") == 1.0) // exact at 2^20
+    // rest of label 0 is label 1's centroid (0,1) — orthogonal
+    assert(r(0).getAs[Double]("cos_to_rest") == 0.0)
+    assert(r(1).getAs[Double]("cos_to_rest") == 0.0)
+    // global centroid (2/3, 1/3): cos(label 0, global) = 2/sqrt(5)
+    assert(math.abs(r(0).getAs[Double]("cos_to_global") - 2.0 / math.sqrt(5))
+      < 1e-6)
+    // single-label corpus: empty complement must hit the zero guard
+    val solo = Seq((1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.0f, 1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val s = Similarity.centroidDrift(solo).collect()(0)
+    assert(s.getAs[Double]("cos_to_rest") == 0.0)
+    assert(math.abs(s.getAs[Double]("cos_to_global") - 1.0) < 1e-12,
+      "the only group IS the global centroid (up to fold rounding)")
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
