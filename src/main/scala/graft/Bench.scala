@@ -48,6 +48,8 @@ object Bench {
     "source_overlap",     // gram-keyed cross-source self-join + Jaccard
     "source_drift",       // per-source JSD off the vocab-bounded grid
     "embed_quant",        // int8 SQ8 quantization (narrow projection)
+    "dedup_incremental",  // batch-vs-frozen-index screen (broadcast probe)
+    "centroid_drift",     // per-label centroid grid (one quantized pass)
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -524,6 +524,16 @@ object Dedup {
        |JOIN shingles a ON a.doc_id = p.doc_a
        |JOIN shingles b ON b.doc_id = p.doc_b""".stripMargin
 
+  /** Token-shingle Jaccard over a given candidate-pair set: the
+    * [[containmentPairs]] counts plus the symmetric
+    * `jaccard = common / (na + nb − common)` — the token-space sibling of
+    * the word-trigram [[ngramJaccardPairs]]. O(pairs). */
+  def shingleJaccardPairs(seqs: DataFrame, pairs: DataFrame): DataFrame =
+    containmentPairs(seqs, pairs)
+      .withColumn("jaccard", expr(
+        """IF(na + nb - common = 0, CAST(0.0 AS DOUBLE),
+          |   CAST(common AS DOUBLE) / (na + nb - common))""".stripMargin))
+
   /** Frozen-corpus LSH band index: one (doc_id, band_id, band_hash) row per
     * band per doc — the table a production pipeline PERSISTS once (ids +
     * two small ints, never the tokens) and probes with every new crawl
@@ -561,16 +571,25 @@ object Dedup {
     * existing pool (`Source/Crawler/Source/Crawler.cpp:934-998`); this is
     * the same increment-vs-frozen-state contract at corpus scale. */
   def incrementalScreen(corpusSeqs: DataFrame, batchSeqs: DataFrame,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double): DataFrame =
+    incrementalScreenWith(bandIndex(corpusSeqs), corpusSeqs, batchSeqs,
+      minJaccard)
+
+  /** [[incrementalScreen]] against a PREBUILT band index (the persisted
+    * table a production pipeline maintains — tokens are never re-hashed
+    * per increment; `corpusSeqs` is consulted only to re-fetch the
+    * candidates' tokens for the verify step). */
+  def incrementalScreenWith(index: DataFrame, corpusSeqs: DataFrame,
+                            batchSeqs: DataFrame,
+                            minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = incrementalCandidates(bandIndex(corpusSeqs), batchSeqs)
+    val cand = incrementalCandidates(index, batchSeqs)
       .select(col("batch_doc").as("doc_a"), col("corpus_doc").as("doc_b"))
     // verify re-fetches tokens by id from BOTH sides (the candidate
-    // shuffle carried ids only)
-    val verified = containmentPairs(batchSeqs.unionByName(corpusSeqs), cand)
-      .withColumn("jaccard", expr(
-        """IF(na + nb - common = 0, CAST(0.0 AS DOUBLE),
-          |   CAST(common AS DOUBLE) / (na + nb - common))""".stripMargin))
+    // shuffle carried ids only); sides may carry different extra columns
+    val toks = (d: DataFrame) => d.select(col("doc_id"), col("tokens"))
+    val verified = shingleJaccardPairs(
+      toks(batchSeqs).unionByName(toks(corpusSeqs)), cand)
       .filter(col("jaccard") >= minJaccard)
     // the verified pair set is candidate-sized (not corpus-sized), so the
     // per-batch-doc rank window is a cheap post-verify pass

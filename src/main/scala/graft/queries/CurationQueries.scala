@@ -290,6 +290,16 @@ object CurationQueries {
     // oracle affordability (same boundary as the other minhash oracles)
     "curate_pipeline" -> ((s, dir) => graft.ops.Curate.curateSub(s, dir)),
 
+    // quality-argmax canonicalization: per near-dup cluster keep the BEST
+    // member (quality DESC, id ASC) — the production alternative to
+    // curate_pipeline's min-id rule
+    "dedup_canonical" -> ((s, dir) =>
+      graft.ops.Curate.canonicalByQuality(s, dir)),
+
+    // per-source dedup survivorship: docs + token mass dropped by the
+    // min-label canonical rule — the mixture-budget read after a dedup pass
+    "dedup_impact" -> ((s, dir) => graft.ops.Curate.dedupImpact(s, dir)),
+
     // deterministic stratified sampling: per-language keep rates off the
     // same hash slot as the splitter (rebalance-by-downsampling)
     "stratified_sample" -> ((s, dir) =>
@@ -672,6 +682,9 @@ object CurationQueries {
     "hash_split" -> graft.ops.Sampling.duckSplitSql(),
     "curate_pipeline" ->
       graft.ops.Curate.duckCurateSql(duckLshPairsSql, Seqs.DedupSubPred),
+    "dedup_canonical" ->
+      graft.ops.Curate.duckCanonicalSql(duckLshPairsSql, Seqs.DedupSubPred),
+    "dedup_impact" -> graft.ops.Curate.duckImpactSql(duckLshPairsSql),
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${graft.ops.Sampling.duckMilleSlot("doc_id")}

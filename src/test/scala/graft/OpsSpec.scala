@@ -939,6 +939,40 @@ class OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("canonicalByQuality + dedupImpact: cluster accounting is consistent") {
+    import graft.ops.{Curate, Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val canon = Curate.canonicalByQuality(spark, dir).cache()
+    val sq = graft.sources.Seqs.fromDocumentsSub(spark, dir)
+    val clusters = Dedup.resolveClustersStar(
+      sq.select("doc_id"), Dedup.lshCandidates(sq)).cache()
+    // one row per cluster; member counts match the cluster table
+    val sizes = clusters.groupBy("cluster").count()
+    assert(canon.count() == sizes.count())
+    assert(canon.join(sizes, Seq("cluster"))
+      .filter(col("n_members") =!= col("count")).count() == 0)
+    // the kept doc has the cluster's MAX quality (argmax rule)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(expr(graft.sources.Seqs.DedupSubPred))
+    val qual = TextAnalysis.analyze(docs)
+      .select(concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0"))
+        .as("sid"), col("quality_score"))
+    val maxQ = clusters.withColumnRenamed("doc_id", "sid")
+      .join(qual, Seq("sid"))
+      .groupBy("cluster").agg(max("quality_score").as("mx"))
+    assert(canon.join(maxQ, Seq("cluster"))
+      .filter(col("kept_quality") =!= col("mx")).count() == 0)
+    // impact: per-source drop counts equal docs whose id != cluster label
+    val imp = Curate.dedupImpact(spark, dir)
+    val expectDrop = sq.join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") =!= col("cluster"))
+      .groupBy("source").count()
+    assert(imp.join(expectDrop, Seq("source"), "left_outer")
+      .filter(col("n_dropped") =!= coalesce(col("count"), lit(0L)))
+      .count() == 0)
+    canon.unpersist(); clusters.unpersist()
+  }
+
   test("stereo WAV mixdown: channel mean with truncation toward zero") {
     val stereo = Array[Short](100, 300, -101, 100, 32767, 32767, -32768, -32768)
     val wav = Multimodal.encodeWav(stereo, 8000, channels = 2)

@@ -336,6 +336,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sink.KeyedSink.read(spark, path).get.count() == 4)
   }
 
+  test("dedupIngest: continuous ingestion screens vs corpus AND same batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val cp = Files.createTempDirectory("graft-ingest-corpus").toString
+    val vp = Files.createTempDirectory("graft-ingest-verdict").toString
+    val base = Seq.tabulate(2000)(i => (i * 37) % 911 - 400)
+    val other = Seq.tabulate(2000)(i => (i * 53) % 701 - 300)
+    val fresh2 = Seq.tabulate(2000)(i => (i * 71) % 997 - 500)
+    val mem = MemoryStream[(String, Seq[Int], Int, String)]
+    val q = mem.toDF().toDF("doc_id", "tokens", "n_tok", "source")
+      .writeStream
+      .foreachBatch(StreamOps.dedupIngest(cp, vp, 0.5))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 0 into an EMPTY corpus: unrelated docs, both admitted
+      mem.addData(("c1", base, 2000, "s"), ("c2", other, 2000, "s"))
+      q.processAllAvailable()
+      // batch 1: b1 near-dups corpus doc c1; x2 is fresh; x3 near-dups
+      // its OWN batch-mate x2 (arrives later by id order)
+      mem.addData(
+        ("b1", base.updated(1000, 999), 2000, "s"),
+        ("x2", fresh2, 2000, "s"),
+        ("x3", fresh2.updated(5, -123), 2000, "s"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = graft.sink.KeyedSink.read(spark, cp).get
+    assert(corpus.select("doc_id").as[String].collect().toSet ==
+      Set("c1", "c2", "x2"), "only fresh docs are admitted")
+    val v = graft.sink.KeyedSink.read(spark, vp, "batch_doc").get.collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(v.keySet == Set("c1", "c2", "b1", "x2", "x3"))
+    assert(!v("c1").getAs[Boolean]("is_dup"))
+    assert(!v("c2").getAs[Boolean]("is_dup"))
+    assert(!v("x2").getAs[Boolean]("is_dup"))
+    assert(v("b1").getAs[Boolean]("is_dup") &&
+      v("b1").getAs[String]("best_match") == "c1")
+    assert(v("x3").getAs[Boolean]("is_dup") &&
+      v("x3").getAs[String]("best_match") == "x2",
+      "in-batch twin must be caught against its own batch-mate")
+    // restart replay: re-running a committed batch id is a no-op
+    val snapC = graft.sink.KeyedSink.latestSnapshot(cp).get
+    val snapV = graft.sink.KeyedSink.latestSnapshot(vp).get
+    StreamOps.dedupIngest(cp, vp, 0.5)(
+      Seq(("zz", base, 2000, "s")).toDF("doc_id", "tokens", "n_tok", "source"),
+      1L)
+    assert(graft.sink.KeyedSink.latestSnapshot(cp).get == snapC)
+    assert(graft.sink.KeyedSink.latestSnapshot(vp).get == snapV)
+    // a NEW batch id screens against the grown corpus: base's twin is
+    // now a dup of c1 even though c1 arrived two batches ago
+    StreamOps.dedupIngest(cp, vp, 0.5)(
+      Seq(("z9", base.updated(7, 0), 2000, "s"))
+        .toDF("doc_id", "tokens", "n_tok", "source"),
+      2L)
+    val v2 = graft.sink.KeyedSink.read(spark, vp, "batch_doc").get
+      .filter(col("batch_doc") === "z9").collect()(0)
+    assert(v2.getAs[Boolean]("is_dup") &&
+      v2.getAs[String]("best_match") == "c1")
+    assert(graft.sink.KeyedSink.read(spark, cp).get.count() == 3)
+  }
+
   test("streaming tumbling frame agg produces exact integer energies") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Int)]
