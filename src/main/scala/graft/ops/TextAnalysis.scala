@@ -90,6 +90,51 @@ object TextAnalysis {
         pick(0.99).as("p99_chars"))
   }
 
+  /** Tokenizer fertility / compression report: per source, the two
+    * numbers a tokenizer is judged by on a new corpus — mean subword
+    * tokens per word (fertility; high = the vocab fragments this domain)
+    * and chars per subword token (compression; low = poor coverage).
+    * Uses [[analyze]]'s cross-engine-exact word/BPE-ish counts, so the
+    * report needs no trained vocabulary and is comparable across rounds.
+    *
+    * One narrow [[analyze]] pass + one source-keyed aggregation with
+    * map-side partials; sums are exact int64, each ratio ONE IEEE divide
+    * at the boundary (NULL when the denominator is empty). */
+  def fertilityReport(documents: DataFrame): DataFrame =
+    analyze(documents)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("n_words").cast("long")).as("words"),
+        sum(col("n_bpe_tokens").cast("long")).as("bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("chars"), col("words"),
+        col("bpe_tokens"),
+        expr("""CASE WHEN words = 0 THEN CAST(NULL AS DOUBLE)
+               |     ELSE CAST(bpe_tokens AS DOUBLE) / words END"""
+          .stripMargin).as("tokens_per_word"),
+        expr("""CASE WHEN bpe_tokens = 0 THEN CAST(NULL AS DOUBLE)
+               |     ELSE CAST(chars AS DOUBLE) / bpe_tokens END"""
+          .stripMargin).as("chars_per_token"))
+
+  /** DuckDB mirror of [[fertilityReport]]. */
+  lazy val duckFertilitySql: String = // lazy: duckAnalyzeSql declared below
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  CAST(sum(CAST(n_words AS BIGINT)) AS BIGINT) AS words,
+       |  CAST(sum(CAST(n_bpe_tokens AS BIGINT)) AS BIGINT) AS bpe_tokens,
+       |  CASE WHEN sum(CAST(n_words AS BIGINT)) = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE CAST(CAST(sum(CAST(n_bpe_tokens AS BIGINT)) AS BIGINT)
+       |                 AS DOUBLE)
+       |            / CAST(sum(CAST(n_words AS BIGINT)) AS BIGINT)
+       |  END AS tokens_per_word,
+       |  CASE WHEN sum(CAST(n_bpe_tokens AS BIGINT)) = 0
+       |       THEN CAST(NULL AS DOUBLE)
+       |       ELSE CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+       |            / CAST(sum(CAST(n_bpe_tokens AS BIGINT)) AS BIGINT)
+       |  END AS chars_per_token
+       |FROM ($duckAnalyzeSql) a
+       |GROUP BY 1""".stripMargin
+
   /** Sketch-based variant of [[lengthReport]] for the uncapped-scale path:
     * `approx_percentile` (Greenwald–Khanna) replaces the exact rank
     * selection, turning the per-lang full window SORT into a mergeable

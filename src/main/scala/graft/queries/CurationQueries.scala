@@ -196,6 +196,12 @@ object CurationQueries {
       Dedup.ngramJaccard(s.read.parquet(s"$dir/documents.parquet"),
         NgramMinJaccard)),
 
+    // per-source tokenizer fertility (tokens/word) + compression
+    // (chars/token) — the tokenizer-vs-corpus health read
+    "tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.fertilityReport(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     "text_analyze" -> ((s, dir) =>
       TextAnalysis.analyze(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "lang", "source", "n_chars", "n_words",
@@ -660,6 +666,7 @@ object CurationQueries {
     "dedup_simhash" -> Dedup.duckSimhashSql,
     "dedup_ngram" -> Dedup.duckNgramSql(NgramMinJaccard),
     "text_analyze" -> TextAnalysis.duckAnalyzeSql,
+    "tokenizer_fertility" -> TextAnalysis.duckFertilitySql,
     "embed_topk" -> Similarity.duckBruteTopKSql(TopKQueries, TopK),
     "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes),
     "dedup_embed" -> Similarity.duckEmbeddingNearDupsSql(

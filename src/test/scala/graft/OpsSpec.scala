@@ -973,6 +973,25 @@ class OpsSpec extends AnyFunSuite {
     canon.unpersist(); clusters.unpersist()
   }
 
+  test("fertilityReport: mixed alnum text fragments into more subwords") {
+    import graft.ops.TextAnalysis
+    // "ab3 cd": words = [ab3, cd] (2); BPE-ish pre-tokens = ab|3| cd (3)
+    // "x9y": words = [x9y] (1); pre-tokens = x|9|y (3)
+    val docs = Seq(
+      (1L, "ab3 cd", "en", "sA", 6L),
+      (2L, "x9y", "en", "sA", 3L),
+      (3L, "plain words here", "en", "sB", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.fertilityReport(docs).collect()
+      .map(row => row.getString(0) -> row).toMap
+    assert(r("sA").getAs[Long]("words") == 3L)
+    assert(r("sA").getAs[Long]("bpe_tokens") == 6L)
+    assert(r("sA").getAs[Double]("tokens_per_word") == 2.0)
+    assert(r("sA").getAs[Double]("chars_per_token") == 9.0 / 6.0)
+    assert(r("sB").getAs[Double]("tokens_per_word") == 1.0,
+      "plain lowercase words keep fertility 1")
+  }
+
   test("stereo WAV mixdown: channel mean with truncation toward zero") {
     val stereo = Array[Short](100, 300, -101, 100, 32767, 32767, -32768, -32768)
     val wav = Multimodal.encodeWav(stereo, 8000, channels = 2)
