@@ -93,6 +93,8 @@ object expressions {
       es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_span_hashes",
       es => SpanHashes(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      es => WinnowKeys(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_linear_score",
       es => LinearScoreKernel(es(0), es(1)), "built-in")
     spectral.register(spark)
@@ -640,6 +642,94 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), lenE = c(1), strideE = c(2))
+  }
+
+  /** graft_winnow(tokens ARRAY<INT>, k INT, w INT) → ARRAY<BIGINT>
+    *
+    * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * the MOSS local fingerprinting scheme): over the k-gram fingerprints
+    * of a document, every window of `w` consecutive fingerprints
+    * contributes its minimum (rightmost position on hash ties), and the
+    * distinct selections are the document's fingerprints. GUARANTEE: any
+    * token run of length ≥ k + w − 1 shared by two documents yields at
+    * least one shared fingerprint; expected density is 2/(w+1) of
+    * positions — the robust substring-dedup sketch between the strided
+    * exact-span family ([[SpanHashes]], recall gaps at window boundaries)
+    * and full suffix-array methods (non-distributable).
+    *
+    * The k-gram fingerprint is the exact packed identity
+    * ([[PackNgrams]], k ≤ 4) scrambled by two prime-modulus steps —
+    * `fp = ((gram mod 1000000007) · 999999937) mod 1000000007` — pure
+    * int64 arithmetic so the DuckDB mirror vectorizes (a per-gram md5
+    * lambda there is ~1000× slower, see `duckDupNgramsSql`). Each
+    * selection is emitted as the PACKED KEY `fp·8192 + (8191 − j)` with
+    * `j` the 0-based gram position: the decomposition is unique (positions
+    * < 8192 = the [[graft.sources.Seqs.MaxTokens]] cap), so min-key order
+    * IS (min fp, rightmost j) order and both engines can decode
+    * `pos = 8192 − key mod 8192` (1-based), `fp = key div 8192` with
+    * integer ops alone. One O(n) pass per row (monotonic-deque sliding
+    * minimum), no shuffle — fingerprint payload is ids-only downstream. */
+  case class WinnowKeys(tokens: Expression, kE: Expression, wE: Expression)
+      extends Expression with CodegenFallback {
+    // lazy, like PackNgrams above: auto-alias generation copies expression
+    // trees with non-foldable PrettyAttribute children
+    private lazy val k = {
+      val v = litInt(kE)
+      require(v >= 1 && v <= 4, s"winnow k-gram width must be 1..4, got $v")
+      v
+    }
+    private lazy val w = {
+      val v = litInt(wE)
+      require(v >= 1 && v <= 8192, s"winnow window must be 1..8192, got $v")
+      v
+    }
+    override def children: Seq[Expression] = Seq(tokens, kE, wE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val n = arr.length
+      val m = n - k + 1
+      if (m <= 0)
+        return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      require(m <= 8192, s"winnow position overflow: $m grams > 8192")
+      val keys = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        var g = 0L
+        var i = 0
+        while (i < k) { g = g * 4096L + (arr(j + i) + 2048L); i += 1 }
+        val fp = ((g % 1000000007L) * 999999937L) % 1000000007L
+        keys(j) = fp * 8192L + (8191L - j)
+        j += 1
+      }
+      // monotonic-deque sliding minimum; keys are pairwise distinct (the
+      // packed position makes them injective), so strict pops suffice
+      val deque = new Array[Int](m)
+      var head = 0
+      var tail = 0 // exclusive
+      val out = new Array[Long](m)
+      var nOut = 0
+      var lastKey = -1L
+      var e = 0
+      while (e < m) {
+        while (tail > head && keys(deque(tail - 1)) > keys(e)) tail -= 1
+        deque(tail) = e; tail += 1
+        if (e >= w - 1 || e == m - 1) {
+          val j0 = e - w + 1 // window start (may be < 0 when m < w)
+          while (deque(head) < j0) head += 1
+          val sel = keys(deque(head))
+          if (sel != lastKey) { out(nOut) = sel; nOut += 1; lastKey = sel }
+        }
+        e += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        java.util.Arrays.copyOf(out, nOut))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), kE = c(1), wE = c(2))
   }
 
   val LinearScoreStructType: StructType = StructType(Seq(

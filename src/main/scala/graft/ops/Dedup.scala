@@ -341,6 +341,119 @@ object Dedup {
        |FROM w JOIN df USING (h)
        |GROUP BY w.doc_id""".stripMargin
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * scheme; see [[graft.functions.expressions.WinnowKeys]] for the
+    * selection rule and packed-key layout): per-doc summary of the
+    * selected fingerprint set — selection count, distinct fingerprints,
+    * an order-free XOR digest, and the position sum. The four integer
+    * aggregates pin the exact selection set without dumping the ~2/(w+1)
+    * density per-position rows at gate scale.
+    *
+    * Plan: narrow kernel projection → explode (ids + packed key only) →
+    * one doc-keyed partial agg. At 100 TB the explode carries no token
+    * payload and the aggregate is map-side combined per doc — one
+    * exchange on doc_id. */
+  def winnowStats(seqs: DataFrame, k: Int, w: Int): DataFrame =
+    seqs
+      .select(col("doc_id"),
+        explode(expr(s"graft_winnow(tokens, $k, $w)")).as("key"))
+      .select(col("doc_id"),
+        expr("CAST(8192 - (key % 8192) AS INT)").as("pos"),
+        expr("key DIV 8192").as("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        expr("bit_xor(fp)").as("fp_xor"),
+        sum(col("pos").cast("long")).as("pos_sum"))
+
+  /** Cross-document near-dup signal over winnowed fingerprints: a
+    * fingerprint is DUPLICATED when selected by ≥ 2 documents; each doc
+    * reports its selection count, duplicated-selection count, and
+    * duplicated fraction — [[spanDupStats]] semantics with the winnowing
+    * guarantee (any shared run ≥ k+w−1 tokens is caught; strided spans
+    * miss runs straddling stride boundaries) at ~2/(w+1) the window
+    * volume of stride-1 hashing.
+    *
+    * Same STRAIGHT pipeline as [[spanDupStats]]: ids-only explode →
+    * per-(fp, doc) partial agg → doc-frequency as a window over the
+    * deduplicated table (bounded by distinct docs per fingerprint, never
+    * raw occurrences) → doc-keyed agg. */
+  def winnowDupStats(seqs: DataFrame, k: Int, w: Int): DataFrame = {
+    val perDocFp = seqs
+      .select(col("doc_id"),
+        expr(s"graft_winnow(tokens, $k, $w)").as("keys"))
+      .select(col("doc_id"), explode(col("keys")).as("key"))
+      .select(col("doc_id"), expr("key DIV 8192").as("fp"))
+      .groupBy(col("fp"), col("doc_id")).agg(count(lit(1)).as("n_sel"))
+    perDocFp
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sel")).as("n_fp"),
+        sum(when(col("n_docs") >= 2, col("n_sel")).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_fp").cast("double"))
+  }
+
+  /** Shared DuckDB winnowing CTE chain: binds `fps(doc_id, pos, fp)` —
+    * the mirror of [[graft.functions.expressions.WinnowKeys]] decoded.
+    * The k-gram identity is the vectorized zip-slice arithmetic of
+    * [[duckDupNgramsSql]]; the sliding minimum is a frame window with the
+    * same packed tie-break key, QUALIFY-restricted to valid window starts
+    * (`j ≤ greatest(m − w, 0)` keeps the single truncated window of short
+    * docs). */
+  private def duckWinnowCtes(prelude: String, k: Int, w: Int): String = {
+    require(k >= 1 && k <= 4, s"winnow k must be 1..4, got $k")
+    val slices = (1 to k)
+      .map(i => s"tokens[$i:-${k - i + 1}]").mkString(", ")
+    val gram = (2 to k).foldLeft("(z[1] + 2048)::BIGINT") {
+      (acc, i) => s"($acc * 4096 + (z[$i] + 2048))"
+    }
+    s"""$prelude,
+       |g AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(n_tok AS BIGINT) - $k + 1 AS m,
+       |    unnest(range(CAST(n_tok AS BIGINT) - $k + 1)) AS j,
+       |    unnest(list_transform(list_zip($slices),
+       |      z -> (($gram % 1000000007) * 999999937) % 1000000007)) AS fp
+       |  FROM seqs WHERE n_tok >= $k),
+       |wm AS (
+       |  SELECT doc_id,
+       |    min(fp * 8192 + (8191 - j)) OVER (PARTITION BY doc_id ORDER BY j
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wkey
+       |  FROM g
+       |  QUALIFY j <= greatest(m - $w, 0)),
+       |sel AS (SELECT DISTINCT doc_id, wkey FROM wm),
+       |fps AS (
+       |  SELECT doc_id, CAST(8192 - (wkey % 8192) AS INT) AS pos,
+       |    wkey // 8192 AS fp
+       |  FROM sel)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[winnowStats]]. */
+  def duckWinnowStatsSql(prelude: String, k: Int, w: Int): String =
+    s"""WITH ${duckWinnowCtes(prelude, k, w)}
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_fp,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       |  CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+       |  CAST(sum(pos) AS BIGINT) AS pos_sum
+       |FROM fps GROUP BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[winnowDupStats]]. */
+  def duckWinnowDupSql(prelude: String, k: Int, w: Int): String =
+    s"""WITH ${duckWinnowCtes(prelude, k, w)},
+       |pdf AS (SELECT fp, doc_id, count(*) AS n_sel FROM fps GROUP BY 1, 2),
+       |df AS (SELECT fp, count(*) AS n_docs FROM pdf GROUP BY 1)
+       |SELECT pdf.doc_id,
+       |  CAST(sum(pdf.n_sel) AS BIGINT) AS n_fp,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN pdf.n_sel ELSE 0 END)
+       |    AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN df.n_docs >= 2 THEN pdf.n_sel ELSE 0 END)
+       |    AS DOUBLE) / CAST(sum(pdf.n_sel) AS DOUBLE) AS dup_frac
+       |FROM pdf JOIN df USING (fp)
+       |GROUP BY pdf.doc_id""".stripMargin
+
   /** DuckDB mirror of [[duplicatedNgramStats]] for k = 4 (vectorized
     * 4-slice zip — per-gram string lambdas are ~1000× slower there). */
   def duckDupNgramsSql(seqsSql: String): String =

@@ -56,6 +56,9 @@ object CurationQueries {
   // exact substring-span dedup: window length (tokens) and stride
   val SpanLen = 64
   val SpanStride = 16
+  // winnowing fingerprints: k-gram width and window (guarantee k+w-1 = 11)
+  val WinnowK = 4
+  val WinnowW = 8
   // incremental screen: formatted-id predicate carving the NEW-batch slice
   // out of the dedup subsample (49 mod 50 — always inside DedupSubPred, and
   // exactly one member of every planted twin pair)
@@ -338,6 +341,14 @@ object CurationQueries {
     // docs; ids-only shuffle, native window-hash kernel
     "span_dedup" -> ((s, dir) =>
       Dedup.spanDupStats(Seqs.fromDocuments(s, dir), SpanLen, SpanStride)),
+
+    // winnowing fingerprints (MOSS): per-doc selection-set digest and
+    // cross-doc duplicated-selection stats; native O(n) deque kernel,
+    // ids-only explode
+    "winnow_fp" -> ((s, dir) =>
+      Dedup.winnowStats(Seqs.fromDocuments(s, dir), WinnowK, WinnowW)),
+    "winnow_dedup" -> ((s, dir) =>
+      Dedup.winnowDupStats(Seqs.fromDocuments(s, dir), WinnowK, WinnowW)),
 
     // length-bucketed batch assembly + padding-waste report: batches are
     // a pure function of (length bucket, hash shard, epoch-hash rank);
@@ -713,6 +724,10 @@ object CurationQueries {
       s"seqs AS (${Seqs.duckSql})", BatchEdges, BatchSize, BatchShards),
     "span_dedup" -> Dedup.duckSpanDupSql(
       s"seqs AS (${Seqs.duckSql})", SpanLen, SpanStride),
+    "winnow_fp" -> Dedup.duckWinnowStatsSql(
+      s"seqs AS (${Seqs.duckSql})", WinnowK, WinnowW),
+    "winnow_dedup" -> Dedup.duckWinnowDupSql(
+      s"seqs AS (${Seqs.duckSql})", WinnowK, WinnowW),
     "epoch_order" -> (0 until EpochN).map { e =>
       s"""SELECT epoch, doc_id, skey FROM (
          |  SELECT CAST($e AS INTEGER) AS epoch,

@@ -1585,6 +1585,70 @@ class OpsSpec extends AnyFunSuite {
       "the only group IS the global centroid (up to fold rounding)")
   }
 
+  /** Independent brute-force winnowing reference: all O(m·w) window minima
+    * over the same packed keys, consecutive-duplicate-deduped. */
+  private def winnowRef(toks: Seq[Int], k: Int, w: Int): Seq[Long] = {
+    val m = toks.length - k + 1
+    if (m <= 0) return Seq.empty
+    val keys = (0 until m).map { j =>
+      val g = (0 until k).foldLeft(0L)((a, i) => a * 4096L + toks(j + i) + 2048L)
+      ((g % 1000000007L) * 999999937L) % 1000000007L * 8192L + (8191L - j)
+    }
+    val starts = 0 to math.max(m - w, 0)
+    val picked = starts.map(j0 => keys.slice(j0, math.min(j0 + w, m)).min)
+    picked.foldLeft(Vector.empty[Long])((acc, x) =>
+      if (acc.nonEmpty && acc.last == x) acc else acc :+ x)
+  }
+
+  private def winnowKernel(toks: Seq[Int], k: Int, w: Int): Seq[Long] = {
+    graft.functions.expressions.register(spark)
+    Seq(("x", toks)).toDF("doc_id", "tokens")
+      .select(expr(s"graft_winnow(tokens, $k, $w)"))
+      .as[Seq[Long]].collect()(0)
+  }
+
+  test("winnow: kernel matches the brute-force reference on edge shapes") {
+    val rng = Seq.tabulate(300)(i => ((i * 193 + 7) % 4096) - 2048)
+    for (n <- Seq(0, 1, 3, 4, 5, 10, 11, 12, 50, 300); // m<w, m==w, m>w
+         w <- Seq(1, 4, 8)) {
+      val toks = rng.take(n)
+      assert(winnowKernel(toks, 4, w) == winnowRef(toks, 4, w),
+        s"n=$n w=$w")
+    }
+    // repeated content (equal fps at different positions) and k<4
+    val rep = Seq.fill(40)(Seq(5, -9, 77)).flatten
+    for (k <- 1 to 4)
+      assert(winnowKernel(rep, k, 8) == winnowRef(rep, k, 8), s"k=$k")
+  }
+
+  test("winnow: guarantee — shared run of k+w-1 tokens shares a fingerprint") {
+    val k = 4; val w = 8
+    val shared = Seq.tabulate(k + w - 1)(i => (i * 131) % 1000) // 11 tokens
+    val a = Seq.tabulate(200)(i => -(i % 1500) - 1) ++ shared ++
+      Seq.tabulate(150)(i => -((i * 7) % 1400) - 2)
+    val b = Seq.tabulate(90)(i => ((i * 11) % 900) + 1001) ++ shared ++
+      Seq.tabulate(60)(i => ((i * 17) % 800) + 1010)
+    def fps(t: Seq[Int]) = winnowKernel(t, k, w).map(_ / 8192L).toSet
+    assert((fps(a) intersect fps(b)).nonEmpty,
+      "any shared run >= k+w-1 must yield a shared fingerprint")
+    // density: ~2/(w+1) of positions, loosely bounded
+    val m = a.length - k + 1
+    val nSel = winnowKernel(a, k, w).size
+    assert(nSel >= m / (w + 1) && nSel <= 4 * m / (w + 1), s"density $nSel/$m")
+  }
+
+  test("winnow: dup stats see cross-doc duplication, unique docs none") {
+    val shared = Seq.tabulate(64)(i => (i * 131) % 1000)
+    val a = ("a", Seq.tabulate(200)(i => -(i % 1500) - 1) ++ shared, 264, "s")
+    val b = ("b", shared ++ Seq.tabulate(90)(i => ((i * 11) % 900) + 1001), 154, "s")
+    val c = ("c", Seq.tabulate(120)(i => ((i * 29) % 700) + 1201), 120, "s")
+    val seqs = Seq(a, b, c).toDF("doc_id", "tokens", "n_tok", "source")
+    val dup = Dedup.winnowDupStats(seqs, 4, 8).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_dup")).toMap
+    assert(dup("a") > 0 && dup("b") > 0, "shared 64-token run must be seen")
+    assert(dup("c") == 0, "unique doc has no duplicated fingerprints")
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
