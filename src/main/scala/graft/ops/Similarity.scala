@@ -744,6 +744,67 @@ object Similarity {
        |  / (SELECT count(*) FROM exact
        |     WHERE cos >= ${graft.queries.Duck.lit(minCos)}) AS recall""".stripMargin
 
+  /** Batch-hard triplet mining over labeled embeddings (the hard-negative
+    * curation op of contrastive/metric training, FaceNet-style batch-hard
+    * applied corpus-wide): for every anchor (`vec_id < nAnchors`), the
+    * top-k HARD NEGATIVES — highest-cosine vectors with a DIFFERENT
+    * label — plus the HARDEST POSITIVE cosine (lowest same-label cosine)
+    * and the triplet margin `neg_cos − pos_cos` (> 0 means the anchor
+    * violates the triplet condition: the highest-value training example).
+    *
+    * Exact broadcast baseline like [[bruteTopK]]: anchors broadcast, the
+    * corpus never shuffles; one anchor-keyed exchange carries the scored
+    * rows into both windows (same partition key — one sort). For
+    * full-corpus anchor sets feed banded-LSH candidates
+    * ([[embedCandidates]]) through the same label-split rank instead;
+    * this exact form is the recall oracle for that path. `pos_cos` (and
+    * so `margin`) is NULL when the anchor has no same-label peer. */
+  def hardNegatives(embeddings0: DataFrame, nAnchors: Int, k: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    val anchors = embeddings.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+        col("label").as("alabel"))
+    val scored = embeddings.join(broadcast(anchors),
+        col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos", expr("graft_cosine(av, embedding)"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("pos_cos",
+        min(when(col("label") === col("alabel"), col("cos"))).over(wAll))
+      .filter(col("label") =!= col("alabel"))
+      .withColumn("rank", row_number().over(wNeg))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cos").as("neg_cos"),
+        col("pos_cos"), (col("cos") - col("pos_cos")).as("margin"))
+  }
+
+  /** DuckDB mirror of [[hardNegatives]] — identical cosine fold, min over
+    * the same bitwise values, margin one IEEE subtract. */
+  def duckHardNegativesSql(nAnchors: Int, k: Int): String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
+       |  FROM embeddings WHERE vec_id < $nAnchors),
+       |scored AS (
+       |  SELECT a.anchor_id, a.alabel, e.vec_id AS neighbor_id, e.label,
+       |    ${duckCosine("a.av", "e.embedding")} AS cos
+       |  FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id),
+       |wp AS (
+       |  SELECT *, min(CASE WHEN label = alabel THEN cos END)
+       |      OVER (PARTITION BY anchor_id) AS pos_cos
+       |  FROM scored)
+       |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  cos AS neg_cos, pos_cos, cos - pos_cos AS margin
+       |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |         ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |      FROM wp WHERE label <> alabel)
+       |WHERE rank <= $k""".stripMargin
+
   private def duckCosine(a: String, b: String): String =
     s"""(SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
        |        ELSE dot / sqrt(na * nb) END

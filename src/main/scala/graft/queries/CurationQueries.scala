@@ -215,6 +215,12 @@ object CurationQueries {
       Similarity.bruteTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK)),
 
+    // batch-hard triplet mining: per anchor, top-k highest-cosine
+    // different-label negatives + hardest same-label positive + margin
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK)),
+
     "embed_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"),
         LshPlanes)),
@@ -679,6 +685,7 @@ object CurationQueries {
     "text_analyze" -> TextAnalysis.duckAnalyzeSql,
     "tokenizer_fertility" -> TextAnalysis.duckFertilitySql,
     "embed_topk" -> Similarity.duckBruteTopKSql(TopKQueries, TopK),
+    "hard_negatives" -> Similarity.duckHardNegativesSql(TopKQueries, TopK),
     "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes),
     "dedup_embed" -> Similarity.duckEmbeddingNearDupsSql(
       EmbedBands, EmbedBits, EmbedMinCos, src = "aug",

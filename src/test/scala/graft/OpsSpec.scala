@@ -1649,6 +1649,32 @@ class OpsSpec extends AnyFunSuite {
     assert(dup("c") == 0, "unique doc has no duplicated fingerprints")
   }
 
+  test("hard negatives: label split, rank order, margin semantics") {
+    // anchor 0 (label 1): same-label 1 (identical, cos 1), same-label 2
+    // (orthogonal-ish), negatives 3/4 with known cosine order
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 1),
+      (1L, Seq(1.0f, 0.0f, 0.0f), 1),  // positive, cos 1
+      (2L, Seq(0.0f, 1.0f, 0.0f), 1),  // hardest positive, cos 0
+      (3L, Seq(0.9f, 0.1f, 0.0f), 2),  // hard negative (high cos)
+      (4L, Seq(0.0f, 0.0f, 1.0f), 2),  // easy negative (cos 0)
+      (5L, Seq(0.5f, 0.5f, 0.0f), 3))  // unique-label anchor candidate
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(e, 1, 3).collect()
+    assert(out.forall(_.getAs[Long]("anchor_id") == 0L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    val byRank = out.sortBy(_.getAs[Int]("rank"))
+    // neg order: 3 (0.994) > 5 (0.707) > 4 (0.0); all labels != 1
+    assert(byRank.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 5L, 4L))
+    assert(byRank.head.getAs[Double]("pos_cos") == 0.0, "hardest positive is vec 2")
+    assert(byRank.head.getAs[Double]("margin") ==
+      byRank.head.getAs[Double]("neg_cos"))
+    // anchor with no same-label peer -> NULL pos_cos / margin
+    val solo = Similarity.hardNegatives(e.filter(col("vec_id").isin(5L, 0L, 3L)), 6, 2)
+      .filter(col("anchor_id") === 5L).collect()
+    assert(solo.nonEmpty && solo.forall(r => r.isNullAt(r.fieldIndex("pos_cos"))))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
