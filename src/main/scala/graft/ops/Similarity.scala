@@ -317,8 +317,8 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
 
   /** SQL twin of [[cents]] (a full SELECT yielding (cell, cv)). */
-  private def centsSql(nCells: Int): String =
-    s"""SELECT vec_id AS cell, embedding AS cv FROM embeddings
+  private def centsSql(nCells: Int, src: String = "embeddings"): String =
+    s"""SELECT vec_id AS cell, embedding AS cv FROM $src
        |  WHERE vec_id % 37 = 3 ORDER BY vec_id LIMIT $nCells""".stripMargin
 
   /** IVF coarse quantizer: cells = the first `nCells` corpus vectors on a
@@ -743,6 +743,202 @@ object Similarity {
        |     WHERE cos >= ${graft.queries.Duck.lit(minCos)}) AS DOUBLE)
        |  / (SELECT count(*) FROM exact
        |     WHERE cos >= ${graft.queries.Duck.lit(minCos)}) AS recall""".stripMargin
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic dedup at
+    * web scale): cluster the corpus into k-means cells, then within each
+    * cell prune every vector whose cosine to some LOWER-RANKED cell member
+    * reaches `minCos`. Cell rank orders by (centroid-cosine ASC, vec_id
+    * ASC) — the paper keeps, among semantic duplicates, the example LEAST
+    * similar to its cluster centroid, realized (as in the released
+    * algorithm's triangular max-similarity test) as a static precedence:
+    * `x` is pruned iff an earlier-ranked in-cell `y` has
+    * `cos(x,y) >= minCos`, whether or not `y` itself survives. This is the
+    * clustering-bounded member of the dedup family — it finds the
+    * cross-document SEMANTIC redundancy that exact/MinHash/SimHash
+    * (token-space) and [[embeddingNearDups]] (recall-tuned LSH pairs)
+    * frame differently: here the candidate set is a partition, so every
+    * in-cell pair is examined and the miss mode is only cross-cell pairs.
+    *
+    * == Scale shape ==
+    * Assignment is one broadcast of `nCells` centroids against the corpus
+    * (narrow, the big side never shuffles). The in-cell pair join carries
+    * ONLY (vec_id, cell, cell_rank); vectors are re-fetched by id for the
+    * cosine verify ([[verifyPairs]]). Pair count is Σ_c m_c² — SemDeDup's
+    * inherent cost — held O(N) by growing `nCells` with the corpus so
+    * m_c = N/nCells stays O(1) (the paper runs 50k clusters on LAION-scale
+    * data); a hot cell is a centroid-quality problem, fixed by more Lloyd
+    * rounds, not a join-shape problem. Centroids: [[cents]] bootstrap here;
+    * feed the Lloyd-trained table ([[ivfTrainedCents]]) through
+    * [[semDedupWith]] for the production path. */
+  def semDedup(embeddings0: DataFrame, nCells: Int,
+               minCos: Double): DataFrame =
+    semDedupWith(embeddings0, cents(embeddings0, nCells), minCos)
+
+  /** [[semDedup]] against an explicit centroid table (e.g. Lloyd-trained).
+    * Output: one row per corpus vector — (vec_id, cell, cell_rank, ccos,
+    * pruned); survivors are the `NOT pruned` slice. */
+  def semDedupWith(embeddings0: DataFrame, centsDf: DataFrame,
+                   minCos: Double): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val emb = graft.core.Partitioning.balance(
+      embeddings0.select(col("vec_id"), col("embedding")), "vec_id")
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("ccos").asc, col("vec_id").asc)
+    val ranked = emb.crossJoin(broadcast(centsDf))
+      .withColumn("ccos", expr("graft_cosine(cv, embedding)"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .withColumn("cell_rank", row_number().over(wCell))
+      .select(col("vec_id"), col("cell"), col("ccos"), col("cell_rank"))
+    val cand = ranked
+      .select(col("cell"), col("cell_rank").as("rank_a"),
+        col("vec_id").as("vec_a"))
+      .join(ranked.select(col("cell"), col("cell_rank").as("rank_b"),
+        col("vec_id").as("vec_b")), Seq("cell"))
+      .filter(col("rank_a") < col("rank_b"))
+      .select(col("vec_a"), col("vec_b"))
+    val pruned = verifyPairs(embeddings0, cand, minCos)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("pruned", lit(true))
+    ranked.join(pruned, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("cell_rank"), col("ccos"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+  }
+
+  /** DuckDB mirror of [[semDedup]] — same cosine fold, same static
+    * precedence rule; `prelude` as in [[duckEmbeddingNearDupsSql]]. */
+  def duckSemDedupSql(nCells: Int, minCos: Double,
+                      src: String = "embeddings",
+                      prelude: String = ""): String =
+    s"""WITH ${prelude}c AS (
+       |${centsSql(nCells, src)}),
+       |asg AS (
+       |  SELECT vec_id, cell, ccos FROM (
+       |    SELECT vec_id, cell, ccos,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cell ASC) AS crank
+       |    FROM (SELECT e.vec_id, c.cell,
+       |            ${duckCosine("c.cv", "e.embedding")} AS ccos
+       |          FROM $src e CROSS JOIN c))
+       |  WHERE crank = 1),
+       |ranked AS MATERIALIZED (
+       |  SELECT vec_id, cell, ccos,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY ccos ASC, vec_id ASC) AS cell_rank
+       |  FROM asg),
+       |pruned AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM ranked a JOIN ranked b
+       |    ON a.cell = b.cell AND a.cell_rank < b.cell_rank
+       |  JOIN $src ea ON ea.vec_id = a.vec_id
+       |  JOIN $src eb ON eb.vec_id = b.vec_id
+       |  WHERE ${duckCosine("ea.embedding", "eb.embedding")}
+       |    >= ${graft.queries.Duck.lit(minCos)})
+       |SELECT r.vec_id, r.cell, CAST(r.cell_rank AS INTEGER) AS cell_rank,
+       |  r.ccos, (p.vec_id IS NOT NULL) AS pruned
+       |FROM ranked r LEFT JOIN pruned p USING (vec_id)""".stripMargin
+
+  /** Greedy facility-location coreset selection — the classical
+    * submodular data-subset-selection objective `F(S) = Σ_j max_{s∈S}
+    * sim(j, s)` under the Nemhauser-Wolsey-Fisher greedy (each round picks
+    * the candidate with the largest marginal gain; 1−1/e approximation).
+    * Output: one row per round — (step, vec_id, gain_micro,
+    * coverage_micro), coverage being the running objective value.
+    *
+    * '''Exact integer gains''': similarities are micro-quantized cosines
+    * `floor(cos·10⁶ + 0.5)` as BIGINT, so a marginal gain
+    * `Σ_j max(q(j,c) − cover_j, 0)` is an exact commutative integer sum —
+    * bitwise cross-engine under any row order (the float-sum-order hazard
+    * a raw-cosine objective would have), and `coverage = Σ gains` exactly.
+    * Cover starts at 0 so negative similarities never contribute.
+    *
+    * == Scale shape ==
+    * The all-pairs table is the exact form — the quality oracle. At
+    * corpus scale run the same greedy per k-means cell
+    * ([[ivfTrainedCents]] assignment): greedy-per-cell is embarrassingly
+    * parallel and in-cell pairs are Σ m_c² (the SemDeDup bound). The pair
+    * table is built ONCE and cached across rounds; per round the driver
+    * receives exactly one argmax row, and the cover table and every gain
+    * sum stay distributed. */
+  def coresetGreedy(embeddings0: DataFrame, k: Int): DataFrame = {
+    val sp = embeddings0.sparkSession
+    expressions.register(sp)
+    import sp.implicits._
+    val e = embeddings0.select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("j"), col("embedding").as("ej"))
+      .crossJoin(e.select(col("vec_id").as("c"), col("embedding").as("ec")))
+      .select(col("j"), col("c"),
+        expr("CAST(floor(graft_cosine(ej, ec) * 1000000 + 0.5) AS BIGINT)")
+          .as("q"))
+      .cache()
+    var cover = e.select(col("vec_id").as("j"), lit(0L).as("cov"))
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    var running = 0L
+    for (t <- 1 to k) {
+      val selected = picks.map(_._2)
+      val cand = if (selected.isEmpty) pairs
+                 else pairs.filter(!col("c").isin(selected.toSeq: _*))
+      val top = cand.join(cover, Seq("j"))
+        .groupBy(col("c"))
+        .agg(sum(greatest(col("q") - col("cov"), lit(0L))).as("gain"))
+        .orderBy(col("gain").desc, col("c").asc)
+        .limit(1).collect()(0)
+      val (cId, gain) = (top.getLong(0), top.getLong(1))
+      running += gain
+      picks += ((t, cId, gain, running))
+      cover = cover
+        .join(pairs.filter(col("c") === cId).select(col("j"), col("q")),
+          Seq("j"), "left_outer")
+        .select(col("j"),
+          greatest(col("cov"), coalesce(col("q"), lit(0L))).as("cov"))
+        .localCheckpoint(true) // N rows; truncates per-round lineage
+    }
+    pairs.unpersist()
+    picks.toSeq.toDF("step", "vec_id", "gain_micro", "coverage_micro")
+  }
+
+  /** DuckDB mirror of [[coresetGreedy]] — the k greedy rounds unrolled;
+    * `prelude` as in [[duckEmbeddingNearDupsSql]]. */
+  def duckCoresetSql(k: Int, src: String = "embeddings",
+                     prelude: String = ""): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH ${prelude}p AS MATERIALIZED (
+       |  SELECT a.vec_id AS j, b.vec_id AS c,
+       |    CAST(floor(${duckCosine("a.embedding", "b.embedding")}
+       |      * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM $src a CROSS JOIN $src b),
+       |cover0 AS (SELECT vec_id AS j, CAST(0 AS BIGINT) AS cov
+       |           FROM $src)""".stripMargin
+    for (t <- 1 to k) {
+      val prev = s"cover${t - 1}"
+      val excl = if (t == 1) ""
+        else "WHERE p.c NOT IN (" + (1 until t)
+          .map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ") + ")"
+      sb ++= s""",
+         |g$t AS (
+         |  SELECT p.c, CAST(sum(greatest(p.q - $prev.cov, 0)) AS BIGINT)
+         |    AS gain
+         |  FROM p JOIN $prev ON p.j = $prev.j
+         |  $excl
+         |  GROUP BY p.c),
+         |s$t AS (SELECT c AS vec_id, gain FROM g$t
+         |        ORDER BY gain DESC, c ASC LIMIT 1),
+         |cover$t AS (
+         |  SELECT $prev.j, greatest($prev.cov, coalesce(pc.q, 0)) AS cov
+         |  FROM $prev LEFT JOIN
+         |    (SELECT p.j, p.q FROM p JOIN s$t ON p.c = s$t.vec_id) pc
+         |    ON $prev.j = pc.j)""".stripMargin
+    }
+    sb ++= "\nSELECT step, vec_id, gain_micro,\n" +
+      "  CAST(sum(gain_micro) OVER (ORDER BY step\n" +
+      "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS coverage_micro\nFROM (\n" +
+      (1 to k).map(t =>
+        s"  SELECT $t AS step, vec_id, gain AS gain_micro FROM s$t")
+        .mkString("\n  UNION ALL\n") + ")"
+    sb.toString
+  }
 
   /** Batch-hard triplet mining over labeled embeddings (the hard-negative
     * curation op of contrastive/metric training, FaceNet-style batch-hard
