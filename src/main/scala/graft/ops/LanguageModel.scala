@@ -120,6 +120,96 @@ object LanguageModel {
        |FROM dg JOIN nll USING (gram)
        |GROUP BY dg.doc_id""".stripMargin
 
+  /** Per-document INTERPOLATED KNESER-NEY bigram NLL — the standard
+    * upgrade over add-one smoothing ([[scoreBigramNll]]): unseen-context
+    * mass comes from the CONTINUATION distribution (in how many distinct
+    * contexts does w2 appear) rather than raw frequency, which is what
+    * makes KN the n-gram quality-filter reference model. With absolute
+    * discount D = 3/4,
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1w(w1)/c1 · Ncont(w2)/N11
+    *
+    * (N1w = distinct continuations of w1, Ncont = distinct left-contexts
+    * of w2, N11 = distinct bigram types). Multiplying through by 4·c1·N11
+    * gives the EXACT integer form used here:
+    *
+    *   P = (max(4·c12 − 3, 0)·N11 + 3·N1w·Ncont) / (4·c1·N11)
+    *
+    * — numerator and denominator are exact int64 products, so each
+    * per-gram NLL is ONE double division + one micro-nat-quantized ln
+    * (the module's determinism contract), and document scores are exact
+    * integer folds. Self-scoring form: every scored bigram exists, so the
+    * discounted term is never the only mass and P > 0 always.
+    *
+    * Shape: one explode → per-(doc, gram) partials; all four count
+    * families are window sums/counts over the DISTINCT-gram table
+    * (bounded by vocabulary², never occurrences); one gram-keyed join
+    * back; N11 rides in broadcast. */
+  def scoreBigramKn(seqs: DataFrame): DataFrame = {
+    val byT1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t1"))
+    val byT2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t2"))
+    val dg = gramInstances(seqs, 2)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+    val g = dg.groupBy(col("gram")).agg(sum(col("n_occ")).as("c12"))
+      .withColumn("t1", expr("gram div 4096"))
+      .withColumn("t2", expr("gram % 4096"))
+      .withColumn("c1", sum(col("c12")).over(byT1))
+      .withColumn("n1w", count(lit(1)).over(byT1))
+      .withColumn("ncont", count(lit(1)).over(byT2))
+    val n11 = g.agg(count(lit(1)).as("__n11"))
+    dg.join(g.select(col("gram"), col("c12"), col("c1"), col("n1w"),
+        col("ncont")), Seq("gram"))
+      .crossJoin(broadcast(n11))
+      .select(col("doc_id"), col("n_occ"),
+        expr("""CAST(round(ln(CAST(4 * c1 * __n11 AS DOUBLE)
+               |  / CAST(greatest(4 * c12 - 3, 0) * __n11
+               |         + 3 * n1w * ncont AS DOUBLE))
+               |  * 1000000) AS BIGINT)""".stripMargin).as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_bigrams"),
+        sum(col("n_occ") * col("nll_micro")).as("__sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__sum").cast("double") /
+          (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_nll_kn"))
+  }
+
+  /** DuckDB mirror of [[scoreBigramKn]]. */
+  def duckBigramKnSql(seqsSql: String): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
+       |  FROM (SELECT doc_id,
+       |          unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)),
+       |dg AS MATERIALIZED (
+       |  SELECT doc_id, gram, count(*) AS n_occ FROM inst GROUP BY 1, 2),
+       |g AS MATERIALIZED (
+       |  SELECT gram, gram // 4096 AS t1, gram % 4096 AS t2,
+       |    CAST(sum(n_occ) AS BIGINT) AS c12
+       |  FROM dg GROUP BY 1, 2, 3),
+       |gw AS (
+       |  SELECT gram, c12,
+       |    CAST(sum(c12) OVER (PARTITION BY t1) AS BIGINT) AS c1,
+       |    CAST(count(*) OVER (PARTITION BY t1) AS BIGINT) AS n1w,
+       |    CAST(count(*) OVER (PARTITION BY t2) AS BIGINT) AS ncont
+       |  FROM g),
+       |n11 AS (SELECT count(*) AS n11 FROM g),
+       |nll AS (
+       |  SELECT gram,
+       |    CAST(round(ln(CAST(4 * c1 * n11.n11 AS DOUBLE)
+       |      / CAST(greatest(4 * c12 - 3, 0) * n11.n11
+       |             + 3 * n1w * ncont AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS nll_micro
+       |  FROM gw CROSS JOIN n11)
+       |SELECT dg.doc_id,
+       |  CAST(sum(dg.n_occ) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(dg.n_occ * nll.nll_micro) AS DOUBLE)
+       |    / CAST(sum(dg.n_occ) * 1000000 AS DOUBLE) AS avg_nll_kn
+       |FROM dg JOIN nll USING (gram)
+       |GROUP BY dg.doc_id""".stripMargin
+
   /** DSIR importance weight per document: average per-token log-ratio
     * `(1/n) Σ_tok ln(p_target(tok) / p_raw(tok))` with add-one smoothing,
     * `p_target` fit on the rows satisfying `targetPred` (the high-quality
@@ -291,6 +381,79 @@ object LanguageModel {
           .when(col("rn") * 3 <= col("n") * 2, "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
+
+  /** Per-document unigram diversity: Shannon entropy of the in-doc token
+    * distribution (nats; low = repetitive/templated text — the
+    * distributional complement of the dup-word repetition shares) and
+    * KL(doc ‖ corpus) against the corpus unigram distribution (high =
+    * off-distribution vocabulary — the doc-level form of the per-source
+    * JSD drift screen). No smoothing needed: every in-doc token has a
+    * corpus occurrence by construction.
+    *
+    * Identities over exact integer counts — `H = (1/n) Σ_t c_t·ln(n/c_t)`
+    * and `KL = (1/n) Σ_t c_t·ln(c_t·N / (n·C_t))` — with each ln
+    * micro-nat-quantized per DISTINCT (doc, token) row, so both folds are
+    * exact int64 sums (order-free, bitwise cross-engine).
+    *
+    * Shape: ONE token explode → (doc, token) count; the corpus token
+    * count is a window sum over the token partition (bounded by distinct
+    * (doc, token) rows, never raw occurrences — the [[scoreBigramNll]]
+    * straight-pipeline shape) and the corpus total rides in as a
+    * broadcast scalar. */
+  def unigramDiversity(seqs: DataFrame): DataFrame = {
+    val totals = gramInstances(seqs, 1).agg(count(lit(1)).as("__nn"))
+    val byTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    gramInstances(seqs, 1)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("cg", sum(col("c")).over(byTok))
+      .withColumn("n", sum(col("c")).over(byDoc))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("c"), col("n"),
+        expr("""CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+                |  * 1000000) AS BIGINT)""".stripMargin).as("h_micro"),
+        expr("""CAST(round(ln((CAST(c AS DOUBLE) * CAST(__nn AS DOUBLE))
+                |  / (CAST(n AS DOUBLE) * CAST(cg AS DOUBLE)))
+                |  * 1000000) AS BIGINT)""".stripMargin).as("kl_micro"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tok"),
+        sum(col("c") * col("h_micro")).as("__h"),
+        sum(col("c") * col("kl_micro")).as("__k"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("__h").cast("double") /
+          (col("n_tok") * lit(1000000L)).cast("double")).as("entropy"),
+        (col("__k").cast("double") /
+          (col("n_tok") * lit(1000000L)).cast("double")).as("kl_corpus"))
+  }
+
+  /** DuckDB mirror of [[unigramDiversity]]. */
+  def duckUnigramDiversitySql(seqsSql: String): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, (t + 2048)::BIGINT AS gram
+       |  FROM (SELECT doc_id, unnest(tokens) AS t FROM seqs)),
+       |dg AS MATERIALIZED (
+       |  SELECT doc_id, gram, count(*) AS c FROM inst GROUP BY 1, 2),
+       |cg AS (SELECT gram, sum(c) AS cg FROM dg GROUP BY 1),
+       |dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+       |       FROM dg GROUP BY 1),
+       |nn AS (SELECT count(*) AS nn FROM inst),
+       |terms AS (
+       |  SELECT dg.doc_id, dg.c, dn.n,
+       |    CAST(round(ln(CAST(dn.n AS DOUBLE) / CAST(dg.c AS DOUBLE))
+       |      * 1000000) AS BIGINT) AS h_micro,
+       |    CAST(round(ln((CAST(dg.c AS DOUBLE) * CAST(nn.nn AS DOUBLE))
+       |      / (CAST(dn.n AS DOUBLE) * CAST(cg.cg AS DOUBLE)))
+       |      * 1000000) AS BIGINT) AS kl_micro
+       |  FROM dg JOIN dn USING (doc_id) JOIN cg USING (gram) CROSS JOIN nn)
+       |SELECT doc_id, max(n) AS n_tok,
+       |  CAST(sum(c * h_micro) AS DOUBLE)
+       |    / CAST(max(n) * 1000000 AS DOUBLE) AS entropy,
+       |  CAST(sum(c * kl_micro) AS DOUBLE)
+       |    / CAST(max(n) * 1000000 AS DOUBLE) AS kl_corpus
+       |FROM terms GROUP BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[perplexityBuckets]]. */
   def duckPerplexityBucketsSql(seqsSql: String): String =

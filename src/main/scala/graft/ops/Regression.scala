@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine ordinary-least-squares model fitting via EXACT distributed
+  * normal equations — the "train a (small) model inside the data engine"
+  * capability (reference analog: the crawler trains its classification
+  * models from pooled descriptors rather than exporting to a separate
+  * system; here the regression IS a distributed aggregation).
+  *
+  * Two phases, both engine-native:
+  *
+  *  1. '''Moments''' (distributed, one pass): the 10 integer moments of
+  *     X = (1, x1, x2) and y — n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y,
+  *     Σx2y, Σy² — as int64 sums of int64 products. Integer sums are
+  *     exact and commutative, so the fit is bitwise identical under ANY
+  *     partitioning / shuffle order (the float-sum-order hazard of a
+  *     naive Σxᵢyᵢ in doubles). Map-side partial aggregation applies; the
+  *     exchange carries ten longs. At 10^12-row scale the squared moments
+  *     outgrow int64 (~1.6e19 for 4k-char docs) — the production variant
+  *     sums into DECIMAL(38,0); the solve below is unchanged.
+  *  2. '''Solve''' (driver-free, closed form): β = (XᵀX)⁻¹Xᵀy by Cramer's
+  *     rule on the 3×3 system, evaluated as a FIXED double expression
+  *     tree over the (cast-once) moments — the same IEEE multiply/add
+  *     sequence in Spark and DuckDB, so β, R² and RMSE are bitwise
+  *     cross-engine. SSE uses the algebraic identity
+  *     SSE = Σy² − β₀Σy − β₁Σx1y − β₂Σx2y (no second data pass).
+  *
+  * The [[solveLevels]] pipeline is authored ONCE as dialect-neutral SQL
+  * and executed by both engines, so the solver can never desynchronize
+  * from its oracle. */
+object Regression {
+
+  /** The shared closed-form solve, as successive projection levels (each
+    * level may reference the previous level's aliases). Input relation
+    * must carry BIGINT columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y,
+    * syy). Output: (n, b0, b1, b2, r2, rmse). */
+  val solveLevels: Seq[Seq[String]] = Seq(
+    // cast the integer moments to doubles exactly once
+    Seq("n",
+      "CAST(n AS DOUBLE) AS dn", "CAST(s1 AS DOUBLE) AS ds1",
+      "CAST(s2 AS DOUBLE) AS ds2", "CAST(s11 AS DOUBLE) AS ds11",
+      "CAST(s12 AS DOUBLE) AS ds12", "CAST(s22 AS DOUBLE) AS ds22",
+      "CAST(sy AS DOUBLE) AS dsy", "CAST(s1y AS DOUBLE) AS ds1y",
+      "CAST(s2y AS DOUBLE) AS ds2y", "CAST(syy AS DOUBLE) AS dsyy"),
+    // Cramer determinants: det(A), then A with column i replaced by b
+    Seq("n", "dn", "dsy", "ds1y", "ds2y", "dsyy",
+      "dn*(ds11*ds22 - ds12*ds12) - ds1*(ds1*ds22 - ds12*ds2)" +
+        " + ds2*(ds1*ds12 - ds11*ds2) AS det",
+      "dsy*(ds11*ds22 - ds12*ds12) - ds1*(ds1y*ds22 - ds12*ds2y)" +
+        " + ds2*(ds1y*ds12 - ds11*ds2y) AS det0",
+      "dn*(ds1y*ds22 - ds12*ds2y) - dsy*(ds1*ds22 - ds12*ds2)" +
+        " + ds2*(ds1*ds2y - ds1y*ds2) AS det1",
+      "dn*(ds11*ds2y - ds1y*ds12) - ds1*(ds1*ds2y - ds1y*ds2)" +
+        " + dsy*(ds1*ds12 - ds11*ds2) AS det2"),
+    // degenerate groups (singular XᵀX, or zero variance in y) yield NULL
+    // coefficients / r2 instead of an ANSI divide-by-zero abort — the
+    // same NULL in both engines
+    Seq("n", "dn", "dsy", "ds1y", "ds2y", "dsyy",
+      "CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE det0 / det END AS b0",
+      "CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE det1 / det END AS b1",
+      "CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE det2 / det END AS b2"),
+    Seq("n", "dn", "dsy", "dsyy", "b0", "b1", "b2",
+      "dsyy - b0*dsy - b1*ds1y - b2*ds2y AS sse"),
+    Seq("n", "b0", "b1", "b2",
+      "CASE WHEN sse IS NULL OR dsyy - dsy*dsy/dn = CAST(0 AS DOUBLE)" +
+        " THEN CAST(NULL AS DOUBLE)" +
+        " ELSE CAST(1 AS DOUBLE) - sse / (dsyy - dsy*dsy/dn) END AS r2",
+      "CASE WHEN sse IS NULL THEN CAST(NULL AS DOUBLE)" +
+        " ELSE sqrt(greatest(sse, CAST(0 AS DOUBLE)) / dn) END AS rmse"))
+
+  /** Fit y ~ b0 + b1·x1 + b2·x2 over a relation already carrying BIGINT
+    * columns (y, x1, x2). One moment pass + the closed-form solve. */
+  def fit(xy: DataFrame): DataFrame = {
+    val moments = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    solveLevels.foldLeft(moments)((df, lvl) => df.selectExpr(lvl: _*))
+  }
+
+  /** Grouped variant of [[fit]]: one fitted model PER value of `key`
+    * (still one moment pass — the groupBy carries ten longs per group). */
+  def fitBy(xy: DataFrame, key: String): DataFrame = {
+    val moments = xy.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      sum(col("y") * col("y")).as("syy"))
+    solveLevels.foldLeft(moments)((df, lvl) =>
+      df.selectExpr((key +: lvl): _*))
+  }
+
+  /** SQL twin of [[fitBy]] (`xySql` = a full SELECT yielding
+    * (key, y, x1, x2) as BIGINTs). */
+  def duckFitBySql(xySql: String, key: String): String = {
+    val moments =
+      s"""SELECT $key, count(*) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |  CAST(sum(x1*x1) AS BIGINT) AS s11,
+         |  CAST(sum(x1*x2) AS BIGINT) AS s12,
+         |  CAST(sum(x2*x2) AS BIGINT) AS s22,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1*y) AS BIGINT) AS s1y,
+         |  CAST(sum(x2*y) AS BIGINT) AS s2y,
+         |  CAST(sum(y*y) AS BIGINT) AS syy
+         |FROM ($xySql) GROUP BY $key""".stripMargin
+    solveLevels.foldLeft(moments)((inner, lvl) =>
+      s"SELECT $key, ${lvl.mkString(", ")} FROM (\n$inner)")
+  }
+
+  /** Per-source Zipf-law fit: regress micro-ln(token frequency) on
+    * micro-ln(rank) and a curvature term — `b1` IS the Zipf exponent
+    * (micro/micro, unitless; ≈ −1 for natural text), `b2` the log-log
+    * curvature that separates pure power law (b2 ≈ 0) from
+    * lognormal-bending tails, `rmse` the residual in micro-nats. A
+    * corpus-diagnostics complement to the Heaps'-law vocabulary-growth
+    * report: sources whose token distribution bends away from Zipf are
+    * template/boilerplate suspects.
+    *
+    * Determinism: ranks are exact (count DESC, token ASC tie-break), both
+    * regressors are micro-quantized ln values (int64), and the curvature
+    * term is integer arithmetic `(x1·x1) div 10⁹` (milli-ln², keeping
+    * Σx2² inside int64 at 4096-token vocabularies) — so the moment pass
+    * feeds [[fitBy]]'s bitwise solve. */
+  def zipfFit(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("gram").asc)
+    val xy = seqs
+      .select(col("source"),
+        explode(expr("graft_pack_ngrams(tokens, 1)")).as("gram"))
+      .groupBy(col("source"), col("gram")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .select(col("source"),
+        expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("y"),
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("x1"))
+      .withColumn("x2", expr("(x1 * x1) div 1000000000"))
+    fitBy(xy, "source")
+  }
+
+  /** DuckDB mirror of [[zipfFit]]. */
+  def duckZipfSql(seqsSql: String): String =
+    duckFitBySql(
+      s"""SELECT source,
+         |  CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y,
+         |  CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x1,
+         |  (CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)
+         |   * CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT))
+         |  // 1000000000 AS x2
+         |FROM (
+         |  SELECT source, c, row_number() OVER (PARTITION BY source
+         |    ORDER BY c DESC, gram ASC) AS r
+         |  FROM (SELECT source, (t + 2048)::BIGINT AS gram,
+         |          count(*) AS c
+         |        FROM (SELECT source, unnest(tokens) AS t
+         |              FROM ($seqsSql))
+         |        GROUP BY 1, 2))""".stripMargin, "source")
+
+  /** Document length model: y = n_chars, x1 = occurrences of 'e',
+    * x2 = occurrences of ' ' — integer character-class counts available
+    * identically in both engines (length-difference trick, no regex). */
+  def fitLengthModel(docs: DataFrame): DataFrame =
+    fit(docs.selectExpr(
+      "CAST(n_chars AS BIGINT) AS y",
+      "CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x1",
+      "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x2"))
+
+  /** DuckDB mirror of [[fitLengthModel]] — same moments (sums cast back
+    * to BIGINT; DuckDB widens sum(BIGINT) to HUGEINT), same shared solve
+    * levels nested inside-out. */
+  def duckLengthModelSql(src: String = "documents"): String = {
+    val moments =
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |  CAST(sum(x1*x1) AS BIGINT) AS s11,
+         |  CAST(sum(x1*x2) AS BIGINT) AS s12,
+         |  CAST(sum(x2*x2) AS BIGINT) AS s22,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1*y) AS BIGINT) AS s1y,
+         |  CAST(sum(x2*y) AS BIGINT) AS s2y,
+         |  CAST(sum(y*y) AS BIGINT) AS syy
+         |FROM (SELECT CAST(n_chars AS BIGINT) AS y,
+         |        CAST(length(text) - length(replace(text, 'e', ''))
+         |          AS BIGINT) AS x1,
+         |        CAST(length(text) - length(replace(text, ' ', ''))
+         |          AS BIGINT) AS x2
+         |      FROM $src)""".stripMargin
+    solveLevels.foldLeft(moments)((inner, lvl) =>
+      s"SELECT ${lvl.mkString(", ")} FROM (\n$inner)")
+  }
+}

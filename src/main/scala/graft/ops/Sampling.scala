@@ -134,6 +134,27 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe grouped k-fold assignment (the GroupKFold analog with
+    * groups DISCOVERED by the dedup family): folds are hashed per
+    * near-dup CLUSTER label, not per document, so near-duplicates can
+    * never straddle a train/test boundary — the cross-sectional sibling
+    * of [[purgedTimeSplit]]'s temporal leakage guard (a test doc whose
+    * near-copy sits in train is a leaked label). Input = the resolved
+    * (doc_id, cluster) table ([[Dedup.resolveClustersStar]] over LSH
+    * candidates); fold = [[md5Slot]] of the cluster label — stable under
+    * reruns, repartitioning and corpus growth, and ONE narrow projection
+    * over the cluster table (the component resolution already paid the
+    * graph shuffles). */
+  def groupedFolds(clusters: DataFrame, k: Int): DataFrame =
+    clusters.withColumn("fold", md5Slot(col("cluster"), k).cast("int"))
+
+  /** SQL twin of [[groupedFolds]] (`clustersSql` = a full SELECT yielding
+    * (doc_id, cluster)). */
+  def duckGroupedFoldsSql(clustersSql: String, k: Int): String =
+    s"""SELECT doc_id, cluster,
+       |  CAST(${duckMd5Slot("cluster", k)} AS INTEGER) AS fold
+       |FROM ($clustersSql)""".stripMargin
+
   /** Seeded epoch-shuffle key: md5 of `key:epoch` — an uncorrelated
     * 128-bit total order per epoch, reproducible anywhere md5 is (the
     * same engine-portability argument as [[milleSlot]]). */
