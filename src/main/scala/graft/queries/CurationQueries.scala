@@ -22,6 +22,9 @@ object CurationQueries {
   // pair above cosine 0.52 — nothing for a near-dup detector to find);
   // embed_dedup_recall measures the band parameters against the planted
   // ground truth
+  val CvFoldK = 5
+  val CoresetK = 4
+  val CoresetMaxId = 250
   val EmbedBands = 4
   val EmbedBits = 8
   val EmbedMinCos = 0.8
@@ -100,6 +103,15 @@ object CurationQueries {
     "dedup_resolve" -> ((s, dir) => {
       val sq = Seqs.fromDocumentsSub(s, dir)
       Dedup.resolveClustersStar(sq.select("doc_id"), Dedup.lshCandidates(sq))
+    }),
+
+    // leakage-safe grouped CV folds: fold hashed per near-dup cluster so
+    // duplicates never straddle a train/test boundary
+    "cv_folds" -> ((s, dir) => {
+      val sq = Seqs.fromDocumentsSub(s, dir)
+      graft.ops.Sampling.groupedFolds(
+        Dedup.resolveClustersStar(sq.select("doc_id"),
+          Dedup.lshCandidates(sq)), CvFoldK)
     }),
 
     // exact n-gram Jaccard verification of the LSH candidates — the
@@ -233,6 +245,23 @@ object CurationQueries {
         Similarity.plantNearDups(
           s.read.parquet(s"$dir/embeddings.parquet"), EmbedPlantMod),
         EmbedBands, EmbedBits, EmbedMinCos)),
+
+    // SemDeDup: k-means cells + in-cell cosine pruning on the planted
+    // corpus — the clustering-bounded semantic-dedup path (keeps the
+    // least-centroid-similar representative per duplicate group)
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedup(
+        Similarity.plantNearDups(
+          s.read.parquet(s"$dir/embeddings.parquet"), EmbedPlantMod),
+        IvfCells, EmbedMinCos)),
+
+    // greedy facility-location coreset: k rounds of exact integer
+    // marginal-gain argmax over micro-quantized cosines (subsampled
+    // corpus — the all-pairs form is the per-cell production oracle)
+    "coreset_greedy" -> ((s, dir) =>
+      Similarity.coresetGreedy(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < CoresetMaxId), CoresetK)),
 
     // recall of the banded near-dup path vs brute-force planted ground
     // truth (subsampled corpus) — the trust measurement behind the band
@@ -380,6 +409,12 @@ object CurationQueries {
         "label", 0.0)
     }),
 
+    // in-engine OLS fit (exact integer normal equations + shared Cramer
+    // solve): document length model n_chars ~ ('e' count, space count)
+    "ols_length" -> ((s, dir) =>
+      graft.ops.Regression.fitLengthModel(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // PII redaction: per-rule sequential count-and-mask (email/IPv4/phone)
     // over a deterministically PII-injected corpus; redacted text pinned
     // by length + md5 — one narrow projection per rule, no shuffle
@@ -430,6 +465,21 @@ object CurationQueries {
     // under the corpus model, exact micro-nat sums (order-free)
     "lm_bigram_nll" -> ((s, dir) =>
       graft.ops.LanguageModel.scoreBigramNll(Seqs.fromDocuments(s, dir))),
+
+    // interpolated Kneser-Ney bigram NLL (continuation-count smoothing,
+    // exact integer P-numerator/denominator, D=3/4)
+    "kn_bigram_nll" -> ((s, dir) =>
+      graft.ops.LanguageModel.scoreBigramKn(Seqs.fromDocuments(s, dir))),
+
+    // per-source Zipf-law fit (slope/curvature/residual of the log-log
+    // rank-frequency line) via the shared exact OLS solver
+    "zipf_fit" -> ((s, dir) =>
+      graft.ops.Regression.zipfFit(Seqs.fromDocuments(s, dir))),
+
+    // per-doc unigram entropy + KL-to-corpus (diversity / off-vocabulary
+    // screens), exact micro-nat sums over one token explode
+    "unigram_diversity" -> ((s, dir) =>
+      graft.ops.LanguageModel.unigramDiversity(Seqs.fromDocuments(s, dir))),
 
     // DSIR importance weights: avg token log-ratio target-vs-raw; target
     // distribution = the 'src0' slice (a stand-in reference corpus)
@@ -653,6 +703,8 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
+    "cv_folds" -> graft.ops.Sampling.duckGroupedFoldsSql(
+      Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub), CvFoldK),
     "dedup_verify_pairs" ->
       Dedup.duckNgramPairsSql(duckLshPairsSql, Seqs.DedupSubPred),
     "dedup_containment" ->
@@ -691,6 +743,13 @@ object CurationQueries {
       EmbedBands, EmbedBits, EmbedMinCos, src = "aug",
       prelude = s"aug AS MATERIALIZED (\n${
         Similarity.duckPlantSql(EmbedPlantMod)}),\n"),
+    "coreset_greedy" -> Similarity.duckCoresetSql(
+      CoresetK,
+      src = s"(SELECT * FROM embeddings WHERE vec_id < $CoresetMaxId)"),
+    "semdedup" -> Similarity.duckSemDedupSql(
+      IvfCells, EmbedMinCos, src = "aug",
+      prelude = s"aug AS MATERIALIZED (\n${
+        Similarity.duckPlantSql(EmbedPlantMod)}),\n"),
     "embed_dedup_recall" -> Similarity.duckEmbedDedupRecallSql(
       Similarity.duckPlantSql(EmbedPlantMod,
         src = s"(SELECT * FROM embeddings WHERE vec_id < $EmbedRecallMaxId)"),
@@ -721,6 +780,7 @@ object CurationQueries {
     "quality_linear" ->
       graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli),
     "redact_pii" -> graft.ops.Redact.duckSql(),
+    "ols_length" -> graft.ops.Regression.duckLengthModelSql(),
     "eval_metrics" -> graft.ops.Evaluation.duckSql(
       s"""SELECT d.source AS source, s.logit AS score,
          |  (d.doc_id % 7 < 3) AS label
@@ -750,6 +810,11 @@ object CurationQueries {
     "repetition_stats" -> graft.ops.TextAnalysis.duckRepetitionSql,
     "lm_bigram_nll" ->
       graft.ops.LanguageModel.duckBigramNllSql(Seqs.duckSql),
+    "unigram_diversity" ->
+      graft.ops.LanguageModel.duckUnigramDiversitySql(Seqs.duckSql),
+    "kn_bigram_nll" ->
+      graft.ops.LanguageModel.duckBigramKnSql(Seqs.duckSql),
+    "zipf_fit" -> graft.ops.Regression.duckZipfSql(Seqs.duckSql),
     "dsir_weights" -> graft.ops.LanguageModel.duckImportanceSql(
       Seqs.duckSql, s"source = '$DsirTargetSource'"),
     "dup_ngrams" -> Dedup.duckDupNgramsSql(Seqs.duckSql),

@@ -1675,6 +1675,129 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.nonEmpty && solo.forall(r => r.isNullAt(r.fieldIndex("pos_cos"))))
   }
 
+  test("semdedup: in-cell pruning, centroid-rank precedence, cross-cell blind spot") {
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("cell", "cv")
+    val e = Seq(
+      (0L, Seq(1.0f, 0.01f, 0.0f)), // cell 0, most centroid-similar
+      (1L, Seq(1.0f, 0.02f, 0.0f)), // cell 0, near-dup of 0, lower ccos
+      (2L, Seq(0.2f, 1.0f, 0.0f)),  // cell 1, no in-cell dup at tau=0.99
+      (3L, Seq(0.0f, 1.0f, 0.0f)),  // cell 1
+      (4L, Seq(0.9f, 1.0f, 0.0f)),  // cell 1 — cross-cell near-dup of 5
+      (5L, Seq(1.0f, 0.9f, 0.0f)))  // cell 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedupWith(e, cents, 0.99).collect()
+      .map(r => r.getAs[Long]("vec_id") -> ((r.getAs[Long]("cell"),
+        r.getAs[Int]("cell_rank"), r.getAs[Boolean]("pruned")))).toMap
+    assert(Seq(0L, 1L, 5L).forall(out(_)._1 == 0L))
+    assert(Seq(2L, 3L, 4L).forall(out(_)._1 == 1L))
+    // rank ASC by centroid cosine: least-centroid-similar ranks first
+    assert(out(5L)._2 == 1 && out(1L)._2 == 2 && out(0L)._2 == 3)
+    // 0 pruned by earlier-ranked near-dup 1; 1 survives (5 not similar)
+    assert(out(0L)._3 && !out(1L)._3 && !out(5L)._3)
+    // cross-cell near-dup (4,5): the documented blind spot — both survive
+    assert(!out(4L)._3 && !out(2L)._3 && !out(3L)._3)
+  }
+
+  test("coreset greedy: submodular gains, tie-breaks, covered-cluster zero") {
+    // duplicate cluster {0,1} on x, singletons 2 (y) and 3 (z): round 1
+    // covers the cluster (gain 2e6, tie -> lowest id), rounds 2-3 the
+    // axes, round 4 the now-worthless duplicate (gain 0)
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.coresetGreedy(e, 4).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("gain_micro"), r.getAs[Long]("coverage_micro")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, 0L, 2000000L, 2000000L),
+      (2, 2L, 1000000L, 3000000L),
+      (3, 3L, 1000000L, 4000000L),
+      (4, 1L, 0L, 4000000L)))
+  }
+
+  test("ols fit: exact recovery of a noiseless plane, r2=1, rmse~0") {
+    val xy = Seq((0L, 0L, 2L), (1L, 0L, 5L), (0L, 1L, 7L), (2L, 1L, 13L),
+        (3L, 4L, 31L))
+      .toDF("x1", "x2", "y")
+    val r = graft.ops.Regression.fit(xy).collect()(0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("rmse") < 1e-6)
+  }
+
+  test("unigram diversity: entropy and KL-to-corpus match closed forms") {
+    val seqs = Seq(
+      ("a", Seq(1, 1, 1, 1, 1)),       // zero entropy
+      ("b", Seq(1, 2, 3, 4)))          // uniform over 4 tokens
+      .toDF("doc_id", "tokens")
+    val out = graft.ops.LanguageModel.unigramDiversity(seqs).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Double]("entropy"),
+          r.getAs[Double]("kl_corpus")))).toMap
+    assert(out("a")._1 == 5L && out("b")._1 == 4L)
+    assert(out("a")._2 == 0.0)
+    assert(math.abs(out("b")._2 - math.log(4)) < 1e-5)
+    // corpus: t1 x6, t2/t3/t4 x1 each, N=9
+    val klA = math.log(9.0 / 6.0)
+    val klB = 0.25 * math.log((0.25 * 9) / 6) + 0.75 * math.log(0.25 * 9)
+    assert(math.abs(out("a")._3 - klA) < 1e-5)
+    assert(math.abs(out("b")._3 - klB) < 1e-5)
+  }
+
+  test("grouped cv folds: clusters never straddle folds, stable hash") {
+    val clusters = Seq(("a", "a"), ("b", "a"), ("c", "c"), ("d", "d"))
+      .toDF("doc_id", "cluster")
+    val out = graft.ops.Sampling.groupedFolds(clusters, 5).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Int]("fold")).toMap
+    assert(out("a") == out("b"), "same cluster -> same fold")
+    assert(out.values.forall(f => f >= 0 && f < 5))
+    val again = graft.ops.Sampling.groupedFolds(clusters, 5).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Int]("fold")).toMap
+    assert(again == out, "assignment is deterministic")
+  }
+
+  test("kneser-ney bigram nll matches the hand-computed exact form") {
+    val seqs = Seq(("d1", Seq(1, 2, 1, 2)), ("d2", Seq(1, 3)))
+      .toDF("doc_id", "tokens")
+    val out = graft.ops.LanguageModel.scoreBigramKn(seqs).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll_kn")))).toMap
+    // grams: (1,2)x2 (2,1)x1 (1,3)x1; c1(1)=3 c1(2)=1; n1w(1)=2 n1w(2)=1;
+    // ncont(1)=ncont(2)=ncont(3)=1; N11=3
+    // P(2|1)=21/36, P(1|2)=6/12, P(3|1)=9/36
+    val d1 = (2 * math.log(36.0 / 21) + math.log(2)) / 3
+    val d2 = math.log(4)
+    assert(out("d1")._1 == 3L && out("d2")._1 == 1L)
+    assert(math.abs(out("d1")._2 - d1) < 1e-5)
+    assert(math.abs(out("d2")._2 - d2) < 1e-5)
+  }
+
+  test("zipf fit: per-source power-law slope and fit quality") {
+    // source zA: token i repeated 32/i times (Zipf, slope ~ -1);
+    // zB: uniform counts (slope ~ 0 on the log-log line)
+    val za = (1 to 8).flatMap(i => Seq.fill(32 / i)(i))
+    val zb = (1 to 6).flatMap(i => Seq.fill(7)(i))
+    val seqs = Seq(("d1", za, "zA"), ("d2", zb, "zB"))
+      .toDF("doc_id", "tokens", "source")
+    val out = graft.ops.Regression.zipfFit(seqs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("b1"),
+          r.getAs[Double]("r2")))).toMap
+    assert(out("zA")._1 == 8L && out("zB")._1 == 6L)
+    assert(out("zA")._2 < -0.7 && out("zA")._2 > -1.3,
+      s"Zipf slope ~ -1, got ${out("zA")._2}")
+    assert(out("zA")._3 > 0.95)
+    assert(math.abs(out("zB")._2) < 0.2, "uniform source has ~flat slope")
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
