@@ -233,6 +233,90 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__c"), col("doc_id")).as("cluster"))
   }
 
+  /** Quantized PageRank over the near-dup candidate graph — the
+    * iterative-graph-algorithm class beyond connected components
+    * ([[resolveClustersStar]] answers "which docs are the same cluster";
+    * PageRank answers "which docs are the TEMPLATE HUBS of that graph" —
+    * boilerplate sources that near-duplicate into many other documents
+    * score high and are prime removal candidates).
+    *
+    * Unnormalized per-node-mass form with damping d = 0.85 in exact
+    * integer MICRO units: pr₀ = 10⁶, and each round
+    * `pr'(v) = 150000 + Σ_{u→v} (85·pr(u)) div (100·deg(u))` — the
+    * damping multiply and the degree split are one integer
+    * multiply/truncating-divide, so every iterate is an exact int64 under
+    * any row order (a float PageRank would drift by summation order).
+    * Truncation leaks ≤ deg(u) micro-units of mass per node per round —
+    * quantization noise ~10⁻⁶, irrelevant at ranking precision, and
+    * bitwise-reproducible.
+    *
+    * Shape per round: one (src-keyed) join of edges to the rank table +
+    * one dst-keyed agg — two keyed shuffles of the EDGE table, the
+    * classic distributed PageRank round; ranks checkpoint per round to
+    * truncate lineage. `iters` is fixed (the oracle unrolls it), not
+    * convergence-tested: curation wants a stable ranking, not a fixpoint
+    * certificate. */
+  def pagerankHubs(allDocs: DataFrame, pairs: DataFrame,
+                   iters: Int, key: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = allDocs.select(col(key).as("doc_id")).localCheckpoint(true)
+    var pr = nodes.withColumn("pr_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(pr.select(col("doc_id").as("src"),
+          col("pr_micro").as("pr_src")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          expr("(85 * pr_src) div (100 * deg)").as("w"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("inw"))
+      pr = nodes
+        .join(contribs, nodes("doc_id") === contribs("dst"), "left_outer")
+        .select(col("doc_id"),
+          (lit(150000L) + coalesce(col("inw"), lit(0L))).as("pr_micro"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** DuckDB mirror of [[pagerankHubs]] — `iters` rounds unrolled. */
+  def duckPagerankSql(pairsSql: String, iters: Int,
+                      seqsSql: String = graft.sources.Seqs.duckSql): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH seqs AS ($seqsSql),
+       |pairs AS MATERIALIZED ($pairsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |    UNION ALL
+       |    SELECT doc_b AS src, doc_a AS dst FROM pairs)),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT doc_id FROM seqs),
+       |pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr_micro
+       |        FROM nodes)""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = s"pr${t - 1}"
+      sb ++= s""",
+         |pr$t AS (
+         |  SELECT n.doc_id,
+         |    CAST(150000 + coalesce(c.inw, 0) AS BIGINT) AS pr_micro
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst,
+         |      CAST(sum((85 * p.pr_micro) // (100 * d.deg)) AS BIGINT)
+         |        AS inw
+         |    FROM edges e
+         |    JOIN $prev p ON e.src = p.doc_id
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.dst = n.doc_id)""".stripMargin
+    }
+    sb ++= s"\nSELECT doc_id, pr_micro FROM pr$iters"
+    sb.toString
+  }
+
   /** DuckDB mirror of [[resolveClusters]]: transitive min over the
     * undirected candidate graph (recursive CTE with set semantics). */
   def duckResolveSql(pairsSql: String,

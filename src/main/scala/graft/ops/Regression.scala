@@ -32,28 +32,39 @@ import org.apache.spark.sql.functions._
   * from its oracle. */
 object Regression {
 
+  /** The ONE set of double-cast / determinant formula fragments, shared
+    * by [[solveLevels]] and the influence-diagnostics levels so the two
+    * pipelines can never desynchronize. */
+  private val CastsLevel: Seq[String] = Seq("n",
+    "CAST(n AS DOUBLE) AS dn", "CAST(s1 AS DOUBLE) AS ds1",
+    "CAST(s2 AS DOUBLE) AS ds2", "CAST(s11 AS DOUBLE) AS ds11",
+    "CAST(s12 AS DOUBLE) AS ds12", "CAST(s22 AS DOUBLE) AS ds22",
+    "CAST(sy AS DOUBLE) AS dsy", "CAST(s1y AS DOUBLE) AS ds1y",
+    "CAST(s2y AS DOUBLE) AS ds2y", "CAST(syy AS DOUBLE) AS dsyy")
+  private val DetA =
+    "dn*(ds11*ds22 - ds12*ds12) - ds1*(ds1*ds22 - ds12*ds2)" +
+      " + ds2*(ds1*ds12 - ds11*ds2)"
+  private val Det0 =
+    "dsy*(ds11*ds22 - ds12*ds12) - ds1*(ds1y*ds22 - ds12*ds2y)" +
+      " + ds2*(ds1y*ds12 - ds11*ds2y)"
+  private val Det1 =
+    "dn*(ds1y*ds22 - ds12*ds2y) - dsy*(ds1*ds22 - ds12*ds2)" +
+      " + ds2*(ds1*ds2y - ds1y*ds2)"
+  private val Det2 =
+    "dn*(ds11*ds2y - ds1y*ds12) - ds1*(ds1*ds2y - ds1y*ds2)" +
+      " + dsy*(ds1*ds12 - ds11*ds2)"
+
   /** The shared closed-form solve, as successive projection levels (each
     * level may reference the previous level's aliases). Input relation
     * must carry BIGINT columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y,
     * syy). Output: (n, b0, b1, b2, r2, rmse). */
   val solveLevels: Seq[Seq[String]] = Seq(
     // cast the integer moments to doubles exactly once
-    Seq("n",
-      "CAST(n AS DOUBLE) AS dn", "CAST(s1 AS DOUBLE) AS ds1",
-      "CAST(s2 AS DOUBLE) AS ds2", "CAST(s11 AS DOUBLE) AS ds11",
-      "CAST(s12 AS DOUBLE) AS ds12", "CAST(s22 AS DOUBLE) AS ds22",
-      "CAST(sy AS DOUBLE) AS dsy", "CAST(s1y AS DOUBLE) AS ds1y",
-      "CAST(s2y AS DOUBLE) AS ds2y", "CAST(syy AS DOUBLE) AS dsyy"),
+    CastsLevel,
     // Cramer determinants: det(A), then A with column i replaced by b
     Seq("n", "dn", "dsy", "ds1y", "ds2y", "dsyy",
-      "dn*(ds11*ds22 - ds12*ds12) - ds1*(ds1*ds22 - ds12*ds2)" +
-        " + ds2*(ds1*ds12 - ds11*ds2) AS det",
-      "dsy*(ds11*ds22 - ds12*ds12) - ds1*(ds1y*ds22 - ds12*ds2y)" +
-        " + ds2*(ds1y*ds12 - ds11*ds2y) AS det0",
-      "dn*(ds1y*ds22 - ds12*ds2y) - dsy*(ds1*ds22 - ds12*ds2)" +
-        " + ds2*(ds1*ds2y - ds1y*ds2) AS det1",
-      "dn*(ds11*ds2y - ds1y*ds12) - ds1*(ds1*ds2y - ds1y*ds2)" +
-        " + dsy*(ds1*ds12 - ds11*ds2) AS det2"),
+      s"$DetA AS det", s"$Det0 AS det0", s"$Det1 AS det1",
+      s"$Det2 AS det2"),
     // degenerate groups (singular XᵀX, or zero variance in y) yield NULL
     // coefficients / r2 instead of an ANSI divide-by-zero abort — the
     // same NULL in both engines
@@ -87,6 +98,126 @@ object Regression {
       sum(col("x2") * col("y")).as("s2y"),
       sum(col("y") * col("y")).as("syy"))
     solveLevels.foldLeft(moments)((df, lvl) => df.selectExpr(lvl: _*))
+  }
+
+  /** Scalar-table levels for [[influence]]: moments → (n, dn, b0, b1, b2,
+    * sse, det, c00..c22) with the adjugate entries of the symmetric XᵀX
+    * (so (XᵀX)⁻¹ = C/det without ever materializing a matrix). Shares
+    * [[CastsLevel]] and the determinant fragments with [[solveLevels]]. */
+  private val influenceScalarLevels: Seq[Seq[String]] = Seq(
+    CastsLevel,
+    Seq("n", "dn", "ds1", "ds2", "ds11", "ds12", "ds22",
+      "dsy", "ds1y", "ds2y", "dsyy",
+      s"$DetA AS det", s"$Det0 AS det0", s"$Det1 AS det1",
+      s"$Det2 AS det2",
+      "ds11*ds22 - ds12*ds12 AS c00",
+      "-(ds1*ds22 - ds12*ds2) AS c01",
+      "ds1*ds12 - ds11*ds2 AS c02",
+      "dn*ds22 - ds2*ds2 AS c11",
+      "-(dn*ds12 - ds1*ds2) AS c12",
+      "dn*ds11 - ds1*ds1 AS c22"),
+    Seq("n", "dn", "dsy", "ds1y", "ds2y", "dsyy", "det",
+      "c00", "c01", "c02", "c11", "c12", "c22",
+      "CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE det0 / det END AS b0",
+      "CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE det1 / det END AS b1",
+      "CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE det2 / det END AS b2"),
+    Seq("n", "dn", "det", "c00", "c01", "c02", "c11", "c12", "c22",
+      "b0", "b1", "b2",
+      "dsyy - b0*dsy - b1*ds1y - b2*ds2y AS sse"))
+
+  /** Per-row levels for [[influence]] (the row table cross-joined with
+    * the one-row scalar table): fitted value, residual, leverage
+    * h = xᵀ(XᵀX)⁻¹x via the adjugate quadratic form, and Cook's distance
+    * with p = 3 parameters. Degenerate fits (det 0, h = 1 exactly, or a
+    * non-positive error variance) yield NULL instead of an ANSI abort. */
+  private val influenceRowLevels: Seq[Seq[String]] = Seq(
+    Seq("__id", "CAST(y AS DOUBLE) AS dy", "CAST(x1 AS DOUBLE) AS dx1",
+      "CAST(x2 AS DOUBLE) AS dx2",
+      "dn", "det", "c00", "c01", "c02", "c11", "c12", "c22",
+      "b0", "b1", "b2", "sse"),
+    Seq("__id", "dy", "dn", "sse",
+      "b0 + b1*dx1 + b2*dx2 AS yhat",
+      "CASE WHEN det = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE (c00 + 2*c01*dx1 + 2*c02*dx2 + c11*dx1*dx1" +
+        " + 2*c12*dx1*dx2 + c22*dx2*dx2) / det END AS leverage"),
+    Seq("__id", "yhat", "dy - yhat AS resid", "leverage",
+      "CASE WHEN dn <= CAST(3 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE sse / (dn - CAST(3 AS DOUBLE)) END AS s2"),
+    Seq("__id", "yhat", "resid", "leverage",
+      "CASE WHEN s2 IS NULL OR leverage IS NULL OR s2 <= CAST(0 AS DOUBLE)" +
+        " OR leverage = CAST(1 AS DOUBLE) THEN CAST(NULL AS DOUBLE)" +
+        " ELSE resid*resid*leverage / (CAST(3 AS DOUBLE) * s2" +
+        " * (CAST(1 AS DOUBLE) - leverage)" +
+        " * (CAST(1 AS DOUBLE) - leverage)) END AS cooks_d"))
+
+  /** OLS influence diagnostics — per-row leverage and Cook's distance
+    * over the [[fit]] model, the classical data-valuation / outlier
+    * screen (a training row with high Cook's distance single-handedly
+    * drags the fitted quality model: mislabeled, anomalous, or
+    * template-pathological — exactly what a curation pass should eyeball
+    * first). Leverage comes from the adjugate quadratic form
+    * h = xᵀ(XᵀX)⁻¹x = (Σ cᵢⱼ xᵢxⱼ)/det — the 3×3 inverse never
+    * materializes and the whole diagnosis costs ONE extra narrow
+    * projection over the data (moment pass + a broadcast of ~15 scalars;
+    * no second shuffle). Same bitwise determinism as [[fit]]: exact
+    * integer moments, then fixed double trees shared with the oracle. */
+  def influence(xyId: DataFrame, idCol: String): DataFrame = {
+    val rows = xyId.select(col(idCol).as("__id"), col("y"),
+      col("x1"), col("x2"))
+    val scalars = influenceScalarLevels.foldLeft(
+      rows.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy")))(
+      (df, lvl) => df.selectExpr(lvl: _*))
+    influenceRowLevels.foldLeft(rows.crossJoin(broadcast(scalars)))(
+        (df, lvl) => df.selectExpr(lvl: _*))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Influence diagnostics for the [[fitLengthModel]] features. */
+  def lengthInfluence(docs: DataFrame): DataFrame =
+    influence(docs.selectExpr("doc_id",
+      "CAST(n_chars AS BIGINT) AS y",
+      "CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x1",
+      "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x2"),
+      "doc_id")
+
+  /** DuckDB mirror of [[lengthInfluence]]. */
+  def duckLengthInfluenceSql(src: String = "documents"): String = {
+    val rows =
+      s"""SELECT doc_id AS __id, CAST(n_chars AS BIGINT) AS y,
+         |  CAST(length(text) - length(replace(text, 'e', ''))
+         |    AS BIGINT) AS x1,
+         |  CAST(length(text) - length(replace(text, ' ', ''))
+         |    AS BIGINT) AS x2
+         |FROM $src""".stripMargin
+    val moments =
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |  CAST(sum(x1*x1) AS BIGINT) AS s11,
+         |  CAST(sum(x1*x2) AS BIGINT) AS s12,
+         |  CAST(sum(x2*x2) AS BIGINT) AS s22,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1*y) AS BIGINT) AS s1y,
+         |  CAST(sum(x2*y) AS BIGINT) AS s2y,
+         |  CAST(sum(y*y) AS BIGINT) AS syy
+         |FROM ($rows)""".stripMargin
+    val scalars = influenceScalarLevels.foldLeft(moments)((inner, lvl) =>
+      s"SELECT ${lvl.mkString(", ")} FROM (\n$inner)")
+    val joined = s"SELECT * FROM ($rows) CROSS JOIN (\n$scalars)"
+    val full = influenceRowLevels.foldLeft(joined)((inner, lvl) =>
+      s"SELECT ${lvl.mkString(", ")} FROM (\n$inner)")
+    s"SELECT __id AS doc_id, yhat, resid, leverage, cooks_d FROM (\n$full)"
   }
 
   /** Grouped variant of [[fit]]: one fitted model PER value of `key`
