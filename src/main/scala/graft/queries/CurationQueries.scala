@@ -23,6 +23,7 @@ object CurationQueries {
   // embed_dedup_recall measures the band parameters against the planted
   // ground truth
   val CvFoldK = 5
+  val PagerankIters = 5
   val CoresetK = 4
   val CoresetMaxId = 250
   val EmbedBands = 4
@@ -103,6 +104,14 @@ object CurationQueries {
     "dedup_resolve" -> ((s, dir) => {
       val sq = Seqs.fromDocumentsSub(s, dir)
       Dedup.resolveClustersStar(sq.select("doc_id"), Dedup.lshCandidates(sq))
+    }),
+
+    // quantized PageRank over the near-dup graph: template-hub scores
+    // (high = boilerplate source near-duplicating into many docs)
+    "dup_pagerank" -> ((s, dir) => {
+      val sq = Seqs.fromDocumentsSub(s, dir)
+      Dedup.pagerankHubs(sq.select("doc_id"), Dedup.lshCandidates(sq),
+        PagerankIters)
     }),
 
     // leakage-safe grouped CV folds: fold hashed per near-dup cluster so
@@ -415,6 +424,12 @@ object CurationQueries {
       graft.ops.Regression.fitLengthModel(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // OLS influence diagnostics: per-doc leverage + Cook's distance over
+    // the length model — the data-valuation / mislabeled-outlier screen
+    "length_influence" -> ((s, dir) =>
+      graft.ops.Regression.lengthInfluence(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // PII redaction: per-rule sequential count-and-mask (email/IPv4/phone)
     // over a deterministically PII-injected corpus; redacted text pinned
     // by length + md5 — one narrow projection per rule, no shuffle
@@ -705,6 +720,8 @@ object CurationQueries {
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
     "cv_folds" -> graft.ops.Sampling.duckGroupedFoldsSql(
       Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub), CvFoldK),
+    "dup_pagerank" -> Dedup.duckPagerankSql(duckLshPairsSql,
+      PagerankIters, Seqs.duckSqlSub),
     "dedup_verify_pairs" ->
       Dedup.duckNgramPairsSql(duckLshPairsSql, Seqs.DedupSubPred),
     "dedup_containment" ->
@@ -781,6 +798,7 @@ object CurationQueries {
       graft.ops.LinearModel.duckSql(LinearDim, LinearBiasMilli),
     "redact_pii" -> graft.ops.Redact.duckSql(),
     "ols_length" -> graft.ops.Regression.duckLengthModelSql(),
+    "length_influence" -> graft.ops.Regression.duckLengthInfluenceSql(),
     "eval_metrics" -> graft.ops.Evaluation.duckSql(
       s"""SELECT d.source AS source, s.logit AS score,
          |  (d.doc_id % 7 < 3) AS label

@@ -1798,6 +1798,40 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out("zB")._2) < 0.2, "uniform source has ~flat slope")
   }
 
+  test("ols influence: hat-trace = p, residuals sum 0, outlier max cooks") {
+    val xy = Seq((1L, 0L, 0L, 2L), (2L, 1L, 0L, 5L), (3L, 0L, 1L, 7L),
+        (4L, 2L, 1L, 13L), (5L, 3L, 4L, 31L), (6L, 5L, 6L, 147L))
+      .toDF("id", "x1", "x2", "y")
+    val out = graft.ops.Regression.influence(xy, "id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("resid"), r.getAs[Double]("leverage"),
+          r.getAs[Double]("cooks_d")))).toMap
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-9,
+      "trace of the hat matrix equals the parameter count")
+    assert(math.abs(out.values.map(_._1).sum) < 1e-6,
+      "residuals of an intercept model sum to zero")
+    assert(out.values.forall(v => v._2 > 0 && v._2 < 1))
+    // row 6 is plane value 47 + 100 at a leverage-extreme x — the
+    // planted influence outlier (wrong AND far out in x-space)
+    assert(out(6L)._3 == out.values.map(_._3).max)
+  }
+
+  test("pagerank hubs: exact one-round values, hub ordering, isolated floor") {
+    val docs = Seq("a", "b", "c", "d", "e").toDF("doc_id")
+    val pairs = Seq(("a", "b"), ("a", "c"), ("a", "d"))
+      .toDF("doc_a", "doc_b")
+    val r1 = graft.ops.Dedup.pagerankHubs(docs, pairs, 1).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("pr_micro")).toMap
+    // hand-computed round 1: hub a gets 3x(85e4); leaves get 85e6 div 300
+    assert(r1("a") == 2700000L)
+    assert(r1("b") == 433333L && r1("c") == 433333L && r1("d") == 433333L)
+    assert(r1("e") == 150000L, "isolated node sits at the teleport floor")
+    val r5 = graft.ops.Dedup.pagerankHubs(docs, pairs, 5).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("pr_micro")).toMap
+    assert(r5("a") > r5("b") && r5("b") == r5("c") && r5("c") == r5("d"))
+    assert(r5("b") > r5("e") && r5("e") == 150000L)
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
