@@ -107,6 +107,88 @@ object WindowFeatures {
         Seq(col(s"w_n_$i"), col(s"w_sum_$i"))): _*)
   }
 
+  /** The ONE trailing-variance formula, shared by [[trailingStats]] and
+    * its DuckDB mirror (population variance from the exact integer
+    * moments — one fixed double tree, NULL over an empty window). */
+  private val TrailingVarSql =
+    "CASE WHEN w_n = 0 THEN CAST(NULL AS DOUBLE)" +
+      " ELSE (CAST(w_n AS DOUBLE)*CAST(w_ss AS DOUBLE)" +
+      " - CAST(w_sum AS DOUBLE)*CAST(w_sum AS DOUBLE))" +
+      " / (CAST(w_n AS DOUBLE)*CAST(w_n AS DOUBLE)) END"
+
+  /** Full trailing STAT BLOCK at probe time — count / sum / min / max /
+    * population variance over `[t − window, t)`, the standard
+    * feature-store descriptor set beyond the count+sum of
+    * [[trailingAgg]]. Same one-exchange union trick (all five aggregates
+    * share one frame spec → ONE Window operator, one sort); min/max are
+    * NULL over an empty history (no neutral element), variance comes from
+    * the exact int64 moments (Σv, Σv²) via a fixed double tree shared
+    * with the oracle, so empty-window and single-event cases are bitwise
+    * (0.0, not an epsilon). Σv² bounds the value domain: cents ≤ ~10⁵ ⇒
+    * v² ≤ 10¹⁰, 10⁸ in-window events before int64 pressure. */
+  def trailingStats(
+      probes: DataFrame,
+      series: DataFrame,
+      key: String,
+      probeTs: String,
+      seriesTs: String,
+      valueCol: String,
+      window: Long): DataFrame = {
+    val probeCols = probes.columns.toSeq
+    val ts = "__w_ts"
+    val side = "__w_side"
+    val v = "__w_v"
+    val nonKey = probeCols.filterNot(_ == key)
+    val s = series.select(
+      col(key) +: col(seriesTs).cast("long").as(ts) +: lit(0).as(side) +:
+        col(valueCol).cast("long").as(v) +:
+        nonKey.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val p = probes.select(
+      col(key) +: col(probeTs).cast("long").as(ts) +: lit(1).as(side) +:
+        lit(null).cast("long").as(v) +:
+        nonKey.map(col): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rangeBetween(-window, -1L)
+    s.unionByName(p)
+      .select(col("*"),
+        count(col(v)).over(w).as("w_n"),
+        coalesce(sum(col(v)).over(w), lit(0L)).as("w_sum"),
+        min(col(v)).over(w).as("w_min"),
+        max(col(v)).over(w).as("w_max"),
+        coalesce(sum(col(v) * col(v)).over(w), lit(0L)).as("w_ss"))
+      .filter(col(side) === 1)
+      .select(probeCols.map(col) ++ Seq(col("w_n"), col("w_sum"),
+        col("w_min"), col("w_max"),
+        expr(TrailingVarSql).as("w_var")): _*)
+  }
+
+  /** DuckDB mirror of [[trailingStats]] over the `events` view. */
+  def duckTrailingStatsSql(probeType: String, seriesType: String,
+                           window: Long): String =
+    s"""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us,
+       |                    CAST(round(value * 100) AS BIGINT) AS cents
+       |            FROM events),
+       |u AS (
+       |  SELECT user_id, ts_us, 0 AS side, cents,
+       |         CAST(NULL AS BIGINT) AS event_id
+       |  FROM ev WHERE event_type = '$seriesType'
+       |  UNION ALL
+       |  SELECT user_id, ts_us, 1 AS side, NULL AS cents, event_id
+       |  FROM ev WHERE event_type = '$probeType'),
+       |f AS (
+       |  SELECT *,
+       |    CAST(count(cents) OVER w AS BIGINT) AS w_n,
+       |    CAST(coalesce(sum(cents) OVER w, 0) AS BIGINT) AS w_sum,
+       |    CAST(min(cents) OVER w AS BIGINT) AS w_min,
+       |    CAST(max(cents) OVER w AS BIGINT) AS w_max,
+       |    CAST(coalesce(sum(cents * cents) OVER w, 0) AS BIGINT) AS w_ss
+       |  FROM u
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |    RANGE BETWEEN $window PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, ts_us, w_n, w_sum, w_min, w_max,
+       |  $TrailingVarSql AS w_var
+       |FROM f WHERE side = 1""".stripMargin
+
   /** Half-life DECAYED COUNTER at probe time — the classic feature-store
     * recency-weighted event counter ("decayed counts" of ad/feed ranking
     * systems), computed EXACTLY: an event of age `a ≥ 1` (strictly before

@@ -362,6 +362,74 @@ object StreamOps {
         col("window.start").cast("long").as("frame_start_s"),
         col("n_samp"), col("fsumsq"), col("peak"))
 
+  final case class HhIn(stream_id: String, item: String,
+                        ts: java.sql.Timestamp)
+  final case class HhState(counts: List[(String, Long, Long)])
+  final case class HhOut(stream_id: String, as_of: Long, item: String,
+                         count_est: Long, err: Long)
+
+  /** Streaming SpaceSaving heavy hitters (Metwally et al. 2005) — the
+    * bounded-state streaming form of the batch frequency sketches
+    * ([[graft.ops.Sketches.countMinReport]] estimates ANY item's count;
+    * SpaceSaving TRACKS the top items): a capped table of `capacity`
+    * (item, count, err) counters per stream key. A tracked item
+    * increments; an untracked item evicts the minimum counter (ties →
+    * smallest item id, deterministic) and inherits its count as `err`.
+    * Invariants (asserted in StreamingSpec): Σ count = N exactly,
+    * `count − err ≤ true ≤ count` per tracked item, and every item with
+    * true count > N/capacity is tracked — the heavy-hitter guarantee.
+    *
+    * After each micro-batch the whole table is re-emitted stamped with
+    * `as_of` = the key's max event time so far (Append mode cannot
+    * retract; readers take the latest `as_of` snapshot — the same
+    * batch-id-snapshot convention as the exactly-once sink). Rows are
+    * folded in (event-time, item) order, so any micro-batch split of the
+    * same stream yields bitwise-identical tables (SpaceSaving is
+    * arrival-order-dependent; fixing the fold order is what makes the
+    * operator reproducible). State is O(capacity) per key — bounded at
+    * any stream scale — and watermark-expired like [[envelopeStream]]. */
+  def heavyHittersStream(rows: Dataset[HhIn], capacity: Int,
+                         watermark: String,
+                         stateTtl: String = "1 hour"): Dataset[HhOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[HhIn], state: GroupState[HhState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(r => (r.ts.getTime, r.item))
+            val tbl = scala.collection.mutable.Map.empty[String, (Long, Long)]
+            state.getOption.foreach(_.counts.foreach {
+              case (i, c, e) => tbl(i) = (c, e) })
+            var maxTs = Long.MinValue
+            for (r <- sorted) {
+              tbl.get(r.item) match {
+                case Some((c, e)) => tbl(r.item) = (c + 1, e)
+                case None if tbl.size < capacity => tbl(r.item) = (1L, 0L)
+                case None =>
+                  val (mi, (mc, _)) = tbl.minBy { case (i, (c, _)) => (c, i) }
+                  tbl.remove(mi)
+                  tbl(r.item) = (mc + 1, mc)
+              }
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            val counts = tbl.toList.map { case (i, (c, e)) => (i, c, e) }
+              .sortBy { case (i, c, _) => (-c, i) }
+            state.update(HhState(counts))
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, stateTtl)
+            if (sorted.isEmpty) Iterator.empty
+            else counts.iterator.map { case (i, c, e) =>
+              HhOut(key, maxTs, i, c, e) }
+          }
+        })
+  }
+
   /** Streaming exact dedup: first arrival per `key` wins, duplicates within
     * the watermark horizon are dropped (`dropDuplicatesWithinWatermark`) —
     * the streaming form of the batch exact-dedup operator

@@ -135,6 +135,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("b", 50L, 0L, 0L)))  // key with no series at all
   }
 
+  test("trailingStats: min/max/variance stat block, empty-window nulls") {
+    val ser = Seq(("a", 1L, 10L), ("a", 5L, 30L))
+      .toDF("k", "ts", "cents")
+    val prb = Seq(("a", 0L), ("a", 5L), ("a", 6L)).toDF("k", "t")
+    val out = graft.operators.WindowFeatures
+      .trailingStats(prb, ser, "k", "t", "ts", "cents", window = 5L)
+      .orderBy("t").collect()
+    // t=0: empty history -> zeros and NULLs
+    assert(out(0).getAs[Long]("w_n") == 0L &&
+      out(0).getAs[Long]("w_sum") == 0L)
+    assert(out(0).isNullAt(out(0).fieldIndex("w_min")) &&
+      out(0).isNullAt(out(0).fieldIndex("w_max")) &&
+      out(0).isNullAt(out(0).fieldIndex("w_var")))
+    // t=5: [0,4] -> only the 10; singleton variance is exactly 0.0
+    assert(out(1).getAs[Long]("w_n") == 1L &&
+      out(1).getAs[Long]("w_min") == 10L &&
+      out(1).getAs[Long]("w_max") == 10L &&
+      out(1).getAs[Double]("w_var") == 0.0)
+    // t=6: [1,5] -> {10, 30}: pop var = 100 exactly
+    assert(out(2).getAs[Long]("w_n") == 2L &&
+      out(2).getAs[Long]("w_sum") == 40L &&
+      out(2).getAs[Long]("w_min") == 10L &&
+      out(2).getAs[Long]("w_max") == 30L &&
+      out(2).getAs[Double]("w_var") == 100.0)
+  }
+
   test("trailingAggMulti == per-window singles, in ONE window operator") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike

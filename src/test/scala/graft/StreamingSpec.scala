@@ -395,6 +395,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sink.KeyedSink.read(spark, cp).get.count() == 3)
   }
 
+  test("spacesaving heavy hitters: guarantees hold, splits are bitwise") {
+    implicit val sqlCtx = spark.sqlContext
+    // skewed stream: a x12, b x6, then 8 distinct singletons; N=26, m=4
+    val items = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      (1 to 8).map(i => f"s$i%02d")
+    def in(i: Int) = StreamOps.HhIn("k1", items(i),
+      new Timestamp(1700000000000L + i * 1000L))
+    def run(splits: Seq[Seq[Int]], name: String) = {
+      val mem = MemoryStream[StreamOps.HhIn]
+      val q = StreamOps.heavyHittersStream(mem.toDS(), 4, "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        for (s <- splits) { mem.addData(s.map(in): _*); q.processAllAvailable() }
+        val all = spark.table(name).collect()
+        val asOf = all.map(_.getAs[Long]("as_of")).max
+        all.filter(_.getAs[Long]("as_of") == asOf)
+          .map(r => (r.getAs[String]("item"), r.getAs[Long]("count_est"),
+            r.getAs[Long]("err"))).sortBy(_._1).toSeq
+      } finally q.stop()
+    }
+    val one = run(Seq(items.indices.toSeq), "hh1")
+    val split = run(Seq(0 until 7, 7 until 8, 8 until 20, 20 until 26)
+      .map(_.toSeq), "hh2")
+    assert(one == split, "micro-batch split must not change the table")
+    assert(one.map(_._2).sum == 26L, "SpaceSaving counts sum to N")
+    assert(one.size == 4)
+    val m = one.map(t => t._1 -> t).toMap
+    val truth = Map("a" -> 12L, "b" -> 6L)
+    // heavy-hitter guarantee: true count > N/m = 6.5 -> tracked; and per
+    // tracked item count-err <= true <= count
+    assert(m.contains("a"))
+    for ((i, c, e) <- one if truth.contains(i)) {
+      assert(c - e <= truth(i) && truth(i) <= c, s"bounds for $i")
+    }
+  }
+
   test("streaming tumbling frame agg produces exact integer energies") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Int)]
