@@ -110,7 +110,19 @@ object Explain {
       "isotonic (corpus bin pass only; model-sized minimax lattice)" ->
         SparkEntry.queries("isotonic")(spark, sfDir),
       "dedup_incremental (broadcast batch bands probe the frozen index — corpus side never shuffles)" ->
-        SparkEntry.queries("dedup_incremental")(spark, sfDir))
+        SparkEntry.queries("dedup_incremental")(spark, sfDir),
+      "hard_negatives (broadcast anchors, one anchor-keyed exchange for both windows)" ->
+        SparkEntry.queries("hard_negatives")(spark, sfDir),
+      "semdedup (broadcast centroids, ids-only in-cell pair join, vector re-fetch verify)" ->
+        SparkEntry.queries("semdedup")(spark, sfDir),
+      "kn_bigram_nll (one explode, window count families over the distinct-gram table)" ->
+        SparkEntry.queries("kn_bigram_nll")(spark, sfDir),
+      "unigram_diversity (one explode, token-partition window, broadcast total)" ->
+        SparkEntry.queries("unigram_diversity")(spark, sfDir),
+      "zipf_fit (per-source rank window, grouped integer moments, closed-form solve)" ->
+        SparkEntry.queries("zipf_fit")(spark, sfDir),
+      "length_influence (moment agg + 15-scalar broadcast, one narrow diagnostic projection)" ->
+        SparkEntry.queries("length_influence")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")

@@ -786,12 +786,17 @@ object Similarity {
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("ccos").asc, col("vec_id").asc)
+    // eager-checkpoint the (narrow, N-row) rank table: it feeds BOTH
+    // sides of the pair join AND the final output — without it the
+    // centroid cross-join + two windows re-run once per reference (a
+    // corpus-pass diamond, 16 scans in the formatted plan)
     val ranked = emb.crossJoin(broadcast(centsDf))
       .withColumn("ccos", expr("graft_cosine(cv, embedding)"))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
       .withColumn("cell_rank", row_number().over(wCell))
       .select(col("vec_id"), col("cell"), col("ccos"), col("cell_rank"))
+      .localCheckpoint(true)
     val cand = ranked
       .select(col("cell"), col("cell_rank").as("rank_a"),
         col("vec_id").as("vec_a"))
