@@ -128,6 +128,20 @@ object EventQueries {
         "user_id", "ts_us", "p_us", "cents", TrailingWindowsUs)
     }),
 
+    // full trailing stat block (count/sum/min/max/population variance)
+    // over the 24 h history — one union + one Window pass
+    "events_trailing_stats" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val probes = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val series = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_us"), col("cents"))
+      graft.operators.WindowFeatures.trailingStats(probes, series,
+        "user_id", "ts_us", "p_us", "cents", window = LabelHorizonUs)
+    }),
+
     // half-life decayed purchase counter at click time (1-day half-life,
     // 16 buckets): exact power-of-two weights, one window pass — the
     // feature-store "decayed counts" with no floating exp(-lambda dt)
@@ -388,6 +402,10 @@ object EventQueries {
 
     "events_decay" ->
       graft.operators.WindowFeatures.duckDecayedCounterSql(
+        "click", "purchase", LabelHorizonUs),
+
+    "events_trailing_stats" ->
+      graft.operators.WindowFeatures.duckTrailingStatsSql(
         "click", "purchase", LabelHorizonUs),
 
     "training_set" -> {
