@@ -95,6 +95,8 @@ object expressions {
       es => SpanHashes(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow",
       es => WinnowKeys(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_span_excise",
+      es => SpanExcise(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_linear_score",
       es => LinearScoreKernel(es(0), es(1)), "built-in")
     spectral.register(spark)
@@ -642,6 +644,52 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), lenE = c(1), strideE = c(2))
+  }
+
+  /** graft_span_excise(tokens ARRAY<INT>, starts ARRAY<BIGINT> sorted
+    * ascending, len INT) → ARRAY<INT>
+    *
+    * Token-interval excision: drops every position covered by some
+    * `[start, start + len)` window — the rewrite kernel of span-level
+    * substring dedup ([[graft.ops.Dedup.spanRemove]]). Two-pointer over
+    * the sorted starts, O(n + k) per row, overlap-safe (coverage is the
+    * running max of window ends). */
+  case class SpanExcise(tokens: Expression, startsE: Expression,
+      lenE: Expression)
+      extends Expression with CodegenFallback {
+    private lazy val winLen = {
+      val v = litInt(lenE)
+      require(v >= 1, s"bad excise length: $v")
+      v
+    }
+    override def children: Seq[Expression] = Seq(tokens, startsE, lenE)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable || startsE.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val sAny = startsE.eval(input)
+      if (sAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val starts = sAny.asInstanceOf[ArrayData].toLongArray()
+      val out = new Array[Int](arr.length)
+      var nOut = 0
+      var si = 0
+      var coverEnd = -1L
+      var p = 0
+      while (p < arr.length) {
+        while (si < starts.length && starts(si) <= p) {
+          val e = starts(si) + winLen
+          if (e > coverEnd) coverEnd = e
+          si += 1
+        }
+        if (p >= coverEnd) { out(nOut) = arr(p); nOut += 1 }
+        p += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, nOut))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), startsE = c(1), lenE = c(2))
   }
 
   /** graft_winnow(tokens ARRAY<INT>, k INT, w INT) → ARRAY<BIGINT>

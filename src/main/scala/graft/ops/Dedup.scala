@@ -401,6 +401,92 @@ object Dedup {
         col("n_dup").cast("double") / col("n_windows").cast("double"))
   }
 
+  /** Cross-document span REMOVAL — the rewrite step [[spanDupStats]] only
+    * reports (Lee et al. 2022 actually excise the duplicated substrings
+    * from the training corpus): for every strided window whose hash
+    * occurs in ≥ 2 documents, the MIN-doc_id owner keeps its text and
+    * every other document drops ALL positions covered by that window.
+    * Output: one row per doc with the REWRITTEN token array (the
+    * engine-wide per-row invariant — exact token-array equality — applies
+    * to the rewrite itself).
+    *
+    * Shape: the window table carries (doc_id, window-index, hash) — no
+    * token payload; ownership (`n_docs`, `owner`) are window sums over
+    * the distinct (hash, doc) table (bounded by docs-per-span, the
+    * [[spanDupStats]] Zipf argument); removable window starts come back
+    * as ONE sorted array per affected doc (`collect_set` — bounded by
+    * windows-per-doc, which the analysis cap bounds), and the rewrite is
+    * one [[graft.functions.expressions.SpanExcise]] kernel projection —
+    * O(n + k) per doc, zero extra shuffle beyond the doc-keyed join.
+    * Within-doc repeats of an owned span stay (cross-doc is the removal
+    * axis; the within-doc signal is [[duplicatedNgramStats]]). */
+  def spanRemove(seqs: DataFrame, winLen: Int, stride: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wins = seqs.select(col("doc_id"),
+      posexplode(expr(s"graft_span_hashes(tokens, $winLen, $stride)"))
+        .as(Seq("j", "h")))
+    val removable = wins
+      .groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("n_win"))
+      .withColumn("n_docs", count(lit(1)).over(byH))
+      .withColumn("owner", min(col("doc_id")).over(byH))
+      .filter(col("n_docs") >= 2 && col("doc_id") =!= col("owner"))
+      .select(col("h"), col("doc_id"))
+    val starts = wins.join(removable, Seq("h", "doc_id"))
+      .select(col("doc_id"), (col("j").cast("long") * stride).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(expr("array_sort(collect_set(s))").as("starts"))
+    seqs.join(starts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"""graft_span_excise(tokens,
+                |  coalesce(starts, CAST(array() AS ARRAY<BIGINT>)),
+                |  $winLen)""".stripMargin).as("tokens_clean"))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("tokens_clean")).as("n_kept"), col("tokens_clean"))
+  }
+
+  /** DuckDB mirror of [[spanRemove]] (prelude binds `seqs`, no leading
+    * WITH). The rewrite is derived independently: exploded positions
+    * anti-joined against the exploded coverage set, re-listed in
+    * position order. */
+  def duckSpanRemoveSql(prelude: String, winLen: Int, stride: Int): String =
+    s"""WITH $prelude,
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, unnest(CASE WHEN n_tok >= $winLen THEN
+       |      list_transform(range((CAST(n_tok AS BIGINT) - $winLen) // $stride + 1),
+       |        j -> {'s': CAST(j * $stride AS BIGINT),
+       |              'h': CAST(('0x' || substr(md5(array_to_string(
+       |                     tokens[j * $stride + 1 : j * $stride + $winLen], ' ')),
+       |                   1, 15)) AS BIGINT)})
+       |    ELSE [] END) AS win
+       |  FROM seqs),
+       |wf AS MATERIALIZED (
+       |  SELECT doc_id, win.s AS s, win.h AS h FROM w),
+       |own AS (
+       |  SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS owner
+       |  FROM wf GROUP BY 1),
+       |rem AS (
+       |  SELECT DISTINCT wf.doc_id, wf.s
+       |  FROM wf JOIN own USING (h)
+       |  WHERE own.n_docs >= 2 AND wf.doc_id <> own.owner),
+       |remu AS (SELECT doc_id, s, unnest(range(CAST($winLen AS BIGINT))) AS u
+       |         FROM rem),
+       |cov AS (SELECT DISTINCT doc_id, s + u AS p FROM remu),
+       |toks AS (
+       |  SELECT doc_id, generate_subscripts(tokens, 1) - 1 AS i,
+       |         unnest(tokens) AS t
+       |  FROM seqs),
+       |kept AS (
+       |  SELECT k.doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+       |         list(k.t ORDER BY k.i) AS tokens_clean
+       |  FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.i
+       |  WHERE c.p IS NULL
+       |  GROUP BY k.doc_id)
+       |SELECT s2.doc_id, s2.n_tok,
+       |  coalesce(kept.n_kept, 0) AS n_kept,
+       |  coalesce(kept.tokens_clean, CAST([] AS INTEGER[])) AS tokens_clean
+       |FROM seqs s2 LEFT JOIN kept USING (doc_id)""".stripMargin
+
   /** DuckDB mirror of [[spanDupStats]] over a `seqs` CTE body bound by
     * `prelude` (no leading WITH). */
   def duckSpanDupSql(prelude: String, winLen: Int, stride: Int): String =
