@@ -50,6 +50,11 @@ object Bench {
     "embed_quant",        // int8 SQ8 quantization (narrow projection)
     "dedup_incremental",  // batch-vs-frozen-index screen (broadcast probe)
     "centroid_drift",     // per-label centroid grid (one quantized pass)
+    "kn_bigram_nll",      // Kneser-Ney LM scoring (window count families)
+    "unigram_diversity",  // per-doc entropy/KL (one explode + windows)
+    "semdedup",           // k-means cells + in-cell pruning (checkpointed rank)
+    "dup_pagerank",       // 5 quantized PR rounds over the near-dup graph
+    "events_trailing_stats", // 5-stat trailing block, one window pass
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -386,6 +386,12 @@ object CurationQueries {
     "span_dedup" -> ((s, dir) =>
       Dedup.spanDupStats(Seqs.fromDocuments(s, dir), SpanLen, SpanStride)),
 
+    // span-level REWRITE: non-owner docs drop every position covered by a
+    // cross-doc duplicated window; rewritten token arrays bitwise-checked
+    // (sub corpus — the oracle re-derives the rewrite relationally)
+    "span_remove" -> ((s, dir) =>
+      Dedup.spanRemove(Seqs.fromDocumentsSub(s, dir), SpanLen, SpanStride)),
+
     // winnowing fingerprints (MOSS): per-doc selection-set digest and
     // cross-doc duplicated-selection stats; native O(n) deque kernel,
     // ids-only explode
@@ -809,6 +815,8 @@ object CurationQueries {
       s"seqs AS (${Seqs.duckSql})", BatchEdges, BatchSize, BatchShards),
     "span_dedup" -> Dedup.duckSpanDupSql(
       s"seqs AS (${Seqs.duckSql})", SpanLen, SpanStride),
+    "span_remove" -> Dedup.duckSpanRemoveSql(
+      s"seqs AS (${Seqs.duckSqlSub})", SpanLen, SpanStride),
     "winnow_fp" -> Dedup.duckWinnowStatsSql(
       s"seqs AS (${Seqs.duckSql})", WinnowK, WinnowW),
     "winnow_dedup" -> Dedup.duckWinnowDupSql(

@@ -1832,6 +1832,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r5("b") > r5("e") && r5("e") == 150000L)
   }
 
+  test("span remove: owner keeps, non-owner excised, short docs untouched") {
+    val seqs = Seq(
+      ("a", Seq(1, 2, 3, 4, 9, 9), 6),
+      ("b", Seq(5, 6, 1, 2, 3, 4, 7, 8), 8),
+      ("c", Seq(1, 2, 3), 3))
+      .toDF("doc_id", "tokens", "n_tok")
+    val out = graft.ops.Dedup.spanRemove(seqs, winLen = 4, stride = 2)
+      .collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        ((r.getAs[Int]("n_kept"),
+          r.getAs[scala.collection.Seq[Int]]("tokens_clean").toSeq))).toMap
+    // shared window (1,2,3,4): owner 'a' keeps it; 'b' drops [2,6)
+    assert(out("a") == ((6, Seq(1, 2, 3, 4, 9, 9))))
+    assert(out("b") == ((4, Seq(5, 6, 7, 8))))
+    // below-window-length doc has no windows, nothing to remove
+    assert(out("c") == ((3, Seq(1, 2, 3))))
+  }
+
   test("decoded audio flows through the real feature pipeline") {
     val seqs = Multimodal.audioToSeqs(Multimodal.synth(spark, 9))
     val ll = graft.features.Pipeline.featuresLl(seqs).cache()
