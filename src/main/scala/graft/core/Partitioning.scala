@@ -127,4 +127,100 @@ object Partitioning {
        |    AS skew
        |FROM c CROSS JOIN t
        |ORDER BY n_rows DESC, $key LIMIT $topK""".stripMargin
+
+  /** The ONE argmax-shard CASE fragment shared by [[rendezvousReport]]
+    * and its Duck mirror: smallest shard id whose weight equals the
+    * running maximum (weights are 32-bit md5 prefixes — ties are
+    * astronomically unlikely but the rule is still total). `w` maps a
+    * shard id to its weight COLUMN name (weights are projected once —
+    * the CASE never recomputes a hash). */
+  private def shardArgmax(n: Int, w: Int => String): String = {
+    val gmax = (0 until n).map(w).mkString("greatest(", ", ", ")")
+    (0 until n).map(s => s"WHEN ${w(s)} = $gmax THEN $s")
+      .mkString("CASE ", " ", " END")
+  }
+
+  /** Rendezvous / highest-random-weight sharding report (Thaler &
+    * Ravishankar 1998 — the consistent-hashing scheme behind Iceberg
+    * commit fan-out, cache rings, and shard routers): every key goes to
+    * the shard with the highest hash weight `h(key, shard)`, so adding a
+    * shard moves ONLY the keys whose new weight wins — an expected
+    * `1/(n+1)` of the corpus, against `n/(n+1)` for mod-n assignment.
+    * This report measures exactly that on the real key set: per-shard
+    * counts under `n` and `n+1` shards plus the moved-key mass, the
+    * re-layout cost estimate read BEFORE growing a bucketed table's
+    * bucket count ([[writeBucketed]]).
+    *
+    * Exactness/scale: weights are 32-bit md5-prefix integers (the
+    * [[graft.ops.Sampling.md5Slot]] convention, no modulus); both
+    * assignments come from ONE narrow projection (n+2 hash columns, no
+    * HOF, no explode — the n+1 assignment reuses the n-shard running max:
+    * a key moves iff the NEW shard's weight strictly beats it, the HRW
+    * minimal-disruption property in closed form). The only exchange is
+    * the (n+1)-row count aggregation with map-side partials. */
+  def rendezvousReport(df: DataFrame, key: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nShards >= 2, s"need >= 2 shards, got $nShards")
+    def wCol(s: Int) = s"w$s"
+    val weights = df.select(
+      (0 to nShards).map(s => expr(
+        s"CAST(conv(substring(md5(concat(CAST($key AS STRING), '#$s')), 1, 8)," +
+          s" 16, 10) AS BIGINT)").as(wCol(s))): _*)
+    val gmaxSmall = (0 until nShards).map(wCol)
+      .mkString("greatest(", ", ", ")")
+    val assigned = weights.selectExpr(
+      s"${shardArgmax(nShards, wCol)} AS shard_small",
+      s"CASE WHEN ${wCol(nShards)} > $gmaxSmall THEN $nShards" +
+        s" ELSE ${shardArgmax(nShards, wCol)} END AS shard_large")
+    val small = assigned.groupBy(col("shard_small").as("shard"))
+      .agg(count(lit(1)).as("cnt_small"))
+    val large = assigned.groupBy(col("shard_large").as("shard"))
+      .agg(count(lit(1)).as("cnt_large"))
+    val totals = assigned.agg(count(lit(1)).as("total"),
+      sum(expr("IF(shard_large <> shard_small, 1L, 0L)")).as("moved"))
+    small.join(large, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("cnt_small"), lit(0L)).as("cnt_small"),
+        coalesce(col("cnt_large"), lit(0L)).as("cnt_large"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("shard", "cnt_small", "cnt_large", "total", "moved",
+        "CAST(moved AS DOUBLE) / total AS moved_frac")
+  }
+
+  /** DuckDB mirror of [[rendezvousReport]] — same md5-prefix weights,
+    * the same generated argmax fragment, same full-outer count merge. */
+  def duckRendezvousSql(table: String, key: String, nShards: Int): String = {
+    def wCol(s: Int) = s"w$s"
+    val ws = (0 to nShards).map(s =>
+      s"(('0x' || substr(md5(CAST($key AS VARCHAR) || '#$s'), 1, 8))::BIGINT)" +
+        s" AS ${wCol(s)}").mkString(",\n    ")
+    val gmaxSmall = (0 until nShards).map(wCol)
+      .mkString("greatest(", ", ", ")")
+    s"""WITH weights AS (
+       |  SELECT $ws
+       |  FROM $table),
+       |assigned AS (
+       |  SELECT ${shardArgmax(nShards, wCol)} AS shard_small,
+       |    CASE WHEN ${wCol(nShards)} > $gmaxSmall THEN $nShards
+       |         ELSE ${shardArgmax(nShards, wCol)} END AS shard_large
+       |  FROM weights),
+       |small AS (
+       |  SELECT shard_small AS shard, count(*) AS cnt_small
+       |  FROM assigned GROUP BY 1),
+       |large AS (
+       |  SELECT shard_large AS shard, count(*) AS cnt_large
+       |  FROM assigned GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(sum(CASE WHEN shard_large <> shard_small THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS moved
+       |  FROM assigned)
+       |SELECT CAST(coalesce(s.shard, l.shard) AS INTEGER) AS shard,
+       |  CAST(coalesce(s.cnt_small, 0) AS BIGINT) AS cnt_small,
+       |  CAST(coalesce(l.cnt_large, 0) AS BIGINT) AS cnt_large,
+       |  t.total, t.moved,
+       |  CAST(t.moved AS DOUBLE) / t.total AS moved_frac
+       |FROM small s FULL OUTER JOIN large l ON l.shard = s.shard
+       |CROSS JOIN t""".stripMargin
+  }
 }

@@ -97,6 +97,8 @@ object expressions {
       es => WinnowKeys(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_span_excise",
       es => SpanExcise(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_edit_distance",
+      es => TokenEditDistance(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_linear_score",
       es => LinearScoreKernel(es(0), es(1)), "built-in")
     spectral.register(spark)
@@ -690,6 +692,72 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), startsE = c(1), lenE = c(2))
+  }
+
+  /** graft_edit_distance(a ARRAY<INT>, b ARRAY<INT>, cap INT) → INT
+    *
+    * Token-level Levenshtein distance (unit insert/delete/substitute) —
+    * the exact alignment verifier for near-dup candidate pairs, catching
+    * reorder-heavy edits that set-based measures (Jaccard, containment)
+    * score identically. `cap ≤ 0` runs the full two-row DP, O(n·m) time /
+    * O(m) space per pair. `cap > 0` runs the banded (Ukkonen) variant
+    * touching only cells with |i−j| ≤ cap — O(cap·n) — and returns
+    * `cap + 1` whenever the true distance exceeds the cap: the production
+    * dial for verify-at-scale, where anything beyond a small edit budget
+    * is "not a duplicate" and the exact value is irrelevant. Band and
+    * full DP agree exactly on every pair within the cap (OpsSpec pins
+    * band == min(full, cap+1) against a brute-force reference). */
+  case class TokenEditDistance(aE: Expression, bE: Expression,
+      capE: Expression)
+      extends Expression with CodegenFallback {
+    // lazy, like PackNgrams: auto-alias copies must not evaluate
+    private lazy val cap = litInt(capE)
+    override def children: Seq[Expression] = Seq(aE, bE, capE)
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = aE.nullable || bE.nullable
+    override def eval(input: InternalRow): Any = {
+      val aAny = aE.eval(input)
+      if (aAny == null) return null
+      val bAny = bE.eval(input)
+      if (bAny == null) return null
+      val a = aAny.asInstanceOf[ArrayData].toIntArray()
+      val b = bAny.asInstanceOf[ArrayData].toIntArray()
+      val n = a.length
+      val m = b.length
+      if (cap > 0 && math.abs(n - m) > cap) return cap + 1
+      val INF = Int.MaxValue / 2
+      var prev = new Array[Int](m + 1)
+      var curr = new Array[Int](m + 1)
+      var j = 0
+      while (j <= m) {
+        prev(j) = if (cap > 0 && j > cap) INF else j
+        j += 1
+      }
+      var i = 1
+      while (i <= n) {
+        val lo = if (cap > 0) math.max(1, i - cap) else 1
+        val hi = if (cap > 0) math.min(m, i + cap) else m
+        // left band edge: column 0 is real only while i - 0 fits the band
+        curr(lo - 1) = if (lo == 1) i else INF
+        j = lo
+        while (j <= hi) {
+          var v = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          val del = prev(j) + 1
+          if (del < v) v = del
+          val ins = curr(j - 1) + 1
+          if (ins < v) v = ins
+          curr(j) = v
+          j += 1
+        }
+        if (cap > 0 && hi < m) curr(hi + 1) = INF
+        val t = prev; prev = curr; curr = t
+        i += 1
+      }
+      val d = prev(m)
+      if (cap > 0 && d > cap) cap + 1 else d
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(aE = c(0), bE = c(1), capE = c(2))
   }
 
   /** graft_winnow(tokens ARRAY<INT>, k INT, w INT) → ARRAY<BIGINT>

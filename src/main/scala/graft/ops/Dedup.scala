@@ -817,6 +817,98 @@ object Dedup {
         """IF(na + nb - common = 0, CAST(0.0 AS DOUBLE),
           |   CAST(common AS DOUBLE) / (na + nb - common))""".stripMargin))
 
+  /** Token-level edit-distance verification over a GIVEN candidate-pair
+    * set — the exact ALIGNMENT measure next to the set-based verifiers
+    * ([[ngramJaccardPairs]], [[containmentPairs]]): Levenshtein distance
+    * on the first `prefixW` tokens of each side plus the normalized
+    * similarity `1 − dist / max(len)`. Shingle measures score a shuffled
+    * bag of the same n-grams as a perfect duplicate; edit distance is the
+    * order-sensitive check that separates true near-copies (small token
+    * edits, the planted silence-run variants) from coincidental shingle
+    * overlap.
+    *
+    * Scale: cost is O(|pairs| · prefixW²) with the full DP — feed it LSH
+    * candidates only, never all pairs; `prefixW` bounds the per-pair cost
+    * regardless of document length (the Gopher-style head-window
+    * convention). The production dial is the banded kernel
+    * ([[graft.functions.expressions.TokenEditDistance]] with `cap > 0`,
+    * O(cap·prefixW) per pair, capped-at-`cap+1` contract); the full-DP
+    * form here is bitwise-checked against DuckDB and is the band's
+    * correctness oracle (OpsSpec). Pair payload through the joins is ids
+    * + two clipped prefixes; nothing corpus-sized shuffles. */
+  def editDistancePairs(seqs: DataFrame, pairs: DataFrame,
+      prefixW: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val pre = seqs.select(col("doc_id"),
+      expr(s"slice(tokens, 1, $prefixW)").as("pre"))
+    pairs
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pa")),
+        Seq("doc_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("pa")).as("len_a"), size(col("pb")).as("len_b"),
+        expr("graft_edit_distance(pa, pb, 0)").as("edit_dist"))
+      .withColumn("edit_sim", expr(
+        """IF(greatest(len_a, len_b) = 0, CAST(1.0 AS DOUBLE),
+          |   CAST(1.0 AS DOUBLE)
+          |     - CAST(edit_dist AS DOUBLE) / greatest(len_a, len_b))"""
+          .stripMargin))
+  }
+
+  /** DuckDB mirror of [[editDistancePairs]]. DuckDB's `levenshtein` is
+    * byte-based (a 3-byte UTF-8 codepoint counts as 3 edits), so token
+    * arrays cannot be chr-mapped through it; instead the DP itself runs
+    * as a recursive CTE using the prefix-min reformulation of the row
+    * recurrence — `new[j] = j + min_{k ≤ j}(D[k] − k)` with
+    * `D[k] = min(prev[k]+1, prev[k−1]+cost)` — which turns the
+    * left-to-right in-row dependency into ONE window prefix-min per
+    * iteration (n iterations of |pairs|·(prefixW+1) rows). Same integer
+    * DP, same final one-subtract-one-divide similarity. */
+  def duckEditDistancePairsSql(seqsPrelude: String, pairsSql: String,
+      prefixW: Int): String =
+    s"""WITH RECURSIVE $seqsPrelude,
+       |pre AS MATERIALIZED (
+       |  SELECT doc_id, tokens[1:$prefixW] AS pre FROM seqs),
+       |cand AS MATERIALIZED ($pairsSql),
+       |pt AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b, a.pre AS pa, b.pre AS pb,
+       |         len(a.pre) AS la, len(b.pre) AS lb
+       |  FROM cand c
+       |  JOIN pre a ON a.doc_id = c.doc_a
+       |  JOIN pre b ON b.doc_id = c.doc_b),
+       |dp AS (
+       |  SELECT doc_a, doc_b, 0 AS i, CAST(j AS BIGINT) AS j,
+       |         CAST(j AS BIGINT) AS v
+       |  FROM pt, unnest(range(0, lb + 1)) t(j)
+       |  UNION ALL
+       |  SELECT doc_a, doc_b, i + 1, j,
+       |    j + min(d - j) OVER (PARTITION BY doc_a, doc_b ORDER BY j
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  FROM (
+       |    SELECT dp.doc_a, dp.doc_b, dp.i, dp.j,
+       |      CASE WHEN dp.j = 0 THEN dp.v + 1
+       |           ELSE least(dp.v + 1,
+       |             lag(dp.v) OVER (PARTITION BY dp.doc_a, dp.doc_b
+       |                             ORDER BY dp.j)
+       |               + CASE WHEN pt.pa[CAST(dp.i + 1 AS INTEGER)]
+       |                           = pt.pb[CAST(dp.j AS INTEGER)]
+       |                      THEN 0 ELSE 1 END)
+       |      END AS d
+       |    FROM dp
+       |    JOIN pt ON pt.doc_a = dp.doc_a AND pt.doc_b = dp.doc_b
+       |    WHERE dp.i < pt.la) s(doc_a, doc_b, i, j, d))
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(p.la AS INTEGER) AS len_a, CAST(p.lb AS INTEGER) AS len_b,
+       |  CAST(d.v AS INTEGER) AS edit_dist,
+       |  CASE WHEN greatest(p.la, p.lb) = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE CAST(1.0 AS DOUBLE)
+       |            - CAST(d.v AS DOUBLE) / greatest(p.la, p.lb)
+       |  END AS edit_sim
+       |FROM dp d
+       |JOIN pt p ON p.doc_a = d.doc_a AND p.doc_b = d.doc_b
+       |WHERE d.i = p.la AND d.j = p.lb""".stripMargin
+
   /** Frozen-corpus LSH band index: one (doc_id, band_id, band_hash) row per
     * band per doc — the table a production pipeline PERSISTS once (ids +
     * two small ints, never the tokens) and probes with every new crawl

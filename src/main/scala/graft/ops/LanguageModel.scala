@@ -574,6 +574,118 @@ object LanguageModel {
        |  FROM dg JOIN idf USING (gram))
        |WHERE rank <= $k""".stripMargin
 
+  /** BM25 retrieval (Robertson–Spärck Jones probabilistic relevance, the
+    * Okapi k1/b form — the lexical-search scorer of every
+    * retrieval-augmented pipeline and the classic hard-negative miner for
+    * training rerankers): a deterministic hash slice of documents plays
+    * the QUERY set, every query scores the whole corpus through an
+    * inverted-index gram join, and the top-`k` docs per query are
+    * emitted.
+    *
+    * == Exact integer form ==
+    * With k1 = 6/5 and b = 3/4 cleared of fractions, the per-gram
+    * saturation ratio `tf·(k1+1) / (tf + k1·(1−b+b·L/avgL))` becomes the
+    * integer rational `22·t·T / (10·t·T + 3·T + 9·L·N)` (t = tf in the
+    * candidate doc, L = its token count, N docs, T total tokens). It is
+    * quantized once as `q = (22·t·T·4096) DIV (10·t·T + 3·T + 9·L·N)`
+    * (1/4096-resolution, all positive → DIV is floor in both engines) and
+    * the IDF once as `idf_micro = round(ln((N−df+0.5)/(df+0.5) + 1)·10⁶)`
+    * (the [[tfidfTop]] micro-nat discipline; the +1 keeps it positive at
+    * any df). `score_raw = Σ_g idf_micro·q` is then an exact order-free
+    * int64 sum — ranking, tiebreak (score desc, doc asc) and the single
+    * readability divide `score = score_raw / (10⁶·4096)` are bitwise.
+    * Magnitudes: `22·t·T·4096` overflows only past T ≈ 10¹² corpus
+    * tokens (then: the [[graft.ops.Regression]] DECIMAL(38) convention);
+    * `idf_micro·q ≤ 2.2·4096·idf_micro` ≈ 10¹¹ per term.
+    *
+    * == Scale shape ==
+    * The postings table (doc, gram, tf) comes off the native unigram
+    * histogram kernel (explode bounded by distinct grams per doc); df and
+    * idf live on the vocab-sized grid; the query-gram table (hash-sliced
+    * queries × their distinct grams) BROADCASTS into the postings join,
+    * so the corpus side never shuffles for scoring — the map-side
+    * inverted-index probe. The only corpus exchanges are the (doc, gram)
+    * count and the per-query top-k window (bounded by matched docs per
+    * query; production adds a WAND/max-score idf floor to prune postings,
+    * which this exact form oracles). */
+  def bm25Retrieve(seqs: DataFrame, queryMod: Int, k: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val dg = seqs.select(col("doc_id"), col("n_tok"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("len"),
+        graft.functions.expressions.gramOf(col("gc")).as("gram"),
+        graft.functions.expressions.cntOf(col("gc")).as("tf"))
+    val totals = seqs.agg(count(lit(1)).as("__n"),
+      sum(col("n_tok").cast("long")).as("__t"))
+    val idf = dg.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("gram",
+        """CAST(round(ln((CAST(__n - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          |  / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          |  + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro"""
+          .stripMargin)
+    val qg = dg.filter(graft.ops.Sampling.md5Slot(col("doc_id"),
+        queryMod) === 0)
+      .select(col("doc_id").as("q_id"), col("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score_raw").desc, col("doc_id").asc)
+    dg.join(broadcast(qg), Seq("gram"))
+      .join(broadcast(idf), Seq("gram"))
+      .crossJoin(broadcast(totals))
+      .selectExpr("q_id", "doc_id",
+        """idf_micro * ((22 * tf * __t * 4096)
+          |  DIV (10 * tf * __t + 3 * __t + 9 * len * __n)) AS term"""
+          .stripMargin)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term")).as("score_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .selectExpr("q_id", "rank", "doc_id", "score_raw",
+        "CAST(score_raw AS DOUBLE) / CAST(4096000000 AS DOUBLE) AS score")
+  }
+
+  /** DuckDB mirror of [[bm25Retrieve]] — same histogram-derived postings,
+    * same integer saturation quantization, same micro-nat IDF. */
+  def duckBm25Sql(seqsSql: String, queryMod: Int, k: Int): String =
+    s"""WITH seqs AS ($seqsSql),
+       |inst AS MATERIALIZED (
+       |  SELECT doc_id, CAST(n_tok AS BIGINT) AS len,
+       |    (t + 2048)::BIGINT AS gram
+       |  FROM (SELECT doc_id, n_tok, unnest(tokens) AS t FROM seqs)),
+       |dg AS MATERIALIZED (
+       |  SELECT doc_id, len, gram, count(*) AS tf
+       |  FROM inst GROUP BY 1, 2, 3),
+       |tot AS (SELECT count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS t
+       |        FROM seqs),
+       |idf AS (
+       |  SELECT gram,
+       |    CAST(round(ln((CAST(tot.n - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |      + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM (SELECT gram, count(*) AS df FROM dg GROUP BY 1)
+       |  CROSS JOIN tot),
+       |qg AS (
+       |  SELECT doc_id AS q_id, gram FROM dg
+       |  WHERE ${graft.ops.Sampling.duckMd5Slot("doc_id", queryMod)} = 0),
+       |scored AS (
+       |  SELECT qg.q_id, dg.doc_id,
+       |    CAST(sum(idf.idf_micro * ((22 * dg.tf * tot.t * 4096)
+       |      // (10 * dg.tf * tot.t + 3 * tot.t + 9 * dg.len * tot.n)))
+       |      AS BIGINT) AS score_raw
+       |  FROM dg
+       |  JOIN qg USING (gram)
+       |  JOIN idf USING (gram)
+       |  CROSS JOIN tot
+       |  GROUP BY 1, 2)
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, score_raw,
+       |  CAST(score_raw AS DOUBLE) / CAST(4096000000 AS DOUBLE) AS score
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score_raw DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
   /** Per-source token-distribution drift: the Jensen–Shannon divergence
     * between each source's unigram distribution `p` and the REST of the
     * corpus `q` — the corpus-level "is this slice distributionally off?"

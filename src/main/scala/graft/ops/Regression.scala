@@ -337,4 +337,117 @@ object Regression {
     solveLevels.foldLeft(moments)((inner, lvl) =>
       s"SELECT ${lvl.mkString(", ")} FROM (\n$inner)")
   }
+
+  /** The ONE residual tree shared by [[conformalLength]] and its Duck
+    * mirror — `|y − (b0 + b1·x1 + b2·x2)|` with the cast/association
+    * order pinned, so the nonconformity scores are bitwise-identical
+    * doubles in both engines. */
+  private val ResidExpr: String =
+    "abs(CAST(y AS DOUBLE) - (b0 + b1 * CAST(x1 AS DOUBLE)" +
+      " + b2 * CAST(x2 AS DOUBLE)))"
+
+  /** Split conformal prediction over the [[fitLengthModel]] regression
+    * (Vovk's split/inductive conformal, the distribution-free interval
+    * recipe): fit on the `train` hash split, take the nonconformity
+    * scores `|y − ŷ|` on the held-out calibration split (`val`), and the
+    * `⌈(1−α)(n_cal+1)⌉`-th smallest score is the half-width `qhat` whose
+    * interval `ŷ ± qhat` covers a fresh point with probability ≥ 1−α —
+    * verified here empirically on the disjoint `test` split. α is fixed
+    * at 10 % so the rank index `k = ⌈9(n_cal+1)/10⌉` stays pure integer
+    * arithmetic. One row out: (n_cal, k, qhat, n_test, covered,
+    * coverage).
+    *
+    * Determinism: the three-way split is the standard corpus hash split
+    * ([[Sampling.assignSplit]] buckets); the model is the exact
+    * integer-moment fit; the residual tree is [[ResidExpr]] in BOTH
+    * engines, so `qhat` is an exact copy of one computed double and the
+    * coverage comparisons `resid ≤ qhat` can never disagree. Degenerate
+    * calibration sets (k > n_cal, possible only below 9 points) yield
+    * NULL qhat/coverage, the [[solveLevels]] NULL-on-degenerate
+    * convention.
+    *
+    * Scale: the only non-narrow steps are the 10-long moment exchange and
+    * ONE rank sort of the CALIBRATION split. Conformal validity needs
+    * only a bounded calibration sample (a few thousand points pins the
+    * α-resolution), so production shrinks that split to a fixed-size
+    * slice or swaps the exact rank for a Greenwald–Khanna quantile (the
+    * [[graft.ops.TextAnalysis.lengthReportApprox]] pattern); this exact
+    * rank form is that path's correctness oracle. */
+  def conformalLength(docs: DataFrame,
+      spec: Sampling.SplitSpec = Sampling.SplitSpec()): DataFrame = {
+    val rows = docs.selectExpr("doc_id",
+        "CAST(n_chars AS BIGINT) AS y",
+        "CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x1",
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x2")
+      .withColumn("bucket", Sampling.milleSlot(col("doc_id")))
+    val model = fit(rows.filter(col("bucket") < spec.train)
+      .select("y", "x1", "x2"))
+    val pred = rows.crossJoin(broadcast(model.select("b0", "b1", "b2")))
+      .selectExpr("doc_id", "bucket", s"$ResidExpr AS resid")
+    val cal = pred.filter(col("bucket") >= spec.train &&
+      col("bucket") < spec.train + spec.valid)
+    val calN = cal.agg(count(lit(1)).as("n_cal"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("resid"), col("doc_id"))
+    val qhat = cal.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(calN))
+      .filter(expr("rn = least((9 * (n_cal + 1) + 9) DIV 10, n_cal)"))
+      .selectExpr("n_cal", "(9 * (n_cal + 1) + 9) DIV 10 AS k",
+        """CASE WHEN (9 * (n_cal + 1) + 9) DIV 10 > n_cal
+          |     THEN CAST(NULL AS DOUBLE) ELSE resid END AS qhat"""
+          .stripMargin)
+    pred.filter(col("bucket") >= spec.train + spec.valid)
+      .crossJoin(broadcast(qhat))
+      .groupBy(col("n_cal"), col("k"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(expr("IF(resid <= qhat, 1L, 0L)")).as("covered"))
+      .selectExpr("n_cal", "k", "qhat", "n_test", "covered",
+        """CASE WHEN qhat IS NULL THEN CAST(NULL AS DOUBLE)
+          |     ELSE CAST(covered AS DOUBLE) / n_test END AS coverage"""
+          .stripMargin)
+  }
+
+  /** DuckDB mirror of [[conformalLength]] — same hash buckets, the
+    * [[duckLengthModelSql]] fit restricted to the train split, the shared
+    * [[ResidExpr]] residual tree, same integer rank rule. */
+  def duckConformalSql(spec: Sampling.SplitSpec = Sampling.SplitSpec(),
+      src: String = "documents"): String = {
+    val bucket = Sampling.duckMilleSlot("doc_id")
+    val trainSrc =
+      s"(SELECT * FROM $src WHERE $bucket < ${spec.train})"
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+       |    CAST(length(text) - length(replace(text, 'e', ''))
+       |      AS BIGINT) AS x1,
+       |    CAST(length(text) - length(replace(text, ' ', ''))
+       |      AS BIGINT) AS x2,
+       |    $bucket AS bucket
+       |  FROM $src),
+       |model AS (SELECT b0, b1, b2 FROM (${duckLengthModelSql(trainSrc)})),
+       |pred AS (
+       |  SELECT doc_id, bucket, $ResidExpr AS resid
+       |  FROM rows_ CROSS JOIN model),
+       |cal AS (SELECT * FROM pred
+       |        WHERE bucket >= ${spec.train}
+       |          AND bucket < ${spec.train + spec.valid}),
+       |caln AS (SELECT count(*) AS n_cal FROM cal),
+       |ranked AS (SELECT resid,
+       |    row_number() OVER (ORDER BY resid, doc_id) AS rn FROM cal),
+       |q AS (
+       |  SELECT c.n_cal, (9 * (c.n_cal + 1) + 9) // 10 AS k,
+       |    CASE WHEN (9 * (c.n_cal + 1) + 9) // 10 > c.n_cal
+       |         THEN CAST(NULL AS DOUBLE) ELSE r.resid END AS qhat
+       |  FROM caln c JOIN ranked r
+       |    ON r.rn = least((9 * (c.n_cal + 1) + 9) // 10, c.n_cal))
+       |SELECT q.n_cal, q.k, q.qhat,
+       |  count(*) AS n_test,
+       |  CAST(sum(CASE WHEN t.resid <= q.qhat THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS covered,
+       |  CASE WHEN q.qhat IS NULL THEN CAST(NULL AS DOUBLE)
+       |       ELSE CAST(sum(CASE WHEN t.resid <= q.qhat THEN 1 ELSE 0 END)
+       |              AS DOUBLE) / count(*) END AS coverage
+       |FROM pred t CROSS JOIN q
+       |WHERE t.bucket >= ${spec.train + spec.valid}
+       |GROUP BY q.n_cal, q.k, q.qhat""".stripMargin
+  }
 }

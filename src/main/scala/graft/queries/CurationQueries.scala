@@ -57,6 +57,13 @@ object CurationQueries {
   val BatchEdges = Seq(2048, 4096, 6144)
   val BatchSize = 16
   val BatchShards = 4
+  // edit-distance pair verify: head-window width (tokens)
+  val EditPrefixW = 256
+  // BM25 retrieval: query slice = md5 slot 0 of `mod`, top-k depth
+  val Bm25QueryMod = 50
+  val Bm25K = 5
+  // PCA power iteration rounds (quantized, deterministic)
+  val PcaIters = 8
   // exact substring-span dedup: window length (tokens) and stride
   val SpanLen = 64
   val SpanStride = 16
@@ -139,6 +146,13 @@ object CurationQueries {
     "dedup_containment" -> ((s, dir) => {
       val sq = Seqs.fromDocumentsSub(s, dir)
       Dedup.containmentPairs(sq, Dedup.lshCandidates(sq))
+    }),
+
+    // order-sensitive edit-distance verification of the same LSH
+    // candidates: Levenshtein over token prefixes + normalized similarity
+    "dedup_editdist" -> ((s, dir) => {
+      val sq = Seqs.fromDocumentsSub(s, dir)
+      Dedup.editDistancePairs(sq, Dedup.lshCandidates(sq), EditPrefixW)
     }),
 
     // incremental near-dup screen: the doc_id % 50 = 49 slice plays the
@@ -436,6 +450,12 @@ object CurationQueries {
       graft.ops.Regression.lengthInfluence(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // split conformal prediction: train-split fit, calibration-split
+    // nonconformity quantile, test-split empirical coverage (alpha = 10%)
+    "conformal" -> ((s, dir) =>
+      graft.ops.Regression.conformalLength(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // PII redaction: per-rule sequential count-and-mask (email/IPv4/phone)
     // over a deterministically PII-injected corpus; redacted text pinned
     // by length + md5 — one narrow projection per rule, no shuffle
@@ -524,6 +544,18 @@ object CurationQueries {
     // micro-nats (tf int64 x per-gram idf_micro), bitwise incl. tiebreak
     "tfidf_top" -> ((s, dir) =>
       graft.ops.LanguageModel.tfidfTop(Seqs.fromDocuments(s, dir), TfidfK)),
+
+    // BM25 retrieval: hash-sliced query docs score the sub corpus through
+    // a broadcast inverted-index gram join; exact integer Okapi form
+    "bm25_top" -> ((s, dir) =>
+      graft.ops.LanguageModel.bm25Retrieve(Seqs.fromDocumentsSub(s, dir),
+        Bm25QueryMod, Bm25K)),
+
+    // top principal component of the embedding covariance via quantized
+    // power iteration: v_unit + explained-variance share, fully bitwise
+    "pca_top" -> ((s, dir) =>
+      graft.ops.Pca.powerIteration(
+        s.read.parquet(s"$dir/embeddings.parquet"), PcaIters)),
 
     // multinomial Naive Bayes source classifier TRAINED in the engine by
     // counting (two aggregations = the model), then applied to every doc;
@@ -733,6 +765,9 @@ object CurationQueries {
     "dedup_containment" ->
       Dedup.duckContainmentPairsSql(s"seqs AS (${Seqs.duckSqlSub})",
         duckLshPairsSql), // nested WITH — fine as a CTE body in DuckDB
+    "dedup_editdist" ->
+      Dedup.duckEditDistancePairsSql(s"seqs AS (${Seqs.duckSqlSub})",
+        duckLshPairsSql, EditPrefixW),
     "dedup_incremental" -> Dedup.duckIncrementalSql(
       s"seqs AS (${Seqs.duckSqlSub})",
       batchPred = "CAST(substr(doc_id, 2) AS INTEGER) % 50 = 49",
@@ -805,6 +840,7 @@ object CurationQueries {
     "redact_pii" -> graft.ops.Redact.duckSql(),
     "ols_length" -> graft.ops.Regression.duckLengthModelSql(),
     "length_influence" -> graft.ops.Regression.duckLengthInfluenceSql(),
+    "conformal" -> graft.ops.Regression.duckConformalSql(),
     "eval_metrics" -> graft.ops.Evaluation.duckSql(
       s"""SELECT d.source AS source, s.logit AS score,
          |  (d.doc_id % 7 < 3) AS label
@@ -848,6 +884,10 @@ object CurationQueries {
       Seqs.duckSql, s"source = '$DsirTargetSource'"),
     "tfidf_top" ->
       graft.ops.LanguageModel.duckTfidfSql(Seqs.duckSql, TfidfK),
+    "bm25_top" ->
+      graft.ops.LanguageModel.duckBm25Sql(Seqs.duckSqlSub, Bm25QueryMod,
+        Bm25K),
+    "pca_top" -> graft.ops.Pca.duckSql("embeddings", PcaIters),
     "nb_classify" -> graft.ops.NaiveBayes.duckSql(Seqs.duckSql),
     "ppl_buckets" ->
       graft.ops.LanguageModel.duckPerplexityBucketsSql(Seqs.duckSql),

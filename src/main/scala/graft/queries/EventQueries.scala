@@ -230,6 +230,13 @@ object EventQueries {
       graft.core.Partitioning.skewReport(
         s.read.parquet(s"$dir/events.parquet"), "user_id", SkewTopK)),
 
+    // rendezvous (HRW) sharding: per-shard mass at n and n+1 shards +
+    // the measured moved-key fraction (expected ~1/(n+1)) — the
+    // re-layout cost read before growing a bucketed table
+    "rendezvous_shards" -> ((s, dir) =>
+      graft.core.Partitioning.rendezvousReport(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", RendezvousN)),
+
     // point-in-interval (range) join: each click × every campaign interval
     // of its user that was ACTIVE at click time. Campaigns are synthesized
     // deterministically from signup events — duration (1 + id % 5) × 12 h —
@@ -287,6 +294,7 @@ object EventQueries {
 
   /** Skew-report depth. */
   val SkewTopK = 20
+  val RendezvousN = 8
 
   /** Deterministic missingness mask for the imputation query. */
   val ImputeMissMod = 13
@@ -486,6 +494,10 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)""".stripMargin,
 
     "skew_report" ->
-      graft.core.Partitioning.duckSkewSql("events", "user_id", SkewTopK)
+      graft.core.Partitioning.duckSkewSql("events", "user_id", SkewTopK),
+
+    "rendezvous_shards" ->
+      graft.core.Partitioning.duckRendezvousSql("events", "user_id",
+        RendezvousN)
   )
 }

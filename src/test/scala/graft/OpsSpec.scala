@@ -1649,6 +1649,175 @@ class OpsSpec extends AnyFunSuite {
     assert(dup("c") == 0, "unique doc has no duplicated fingerprints")
   }
 
+  /** Textbook O(n·m) reference DP for the edit-distance kernel tests. */
+  private def refEdit(a: Seq[Int], b: Seq[Int]): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("edit distance: full kernel matches the reference DP on edge shapes") {
+    val cases = Seq(
+      (Seq(1, 2, 3, 3, 4, 5), Seq(6, 2, 3, 3, 2, 5, 7)),   // kitten/sitting
+      (Seq.empty[Int], Seq(1, 2, 3)),                        // empty vs any
+      (Seq(1, 2, 3), Seq(1, 2, 3)),                          // identical
+      (Seq(1, 2, 3, 4), Seq(4, 3, 2, 1)),                    // full reversal
+      (Seq.tabulate(80)(i => (i * 37) % 23),
+        Seq.tabulate(95)(i => (i * 31) % 23)))               // long pseudo-random
+    val df = cases.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("id", "a", "b")
+    graft.functions.expressions.register(spark)
+    val got = df.selectExpr("id", "graft_edit_distance(a, b, 0) AS d")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i) == refEdit(a, b), s"case $i") }
+  }
+
+  test("edit distance: banded kernel == min(full, cap+1)") {
+    val a = Seq.tabulate(120)(i => (i * 37) % 29)
+    val variants = Seq(
+      a.patch(40, Seq(99, 98), 0),           // 2 inserts -> dist 2
+      a.updated(10, 77).updated(60, 88),     // 2 substitutions
+      Seq.tabulate(120)(i => (i * 31) % 29), // far apart -> over any small cap
+      a.drop(30))                            // 30 deletions
+    val df = variants.zipWithIndex.map { case (b, i) => (i, a, b) }
+      .toDF("id", "a", "b")
+    graft.functions.expressions.register(spark)
+    for (cap <- Seq(1, 3, 8, 40)) {
+      val got = df.selectExpr("id", s"graft_edit_distance(a, b, $cap) AS d")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      variants.zipWithIndex.foreach { case (b, i) =>
+        assert(got(i) == math.min(refEdit(a, b), cap + 1),
+          s"cap=$cap variant=$i") }
+    }
+  }
+
+  test("conformal: perfect model gives qhat 0 and full coverage; planted " +
+      "outlier breaks exactly its own row") {
+    // y EXACTLY b0 + b1*x1 + b2*x2 with integer betas and tiny counts:
+    // every double op in the Cramer solve is exact, so resid == 0.0
+    def mkText(e: Int, sp: Int): String = "x" * 3 + "e" * e + " " * sp
+    val docs0 = (1L to 100L).map { id =>
+      val e = (id % 7).toInt; val sp = (id % 5).toInt
+      (id, mkText(e, sp), (10 + 3 * e + 4 * sp).toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    val spec = graft.ops.Sampling.SplitSpec(train = 500, valid = 300)
+    val r0 = graft.ops.Regression.conformalLength(docs0, spec).collect()(0)
+    assert(r0.getAs[Double]("qhat") == 0.0)
+    assert(r0.getAs[Double]("coverage") == 1.0)
+    assert(r0.getAs[Long]("k") ==
+      (9 * (r0.getAs[Long]("n_cal") + 1) + 9) / 10)
+    // one TEST-split doc pushed off the plane -> exactly one uncovered row
+    val testIds = docs0
+      .withColumn("b", graft.ops.Sampling.milleSlot(col("doc_id")))
+      .filter(col("b") >= 800).select("doc_id")
+      .collect().map(_.getLong(0))
+    val victim = testIds.min
+    val docs1 = docs0.withColumn("n_chars",
+      when(col("doc_id") === victim, col("n_chars") + 1000)
+        .otherwise(col("n_chars")))
+    val r1 = graft.ops.Regression.conformalLength(docs1, spec).collect()(0)
+    assert(r1.getAs[Long]("covered") == r1.getAs[Long]("n_test") - 1)
+  }
+
+  test("rendezvous: counts conserve mass, keys only move INTO the new shard") {
+    val keys = (1L to 200L).toDF("user_id")
+    val n = 4
+    val rows = graft.core.Partitioning.rendezvousReport(keys, "user_id", n)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    val total = rows.values.head._3
+    assert(total == 200L)
+    assert(rows.values.map(_._1).sum == 200L, "small-map mass")
+    assert(rows.values.map(_._2).sum == 200L, "large-map mass")
+    // HRW minimal disruption: existing shards only ever LOSE keys
+    (0 until n).foreach { s =>
+      assert(rows(s)._2 <= rows(s)._1, s"shard $s gained keys") }
+    assert(rows(n)._1 == 0L && rows(n)._2 == rows.values.head._4,
+      "moved == the new shard's entire mass")
+    val frac = rows.values.head._5
+    assert(frac > 0.05 && frac < 0.45,
+      s"moved fraction $frac should sit near 1/(n+1) = 0.2")
+    // determinism
+    val again = graft.core.Partitioning
+      .rendezvousReport(keys, "user_id", n).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    (0 to n).foreach(s => assert(again(s) == rows(s)._2))
+  }
+
+  test("bm25: self-retrieval, shared-gram candidates only, exact integer score") {
+    // queryMod = 1 -> every doc is a query; disjoint-ish vocabularies
+    val seqs = Seq(
+      ("d1", Seq(1, 1, 2), 3, "s"),
+      ("d2", Seq(2, 3, 3), 3, "s"),
+      ("d3", Seq(5, 5, 5), 3, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val out = graft.ops.LanguageModel.bm25Retrieve(seqs, 1, 3).collect()
+    val byQ = out.groupBy(_.getString(0))
+    // d3 shares no gram with anyone: exactly one scored row (itself)
+    assert(byQ("d3").map(_.getString(2)).toSeq == Seq("d3"))
+    // every query ranks ITSELF first on this fixture
+    Seq("d1", "d2", "d3").foreach { q =>
+      val top = byQ(q).minBy(_.getInt(1))
+      assert(top.getString(2) == q, s"query $q top-1") }
+    // d1's candidate set is exactly {d1 (grams 1,2), d2 (gram 2)}
+    assert(byQ("d1").map(_.getString(2)).sorted.toSeq == Seq("d1", "d2"))
+    // exact integer score of (query d1, candidate d2) on gram 2:
+    // N=3, T=9, df(2)=2, idf = ln((3-2+0.5)/(2+0.5)+1)*1e6 rounded;
+    // t=1, L=3: q = (22*1*9*4096) div (10*1*9 + 3*9 + 9*3*3) = 4096
+    val idf = math.round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1) * 1e6)
+    val expect = idf * ((22L * 9 * 4096) / (10L * 9 + 3 * 9 + 9 * 3 * 3))
+    val d1d2 = byQ("d1").find(_.getString(2) == "d2").get
+    assert(d1d2.getLong(3) == expect, "hand-computed score_raw")
+  }
+
+  test("pca: planted dominant direction is recovered with high var share") {
+    // x_d = s_d * u + small orthogonal wiggle, u = (3,4)/5 in dims 0-1
+    val vecs = (0L until 60L).map { d =>
+      val s = ((d % 5).toInt - 2) * 0.2f // -0.4 .. 0.4
+      val wig = ((d % 7).toInt - 3) * 0.01f
+      (d, Seq(0.6f * s, 0.8f * s, wig, -wig), (d % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.Pca.powerIteration(vecs, 8).collect()
+      .sortBy(_.getInt(0))
+    val v = out.map(_.getAs[Double]("v_unit"))
+    val cosU = math.abs(v(0) * 0.6 + v(1) * 0.8)
+    assert(cosU > 0.99, s"top component should align with u, cos=$cosU")
+    assert(out.head.getAs[Double]("var_frac") > 0.9,
+      "planted direction carries nearly all variance")
+    // pure integer rounds: a second run is bitwise identical
+    val again = graft.ops.Pca.powerIteration(vecs, 8).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(again.toSeq == out.map(_.getLong(1)).toSeq)
+  }
+
+  test("edit distance pairs: planted near-copy scores high, shuffled bag low") {
+    val base = Seq.tabulate(300)(i => (i * 37) % 211 - 100)
+    val nearCopy = base.patch(50, Seq(999, 998, 997), 0) // 3 token inserts
+    // same multiset of tokens, order destroyed: set measures call it a
+    // dup; edit distance must not
+    val shuffled = base.grouped(2).toSeq.reverse.flatten
+    val seqs = Seq(
+      ("a", base, 300, "s"), ("b", nearCopy, 303, "s"),
+      ("c", shuffled, 300, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val pairs = Seq(("a", "b"), ("a", "c")).toDF("doc_a", "doc_b")
+    val out = Dedup.editDistancePairs(seqs, pairs, 256).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(4), r.getDouble(5))).toMap
+    val (dAb, simAb) = out(("a", "b"))
+    val (dAc, simAc) = out(("a", "c"))
+    // 3 inserts + the 3 tail tokens they push past the 256-token window
+    assert(dAb == 6, "three inserts + three clipped-tail deletes")
+    assert(simAb > 0.97)
+    assert(simAc < 0.7, s"order-destroyed doc must score low, got $simAc")
+    assert(dAc > 50)
+  }
+
   test("hard negatives: label split, rank order, margin semantics") {
     // anchor 0 (label 1): same-label 1 (identical, cos 1), same-label 2
     // (orthogonal-ish), negatives 3/4 with known cosine order
