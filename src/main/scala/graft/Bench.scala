@@ -55,6 +55,9 @@ object Bench {
     "semdedup",           // k-means cells + in-cell pruning (checkpointed rank)
     "dup_pagerank",       // 5 quantized PR rounds over the near-dup graph
     "events_trailing_stats", // 5-stat trailing block, one window pass
+    "dedup_editdist",     // banded/full DP verify over LSH candidates
+    "bm25_top",           // broadcast inverted-index retrieval
+    "pca_top",            // one-pass sufficient stats + integer iteration
     "q3_join")            // relational join/agg
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =

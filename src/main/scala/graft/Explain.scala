@@ -122,7 +122,13 @@ object Explain {
       "zipf_fit (per-source rank window, grouped integer moments, closed-form solve)" ->
         SparkEntry.queries("zipf_fit")(spark, sfDir),
       "length_influence (moment agg + 15-scalar broadcast, one narrow diagnostic projection)" ->
-        SparkEntry.queries("length_influence")(spark, sfDir))
+        SparkEntry.queries("length_influence")(spark, sfDir),
+      "dedup_editdist (ids + clipped prefixes through the pair joins, one DP kernel projection)" ->
+        SparkEntry.queries("dedup_editdist")(spark, sfDir),
+      "bm25_top (broadcast query grams + idf into the postings join — corpus side never shuffles for scoring)" ->
+        SparkEntry.queries("bm25_top")(spark, sfDir),
+      "conformal (train-split moment fit broadcast, one calibration-split rank sort, test-split agg)" ->
+        SparkEntry.queries("conformal")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")

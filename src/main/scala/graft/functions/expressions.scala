@@ -99,6 +99,10 @@ object expressions {
       es => SpanExcise(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_edit_distance",
       es => TokenEditDistance(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_mlm_mask",
+      es => MlmMask(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_mlm_stats",
+      es => MlmStats(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_linear_score",
       es => LinearScoreKernel(es(0), es(1)), "built-in")
     spectral.register(spark)
@@ -692,6 +696,99 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), startsE = c(1), lenE = c(2))
+  }
+
+  /** The ONE masking decision of the MLM kernels, per (doc, position):
+    * draw `h` from a QUADRATIC mod-p scramble of `x = did·8192 + pos` —
+    * `h = ((x̄² + 747796405·x̄ + 12345) mod p)·48271 + 11 mod p` with
+    * `x̄ = x mod p` (purely multiplicative mixing is affine in x, so its
+    * low residues align with the sequential position — the same trap the
+    * [[graft.sources.Seqs]] token model documents; the x² term breaks
+    * the alignment). Then the BERT 15 % / 80-10-10 rule: `h mod 100 < 15`
+    * masks; within masked, `(h div 100) mod 10` ≤ 7 → sentinel 4096
+    * (outside the ±2048 alphabet), = 8 → hash-derived random token,
+    * = 9 → keep. Returns (new token, branch 0 = unmasked / 1 = sentinel /
+    * 2 = random / 3 = kept-masked). */
+  private def mlmStep(did: Long, pos: Int, tok: Int): (Int, Int) = {
+    val P = 1000000007L
+    val x = (did * 8192L + pos) % P
+    val h = ((x * x + 747796405L * x + 12345L) % P * 48271L + 11L) % P
+    if (h % 100 < 15) {
+      val b = (h / 100) % 10
+      if (b <= 7) (4096, 1)
+      else if (b == 8) ((h / 1000 % 4096 - 2048).toInt, 2)
+      else (tok, 3)
+    } else (tok, 0)
+  }
+
+  /** graft_mlm_mask(tokens ARRAY<INT>, did BIGINT) → ARRAY<INT>
+    *
+    * Masked-LM training-input rewrite (the BERT corruption plan) as one
+    * tight per-row kernel — deterministic in (doc id, position) alone
+    * ([[mlmStep]]), so reruns, repartitioning and corpus growth never
+    * change an example's corruption, and the DuckDB mirror reproduces
+    * every token bitwise. Zero shuffle; the scale path is the same
+    * narrow projection at any corpus size. */
+  case class MlmMask(tokens: Expression, didE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, didE)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable || didE.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val dAny = didE.eval(input)
+      if (dAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val did = dAny.asInstanceOf[Long]
+      val out = new Array[Int](arr.length)
+      var i = 0
+      while (i < arr.length) {
+        out(i) = mlmStep(did, i, arr(i))._1
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), didE = c(1))
+  }
+
+  /** graft_mlm_stats(tokens ARRAY<INT>, did BIGINT) → ARRAY<BIGINT>
+    * `[n_masked, n_sentinel, n_random, n_kept, checksum]` with
+    * `checksum = Σ (pos+1)·masked_tok` — the position-weighted integer
+    * checksum that pins every rewritten token's VALUE AND PLACE (the
+    * multimodal-featurizer convention), so a green hash on the stats row
+    * proves the whole [[MlmMask]] rewrite without shipping the arrays
+    * through the oracle compare. */
+  case class MlmStats(tokens: Expression, didE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, didE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable || didE.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val dAny = didE.eval(input)
+      if (dAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val did = dAny.asInstanceOf[Long]
+      var nMask = 0L; var nSent = 0L; var nRand = 0L; var nKeep = 0L
+      var sum = 0L
+      var i = 0
+      while (i < arr.length) {
+        val (tok, branch) = mlmStep(did, i, arr(i))
+        if (branch > 0) nMask += 1
+        if (branch == 1) nSent += 1
+        else if (branch == 2) nRand += 1
+        else if (branch == 3) nKeep += 1
+        sum += (i + 1L) * tok
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        Array(nMask, nSent, nRand, nKeep, sum))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), didE = c(1))
   }
 
   /** graft_edit_distance(a ARRAY<INT>, b ARRAY<INT>, cap INT) → INT

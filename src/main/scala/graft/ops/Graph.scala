@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Co-activity graph construction + triangle / clustering statistics —
+  * the community-structure primitives (bot-ring / coordinated-behavior
+  * screens, template-family detection) over an edge set derived
+  * deterministically from the event stream.
+  *
+  * == Graph ==
+  * [[coActivityEdges]]: users sharing an activity time bucket are
+  * connected. Buckets hotter than `maxOccupancy` distinct users are
+  * DROPPED, not exploded — the occupancy cap is the standard fanout dial
+  * (a k-user bucket contributes C(k,2) pairs; uncapped hot buckets are
+  * the quadratic blowup every co-occurrence join must bound). Cost:
+  * one (bucket, user) distinct pass + a bucket-keyed self-join whose
+  * per-bucket work is ≤ C(cap, 2).
+  *
+  * == Triangles ==
+  * [[triangleStats]] counts each triangle once at its LOWEST-DEGREE
+  * vertex (the node-iterator orientation of Schank & Wagner / the
+  * MapReduce form of Suri & Vassilvitskii): orient every edge from the
+  * (degree, id)-smaller endpoint, build wedges at the oriented source,
+  * and close them against the undirected edge set. The orientation
+  * bounds per-vertex wedge fanout by O(arboricity) ≈ O(√m) instead of
+  * max-degree — the difference between a web-scale join and a hot-key
+  * blowup. Exact integer counts; per-node clustering coefficient
+  * `2·T/(deg·(deg−1))` is ONE IEEE divide (NULL below degree 2). */
+object Graph {
+
+  /** Undirected co-activity edges `(user_a < user_b)` over time buckets
+    * of `bucketUs` microseconds, keeping only buckets with 2..cap
+    * distinct users. */
+  def coActivityEdges(events: DataFrame, bucketUs: Long,
+      maxOccupancy: Int): DataFrame = {
+    val bu = events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select(expr(s"ts_us DIV ${bucketUs}L").as("bucket"),
+        col("user_id"))
+      .distinct()
+    val occ = bu.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2 && col("occ") <= maxOccupancy)
+    val inB = bu.join(occ.select("bucket"), Seq("bucket"))
+    inB.as("a").join(inB.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+  }
+
+  /** Per-node (degree, triangles, clustering) over an undirected edge
+    * set `(u < v)`. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    // degrees
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint
+    val dpair = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val oriented = dpair.selectExpr(
+      "IF(du < dv OR (du = dv AND u < v), u, v) AS src",
+      "IF(du < dv OR (du = dv AND u < v), v, u) AS dst")
+    // wedges at the oriented source; close against the undirected set
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("p"), col("e1.dst").as("x"),
+        col("e2.dst").as("y"))
+    val tri = wedges.join(e,
+      (col("x") === col("u") && col("y") === col("v")) ||
+        (col("y") === col("u") && col("x") === col("v")))
+      .select(col("p"), col("x"), col("y"))
+    // every triangle increments all three corners
+    val perNode = tri
+      .select(explode(array(col("p"), col("x"), col("y"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("n"), "left_outer")
+      .selectExpr("n AS user_id", "deg",
+        "coalesce(triangles, 0L) AS triangles",
+        """CASE WHEN deg < 2 THEN CAST(NULL AS DOUBLE)
+          |     ELSE CAST(2 * coalesce(triangles, 0L) AS DOUBLE)
+          |          / (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE))
+          |END AS clustering""".stripMargin)
+  }
+
+  /** [[coActivityEdges]] + [[triangleStats]] composed over the events
+    * table. */
+  def coActivityTriangles(events: DataFrame, bucketUs: Long,
+      maxOccupancy: Int): DataFrame =
+    triangleStats(coActivityEdges(events, bucketUs, maxOccupancy))
+
+  /** DuckDB mirror of [[coActivityTriangles]]. */
+  def duckSql(bucketUs: Long, maxOccupancy: Int,
+      table: String = "events"): String =
+    s"""WITH bu AS (
+       |  SELECT DISTINCT
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $bucketUs AS bucket,
+       |    user_id
+       |  FROM $table),
+       |occ AS (
+       |  SELECT bucket FROM bu GROUP BY 1
+       |  HAVING count(*) >= 2 AND count(*) <= $maxOccupancy),
+       |inb AS (SELECT bu.* FROM bu JOIN occ USING (bucket)),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+       |  FROM inb a JOIN inb b
+       |    ON a.bucket = b.bucket AND a.user_id < b.user_id),
+       |deg AS MATERIALIZED (
+       |  SELECT n, count(*) AS deg
+       |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY 1),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END
+       |      AS src,
+       |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END
+       |      AS dst
+       |  FROM e
+       |  JOIN (SELECT n, deg AS du FROM deg) a ON a.n = e.u
+       |  JOIN (SELECT n, deg AS dv FROM deg) b ON b.n = e.v),
+       |tri AS (
+       |  SELECT e1.src AS p, e1.dst AS x, e2.dst AS y
+       |  FROM o e1
+       |  JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       |  JOIN e ON (e.u = e1.dst AND e.v = e2.dst)
+       |         OR (e.u = e2.dst AND e.v = e1.dst)),
+       |pn AS (
+       |  SELECT n, count(*) AS triangles
+       |  FROM (SELECT p AS n FROM tri
+       |        UNION ALL SELECT x FROM tri
+       |        UNION ALL SELECT y FROM tri)
+       |  GROUP BY 1)
+       |SELECT deg.n AS user_id, CAST(deg.deg AS BIGINT) AS deg,
+       |  CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN deg.deg < 2 THEN CAST(NULL AS DOUBLE)
+       |       ELSE CAST(2 * coalesce(pn.triangles, 0) AS DOUBLE)
+       |            / (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE))
+       |  END AS clustering
+       |FROM deg LEFT JOIN pn ON pn.n = deg.n""".stripMargin
+}

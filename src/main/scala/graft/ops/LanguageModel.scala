@@ -686,6 +686,101 @@ object LanguageModel {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** Negative-sampling distribution table (the word2vec unigram^{3/4}
+    * smoothing — flattens the Zipf head so frequent tokens don't dominate
+    * the negatives drawn for contrastive/NCE training): per token,
+    * `w = ⌊count^{3/4}⌋`, its probability in micro-units, and the
+    * cumulative bucket start a sampler binary-searches — the alias-table
+    * input, materialized deterministically.
+    *
+    * == Exact fourth root ==
+    * `⌊c^{3/4}⌋ = ⌊(c³)^{1/4}⌋` must round identically in both engines;
+    * libm `pow(c, 0.75)` does not guarantee that. Instead: `c³` exactly
+    * in wide integers (Spark DECIMAL(38,0), DuckDB HUGEINT — equal
+    * values, equal comparisons), the guess `r₀ = ⌊√√(c³ as double)⌋`
+    * from two CORRECTLY-ROUNDED IEEE sqrts (bit-identical everywhere, at
+    * most ±1 off after the double rounding of c³), and the answer picked
+    * from {r₀±2} by exact wide-integer comparison `r⁴ ≤ c³` — the same
+    * guess-then-correct rule text in both dialects.
+    *
+    * == Scale shape ==
+    * One counting exchange off the native histogram kernel; everything
+    * else (root, weights, the cumulative window) runs on the VOCAB-sized
+    * grid. Weight sums: Σw ≤ |V|·c_max^{3/4} — int64 through any
+    * realistic corpus (10¹⁵-count hot token → w ≈ 6·10¹¹). */
+  def negSampleTable(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val counts = seqs
+      .select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .groupBy(graft.functions.expressions.gramOf(col("gc")).as("gram"))
+      .agg(sum(graft.functions.expressions.cntOf(col("gc"))).as("c"))
+    def cand(r: String) =
+      s"""(CAST(greatest($r, 0L) AS DECIMAL(38,0))
+         | * CAST(greatest($r, 0L) AS DECIMAL(38,0))
+         | * CAST(greatest($r, 0L) AS DECIMAL(38,0))
+         | * CAST(greatest($r, 0L) AS DECIMAL(38,0)))""".stripMargin
+    val w34 = counts
+      .withColumn("ccc", expr(
+        "CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))" +
+          " * CAST(c AS DECIMAL(38,0))"))
+      .withColumn("r0", expr(
+        "CAST(floor(sqrt(sqrt(CAST(ccc AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("w34", expr(
+        s"""CASE WHEN ${cand("r0 + 2")} <= ccc THEN r0 + 2
+           |     WHEN ${cand("r0 + 1")} <= ccc THEN r0 + 1
+           |     WHEN ${cand("r0")} <= ccc THEN r0
+           |     WHEN ${cand("r0 - 1")} <= ccc THEN r0 - 1
+           |     ELSE r0 - 2 END""".stripMargin))
+      .select(col("gram"), col("c"), col("w34"))
+    val tot = w34.agg(sum(col("w34")).as("__w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("gram"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    w34.crossJoin(broadcast(tot))
+      .withColumn("bucket_start",
+        coalesce(sum(col("w34")).over(win), lit(0L)))
+      .selectExpr("gram", "c", "w34", "bucket_start",
+        "(w34 * 1000000L) DIV __w AS p_micro", "__w AS total_w")
+  }
+
+  /** DuckDB mirror of [[negSampleTable]] — HUGEINT for the wide-integer
+    * exact comparisons, same guess-then-correct rule. */
+  def duckNegSampleSql(seqsSql: String): String = {
+    def cand(r: String) =
+      s"""(CAST(greatest($r, 0) AS HUGEINT)
+         | * CAST(greatest($r, 0) AS HUGEINT)
+         | * CAST(greatest($r, 0) AS HUGEINT)
+         | * CAST(greatest($r, 0) AS HUGEINT))""".stripMargin
+    s"""WITH seqs AS ($seqsSql),
+       |cnt AS (
+       |  SELECT (t + 2048)::BIGINT AS gram, count(*) AS c
+       |  FROM (SELECT unnest(tokens) AS t FROM seqs)
+       |  GROUP BY 1),
+       |root AS (
+       |  SELECT gram, CAST(c AS BIGINT) AS c,
+       |    CASE WHEN ${cand("r0 + 2")} <= ccc THEN r0 + 2
+       |         WHEN ${cand("r0 + 1")} <= ccc THEN r0 + 1
+       |         WHEN ${cand("r0")} <= ccc THEN r0
+       |         WHEN ${cand("r0 - 1")} <= ccc THEN r0 - 1
+       |         ELSE r0 - 2 END AS w34
+       |  FROM (
+       |    SELECT gram, c, ccc,
+       |      CAST(floor(sqrt(sqrt(CAST(ccc AS DOUBLE)))) AS BIGINT) AS r0
+       |    FROM (SELECT gram, c,
+       |            CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+       |              * CAST(c AS HUGEINT) AS ccc
+       |          FROM cnt))),
+       |tot AS (SELECT CAST(sum(w34) AS BIGINT) AS w FROM root)
+       |SELECT gram, c, w34,
+       |  CAST(coalesce(sum(w34) OVER (ORDER BY gram
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS bucket_start,
+       |  (w34 * 1000000) // tot.w AS p_micro,
+       |  tot.w AS total_w
+       |FROM root CROSS JOIN tot""".stripMargin
+  }
+
   /** Per-source token-distribution drift: the Jensen–Shannon divergence
     * between each source's unigram distribution `p` and the REST of the
     * corpus `q` — the corpus-level "is this slice distributionally off?"

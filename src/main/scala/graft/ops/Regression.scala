@@ -407,6 +407,133 @@ object Regression {
           .stripMargin)
   }
 
+  /** Poisson-bootstrap CDF thresholds in micro-units: `⌊10⁶·P(X ≤ k)⌋`
+    * for X ~ Poisson(1), k = 0..8 — computed ONCE here and embedded as
+    * the same literals in both dialects' CASE, so the resample weights
+    * cannot diverge. */
+  private val PoissonCdfMicro: Seq[Long] = {
+    var cdf = 0.0; var term = math.exp(-1.0)
+    (0 to 8).map { k =>
+      cdf += term; term /= (k + 1); math.floor(cdf * 1e6).toLong
+    }
+  }
+
+  /** Bootstrap-weight CASE over a micro-uniform draw expression. */
+  private def poissonCase(u: String): String =
+    PoissonCdfMicro.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+
+  /** The ONE per-doc paired-error-difference tree (baseline squared error
+    * minus model squared error, in micro-units) shared with the Duck
+    * mirror. Positive = the full model beats the mean-only baseline on
+    * this document. */
+  private val DMicroExpr: String = {
+    val p = "(b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))"
+    "CAST(round(((CAST(y AS DOUBLE) - mu) * (CAST(y AS DOUBLE) - mu)" +
+      s" - (CAST(y AS DOUBLE) - $p) * (CAST(y AS DOUBLE) - $p))" +
+      " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+  }
+
+  /** Paired bootstrap significance test (the NLP system-comparison
+    * standard, in its DISTRIBUTED Poisson form): does the full length
+    * model beat the mean-only baseline by more than resampling noise?
+    * Per document, the paired error difference `d = e_base − e_model` is
+    * micro-quantized once ([[DMicroExpr]] — identical bits both
+    * engines); each of `bReps` replicates reweights every document by an
+    * independent Poisson(1) draw (the Poisson bootstrap — no global n in
+    * the resampling step, so it runs as a narrow map at any corpus
+    * size, unlike multinomial resampling) derived from the md5-slot
+    * convention, and the replicate sums `Σ w·d_micro` are exact int64.
+    * Output one row: replicate count, corpus n, mean difference,
+    * `p_boot` = share of replicates with Σ ≤ 0 (the bootstrap p-value
+    * against "the model is no better"), and the exact-rank 2.5 % / 97.5 %
+    * replicate-sum percentiles (copies of computed integers — bitwise).
+    *
+    * Scale: the only corpus exchanges are the 10-long moment pass (the
+    * fit) and the bReps-row replicate aggregation with map-side partials;
+    * the explode is corpus×bReps but purely narrow before it. The B-row
+    * rank sort is model-sized. */
+  def bootstrapLengthModel(docs: DataFrame, bReps: Int): DataFrame = {
+    val rows = docs.selectExpr("doc_id",
+      "CAST(n_chars AS BIGINT) AS y",
+      "CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS x1",
+      "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x2")
+    val model = fit(rows.select("y", "x1", "x2")).select("b0", "b1", "b2")
+    val mu = rows.agg(count(lit(1)).as("__n"), sum(col("y")).as("__sy"))
+      .selectExpr("__n", "CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE) AS mu")
+    val scored = rows.crossJoin(broadcast(model)).crossJoin(broadcast(mu))
+      .selectExpr("doc_id", "__n", s"$DMicroExpr AS d_micro")
+    val base = scored.groupBy(col("__n").as("n"))
+      .agg(sum(col("d_micro")).as("d_sum_micro"))
+    val rep = scored
+      .select(col("doc_id"), col("d_micro"),
+        explode(expr(s"sequence(1, $bReps)")).as("b"))
+      .withColumn("u", Sampling.md5Slot(
+        expr("concat(doc_id, ':', CAST(b AS STRING))"), 1000000))
+      .withColumn("w", expr(poissonCase("u")))
+      .groupBy(col("b")).agg(sum(expr("w * d_micro")).as("s"))
+    val loRank = math.ceil(0.025 * bReps).toInt
+    val hiRank = math.ceil(0.975 * bReps).toInt
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s"), col("b"))
+    val ranked = rep.withColumn("rn", row_number().over(wOrd))
+    val pRow = rep.agg(
+      sum(expr("IF(s <= 0, 1L, 0L)")).as("n_nonpos"))
+    base.crossJoin(broadcast(pRow))
+      .crossJoin(broadcast(ranked.filter(col("rn") === loRank)
+        .select(col("s").as("ci_lo_micro"))))
+      .crossJoin(broadcast(ranked.filter(col("rn") === hiRank)
+        .select(col("s").as("ci_hi_micro"))))
+      .selectExpr(s"$bReps AS b_reps", "n", "d_sum_micro",
+        "CAST(d_sum_micro AS DOUBLE) / CAST(n AS DOUBLE) AS d_mean_micro",
+        s"CAST(n_nonpos AS DOUBLE) / CAST($bReps AS DOUBLE) AS p_boot",
+        "ci_lo_micro", "ci_hi_micro")
+  }
+
+  /** DuckDB mirror of [[bootstrapLengthModel]] — same fit, same shared
+    * difference tree, same Poisson thresholds, same rank rule. */
+  def duckBootstrapSql(bReps: Int, src: String = "documents"): String = {
+    val loRank = math.ceil(0.025 * bReps).toInt
+    val hiRank = math.ceil(0.975 * bReps).toInt
+    val u = Sampling.duckMd5Slot("doc_id || ':' || b", 1000000)
+    s"""WITH rows_ AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+       |    CAST(length(text) - length(replace(text, 'e', ''))
+       |      AS BIGINT) AS x1,
+       |    CAST(length(text) - length(replace(text, ' ', ''))
+       |      AS BIGINT) AS x2
+       |  FROM $src),
+       |model AS (SELECT b0, b1, b2 FROM (${duckLengthModelSql(src)})),
+       |muq AS (SELECT count(*) AS n,
+       |          CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+       |        FROM rows_),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, $DMicroExpr AS d_micro
+       |  FROM rows_ CROSS JOIN model CROSS JOIN muq),
+       |rep AS MATERIALIZED (
+       |  SELECT b, CAST(sum(w * d_micro) AS BIGINT) AS s
+       |  FROM (
+       |    SELECT s.d_micro, t.b, ${poissonCase(u)} AS w
+       |    FROM scored s, unnest(range(1, $bReps + 1)) t(b))
+       |  GROUP BY 1),
+       |ranked AS (SELECT s, row_number() OVER (ORDER BY s, b) AS rn
+       |           FROM rep),
+       |p AS (SELECT CAST(sum(CASE WHEN s <= 0 THEN 1 ELSE 0 END)
+       |        AS BIGINT) AS n_nonpos FROM rep),
+       |base AS (SELECT muq.n, CAST(sum(sc.d_micro) AS BIGINT)
+       |           AS d_sum_micro
+       |         FROM scored sc CROSS JOIN muq GROUP BY 1)
+       |SELECT $bReps AS b_reps, base.n, base.d_sum_micro,
+       |  CAST(base.d_sum_micro AS DOUBLE) / CAST(base.n AS DOUBLE)
+       |    AS d_mean_micro,
+       |  CAST(p.n_nonpos AS DOUBLE) / CAST($bReps AS DOUBLE) AS p_boot,
+       |  lo.s AS ci_lo_micro, hi.s AS ci_hi_micro
+       |FROM base CROSS JOIN p
+       |CROSS JOIN (SELECT s FROM ranked WHERE rn = $loRank) lo
+       |CROSS JOIN (SELECT s FROM ranked WHERE rn = $hiRank) hi""".stripMargin
+  }
+
   /** DuckDB mirror of [[conformalLength]] — same hash buckets, the
     * [[duckLengthModelSql]] fit restricted to the train split, the shared
     * [[ResidExpr]] residual tree, same integer rank rule. */

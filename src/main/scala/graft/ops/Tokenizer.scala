@@ -337,4 +337,81 @@ object Tokenizer {
        |         ORDER BY inst.i) AS tokens_remap
        |  FROM inst LEFT JOIN rare USING (t)
        |  GROUP BY inst.doc_id) g USING (doc_id)""".stripMargin
+
+  /** Masked-LM corruption plan (BERT: mask 15 % of positions; of those
+    * 80 % → sentinel, 10 % → random token, 10 % → kept) — the
+    * training-input materialization step of an MLM pipeline, fully
+    * deterministic in (doc id, position) so examples never change across
+    * reruns/partitionings/corpus growth (the hash-split discipline
+    * applied at TOKEN granularity). Output: the rewritten arrays plus the
+    * per-doc stats block. Zero shuffle — one narrow kernel projection
+    * ([[graft.functions.expressions.MlmMask]]/`MlmStats`) at any corpus
+    * size. */
+  def mlmMask(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    seqs.selectExpr("doc_id", "n_tok",
+      "graft_mlm_mask(tokens, CAST(substring(doc_id, 2) AS BIGINT)) AS masked",
+      "graft_mlm_stats(tokens, CAST(substring(doc_id, 2) AS BIGINT)) AS st")
+  }
+
+  /** Oracle-facing stats projection of [[mlmMask]]: counts + the
+    * position-weighted checksum that pins every rewritten token's value
+    * and place (a green hash proves the whole rewrite without shipping
+    * the arrays through the compare). */
+  def mlmReport(seqs: DataFrame): DataFrame =
+    mlmMask(seqs).selectExpr("doc_id", "n_tok",
+      "element_at(st, 1) AS n_masked",
+      "element_at(st, 2) AS n_sentinel",
+      "element_at(st, 3) AS n_random",
+      "element_at(st, 4) AS n_kept",
+      "element_at(st, 5) AS mask_checksum")
+
+  /** DuckDB mirror of [[mlmReport]] — the same two-step mod-p scramble,
+    * branch rule and checksum, per exploded position. */
+  def duckMlmReportSql(prelude: String): String = {
+    val h = "((x * x + 747796405 * x + 12345) % 1000000007" +
+      " * 48271 + 11) % 1000000007"
+    s"""WITH $prelude,
+       |pos AS (
+       |  SELECT doc_id, n_tok, i, t,
+       |    (did * 8192 + i) % 1000000007 AS x
+       |  FROM (
+       |    SELECT doc_id, n_tok,
+       |      CAST(substring(doc_id, 2) AS BIGINT) AS did,
+       |      generate_subscripts(tokens, 1) - 1 AS i,
+       |      unnest(tokens) AS t
+       |    FROM seqs)),
+       |stepped AS (
+       |  SELECT doc_id, n_tok, i,
+       |    CASE WHEN h % 100 < 15 THEN
+       |      CASE WHEN (h // 100) % 10 <= 7 THEN 4096
+       |           WHEN (h // 100) % 10 = 8
+       |             THEN CAST((h // 1000) % 4096 - 2048 AS INTEGER)
+       |           ELSE t END
+       |    ELSE t END AS m,
+       |    CASE WHEN h % 100 < 15 THEN
+       |      CASE WHEN (h // 100) % 10 <= 7 THEN 1
+       |           WHEN (h // 100) % 10 = 8 THEN 2 ELSE 3 END
+       |    ELSE 0 END AS branch
+       |  FROM (SELECT *, $h AS h FROM pos))
+       |SELECT seqs.doc_id, seqs.n_tok,
+       |  coalesce(g.n_masked, 0) AS n_masked,
+       |  coalesce(g.n_sentinel, 0) AS n_sentinel,
+       |  coalesce(g.n_random, 0) AS n_random,
+       |  coalesce(g.n_kept, 0) AS n_kept,
+       |  coalesce(g.mask_checksum, 0) AS mask_checksum
+       |FROM seqs LEFT JOIN (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN branch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_masked,
+       |    CAST(sum(CASE WHEN branch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_sentinel,
+       |    CAST(sum(CASE WHEN branch = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_random,
+       |    CAST(sum(CASE WHEN branch = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(sum((i + 1) * m) AS BIGINT) AS mask_checksum
+       |  FROM stepped
+       |  GROUP BY 1) g USING (doc_id)""".stripMargin
+  }
 }

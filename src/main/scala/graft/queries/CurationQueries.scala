@@ -64,6 +64,8 @@ object CurationQueries {
   val Bm25K = 5
   // PCA power iteration rounds (quantized, deterministic)
   val PcaIters = 8
+  // paired-bootstrap replicates
+  val BootstrapB = 200
   // exact substring-span dedup: window length (tokens) and stride
   val SpanLen = 64
   val SpanStride = 16
@@ -456,6 +458,12 @@ object CurationQueries {
       graft.ops.Regression.conformalLength(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // paired Poisson-bootstrap significance test: full length model vs
+    // mean-only baseline; exact replicate sums, rank-selected CI
+    "bootstrap_diff" -> ((s, dir) =>
+      graft.ops.Regression.bootstrapLengthModel(
+        s.read.parquet(s"$dir/documents.parquet"), BootstrapB)),
+
     // PII redaction: per-rule sequential count-and-mask (email/IPv4/phone)
     // over a deterministically PII-injected corpus; redacted text pinned
     // by length + md5 — one narrow projection per rule, no shuffle
@@ -550,6 +558,11 @@ object CurationQueries {
     "bm25_top" -> ((s, dir) =>
       graft.ops.LanguageModel.bm25Retrieve(Seqs.fromDocumentsSub(s, dir),
         Bm25QueryMod, Bm25K)),
+
+    // word2vec negative-sampling table: unigram^(3/4) weights via exact
+    // wide-integer fourth root, cumulative buckets + micro probabilities
+    "negsample_table" -> ((s, dir) =>
+      graft.ops.LanguageModel.negSampleTable(Seqs.fromDocuments(s, dir))),
 
     // top principal component of the embedding covariance via quantized
     // power iteration: v_unit + explained-variance share, fully bitwise
@@ -841,6 +854,7 @@ object CurationQueries {
     "ols_length" -> graft.ops.Regression.duckLengthModelSql(),
     "length_influence" -> graft.ops.Regression.duckLengthInfluenceSql(),
     "conformal" -> graft.ops.Regression.duckConformalSql(),
+    "bootstrap_diff" -> graft.ops.Regression.duckBootstrapSql(BootstrapB),
     "eval_metrics" -> graft.ops.Evaluation.duckSql(
       s"""SELECT d.source AS source, s.logit AS score,
          |  (d.doc_id % 7 < 3) AS label
@@ -888,6 +902,8 @@ object CurationQueries {
       graft.ops.LanguageModel.duckBm25Sql(Seqs.duckSqlSub, Bm25QueryMod,
         Bm25K),
     "pca_top" -> graft.ops.Pca.duckSql("embeddings", PcaIters),
+    "negsample_table" ->
+      graft.ops.LanguageModel.duckNegSampleSql(Seqs.duckSql),
     "nb_classify" -> graft.ops.NaiveBayes.duckSql(Seqs.duckSql),
     "ppl_buckets" ->
       graft.ops.LanguageModel.duckPerplexityBucketsSql(Seqs.duckSql),

@@ -230,6 +230,13 @@ object EventQueries {
       graft.core.Partitioning.skewReport(
         s.read.parquet(s"$dir/events.parquet"), "user_id", SkewTopK)),
 
+    // co-activity graph (shared time buckets, occupancy-capped) +
+    // exact triangle counts / clustering per user — degree-ordered
+    // orientation bounds wedge fanout by O(sqrt(m)) at any scale
+    "triangle_stats" -> ((s, dir) =>
+      graft.ops.Graph.coActivityTriangles(
+        s.read.parquet(s"$dir/events.parquet"), TriBucketUs, TriMaxOcc)),
+
     // rendezvous (HRW) sharding: per-shard mass at n and n+1 shards +
     // the measured moved-key fraction (expected ~1/(n+1)) — the
     // re-layout cost read before growing a bucketed table
@@ -295,6 +302,9 @@ object EventQueries {
   /** Skew-report depth. */
   val SkewTopK = 20
   val RendezvousN = 8
+  // co-activity triangles: bucket width (1 h) + occupancy cap
+  val TriBucketUs: Long = 3600L * 1000000
+  val TriMaxOcc = 8
 
   /** Deterministic missingness mask for the imputation query. */
   val ImputeMissMod = 13
@@ -498,6 +508,8 @@ object EventQueries {
 
     "rendezvous_shards" ->
       graft.core.Partitioning.duckRendezvousSql("events", "user_id",
-        RendezvousN)
+        RendezvousN),
+
+    "triangle_stats" -> graft.ops.Graph.duckSql(TriBucketUs, TriMaxOcc)
   )
 }

@@ -46,7 +46,13 @@ object TokenizerQueries {
     // counting job), rewrite is one zero-shuffle kernel projection with
     // full token-array parity
     "unk_remap" -> ((s, dir) =>
-      Tokenizer.unkRemap(Seqs.fromDocuments(s, dir), MinTokenCount, UnkId))
+      Tokenizer.unkRemap(Seqs.fromDocuments(s, dir), MinTokenCount, UnkId)),
+
+    // BERT-style MLM corruption plan (15% masked; 80/10/10
+    // sentinel/random/keep), deterministic per (doc, position); the
+    // checksum row pins every rewritten token's value and place
+    "mlm_mask" -> ((s, dir) =>
+      Tokenizer.mlmReport(Seqs.fromDocuments(s, dir)))
   )
 
   /** Vocabulary-pruning threshold and UNK id. 2047 is outside the token
@@ -60,6 +66,7 @@ object TokenizerQueries {
     "bpe_pairs" -> Tokenizer.duckPairsSql(duckSeqs, PairTopK),
     "bpe_train" -> Tokenizer.duckTrainSql(duckSeqsSub, TrainRounds),
     "bpe_encode" -> Tokenizer.duckEncodeSql(duckSeqsSub, TrainRounds),
-    "unk_remap" -> Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId)
+    "unk_remap" -> Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId),
+    "mlm_mask" -> Tokenizer.duckMlmReportSql(duckSeqs)
   )
 }

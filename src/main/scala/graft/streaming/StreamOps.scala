@@ -430,6 +430,79 @@ object StreamOps {
         })
   }
 
+  final case class TrailIn(user_id: Long, ts_us: Long, cents: Long,
+      ts: java.sql.Timestamp)
+  final case class TrailState(buf: List[(Long, Long)], lastTs: Long)
+  final case class TrailOut(user_id: Long, ts_us: Long, w_count: Long,
+      w_cents: Long)
+
+  /** Streaming trailing event-time window features — the custom-state
+    * form of [[graft.operators.WindowFeatures.trailingAgg]] with every
+    * event its own probe: count + exact-cents sum over the key's events
+    * in `[t−W, t)`, STRICTLY before `t` (same-timestamp events exclude
+    * each other, exactly like the batch RANGE frame `W PRECEDING ..
+    * 1 PRECEDING`). Same-ts groups are therefore featurized against the
+    * pre-group buffer first and inserted after — order inside the group
+    * cannot matter.
+    *
+    * State per key is the event buffer inside the trailing window
+    * (evicted as each event's horizon passes — bounded by per-key
+    * activity within W, not stream length), plus the same ordering
+    * contract and TTL expiry as [[envelopeStream]]. Parity: bitwise ==
+    * the batch operator with probes = series = events, on
+    * in-order-per-key delivery across any micro-batch split
+    * (StreamingSpec). */
+  def trailingStream(rows: Dataset[TrailIn], windowUs: Long,
+                     watermark: String,
+                     stateTtl: String = "1 hour"): Dataset[TrailOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: Long, it: Iterator[TrailIn], state: GroupState[TrailState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(r => (r.ts_us, r.cents))
+            var st = state.getOption.getOrElse(TrailState(Nil, Long.MinValue))
+            var buf = st.buf
+            val out = scala.collection.mutable.ArrayBuffer.empty[TrailOut]
+            var maxTs = Long.MinValue
+            var i = 0
+            while (i < sorted.length) {
+              val t = sorted(i).ts_us
+              if (t > st.lastTs) {
+                // the whole same-ts group scores against the pre-group
+                // buffer, then inserts — batch same-ts-exclusion semantics
+                var j = i
+                while (j < sorted.length && sorted(j).ts_us == t) j += 1
+                buf = buf.filter(_._1 >= t - windowUs)
+                val inWin = buf.filter(_._1 <= t - 1)
+                val c = inWin.size.toLong
+                val s = inWin.foldLeft(0L)(_ + _._2)
+                var k = i
+                while (k < j) {
+                  out += TrailOut(key, t, c, s)
+                  maxTs = math.max(maxTs, sorted(k).ts.getTime)
+                  k += 1
+                }
+                var m = i
+                while (m < j) { buf = (t, sorted(m).cents) :: buf; m += 1 }
+                st = TrailState(buf, t)
+                i = j
+              } else i += 1
+            }
+            state.update(st)
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, stateTtl)
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming exact dedup: first arrival per `key` wins, duplicates within
     * the watermark horizon are dropped (`dropDuplicatesWithinWatermark`) —
     * the streaming form of the batch exact-dedup operator

@@ -1795,6 +1795,92 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == out.map(_.getLong(1)).toSeq)
   }
 
+  test("mlm mask: rate ~15%, branch split, checksum pins the rewrite") {
+    val toks = Seq.tabulate(4000)(i => (i * 37) % 2048 - 1024)
+    val seqs = Seq(("d000042", toks, 4000, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val masked = graft.ops.Tokenizer.mlmMask(seqs).collect()(0)
+    val arr = masked.getSeq[Int](2)
+    val st = masked.getSeq[Long](3)
+    val (nMask, nSent, nRand, nKeep, checksum) =
+      (st(0), st(1), st(2), st(3), st(4))
+    assert(nMask == nSent + nRand + nKeep, "branch counts partition masked")
+    val rate = nMask.toDouble / 4000
+    assert(rate > 0.12 && rate < 0.18, s"mask rate $rate")
+    // sentinel share of masked ~80%
+    assert(nSent.toDouble / nMask > 0.7 && nSent.toDouble / nMask < 0.9)
+    assert(arr.count(_ == 4096) == nSent, "sentinels in the array")
+    // checksum recomputed from the emitted array
+    val ck = arr.zipWithIndex.map { case (t, i) => (i + 1L) * t }.sum
+    assert(ck == checksum)
+    // determinism: same doc id -> same corruption
+    val again = graft.ops.Tokenizer.mlmMask(seqs).collect()(0).getSeq[Int](2)
+    assert(again == arr)
+  }
+
+  test("negsample: w34 is the exact integer fourth root of c^3") {
+    val counts = Seq(1L, 2L, 15L, 16L, 81L, 255L, 4097L, 999983L, 2000003L)
+    // build a seqs df whose unigram counts we control is awkward; test the
+    // operator end-to-end on a tiny corpus, then check the invariant on
+    // every emitted row
+    val toks = Seq.tabulate(3000)(i => (i * 7) % 50 - 25) // skewed counts
+    val seqs = Seq(("d000001", toks, 3000, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val rows = graft.ops.LanguageModel.negSampleTable(seqs).collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val c = BigInt(r.getLong(1)); val w = BigInt(r.getLong(2))
+      assert(w.pow(4) <= c.pow(3) && c.pow(3) < (w + 1).pow(4),
+        s"c=$c w=$w not the floor fourth root of c^3")
+      assert(r.getLong(3) == cum, "bucket_start is the running weight sum")
+      cum += r.getLong(2)
+      assert(r.getLong(5) == rows.map(_.getLong(2)).sum, "total_w")
+    }
+    // and the pure arithmetic on chosen magnitudes via the same operator:
+    // synthesize one doc per count is overkill — check the rule directly
+    counts.foreach { c =>
+      val ccc = BigInt(c).pow(3)
+      val r0 = math.floor(math.sqrt(math.sqrt(ccc.toDouble))).toLong
+      val w = (r0 + 2 to r0 - 2 by -1)
+        .find(r => r >= 0 && BigInt(r).pow(4) <= ccc).get
+      assert(BigInt(w).pow(4) <= ccc && ccc < BigInt(w + 1).pow(4),
+        s"guess-correct window misses for c=$c")
+    }
+  }
+
+  test("bootstrap: model that truly beats the baseline gets a tiny p") {
+    // y exactly linear in x1, x2 (integer betas, tiny counts -> exact fit)
+    def mkText(e: Int, sp: Int): String = "x" * 3 + "e" * e + " " * sp
+    val docs = (1L to 100L).map { id =>
+      val e = (id % 7).toInt; val sp = (id % 5).toInt
+      (id, mkText(e, sp), (10 + 3 * e + 4 * sp).toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    val r = graft.ops.Regression.bootstrapLengthModel(docs, 100).collect()(0)
+    assert(r.getAs[Int]("b_reps") == 100)
+    assert(r.getAs[Long]("n") == 100)
+    assert(r.getAs[Long]("d_sum_micro") > 0, "model error strictly smaller")
+    assert(r.getAs[Double]("p_boot") <= 0.05,
+      s"true improvement should survive resampling, p=${r.getAs[Double]("p_boot")}")
+    assert(r.getAs[Long]("ci_lo_micro") <= r.getAs[Long]("ci_hi_micro"))
+  }
+
+  test("triangles: hand-counted graph, degree-ordered orientation exact") {
+    // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L)) // plus an isolated edge: no triangles, clustering 0
+      .toDF("u", "v")
+    val out = graft.ops.Graph.triangleStats(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((2L, 1L, Some(1.0))))
+    assert(out(2L)._1 == 3L && out(2L)._2 == 2L)
+    assert(math.abs(out(2L)._3.get - 2.0 / 3.0) < 1e-12)
+    assert(out(4L) == ((2L, 1L, Some(1.0))))
+    assert(out(5L) == ((1L, 0L, None)), "degree-1 node: NULL clustering")
+    assert(out.values.map(_._2).sum == 6L, "2 triangles x 3 corners")
+  }
+
   test("edit distance pairs: planted near-copy scores high, shuffled bag low") {
     val base = Seq.tabulate(300)(i => (i * 37) % 211 - 100)
     val nearCopy = base.patch(50, Seq(999, 998, 997), 0) // 3 token inserts

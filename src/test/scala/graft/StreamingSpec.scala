@@ -432,6 +432,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming trailing window == batch trailingAgg across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // two users; same-ts pair at 5000 must exclude each other; eviction at
+    // the window edge (window = 3000us, event at 1000 out of range at 4001)
+    val evs = Seq(
+      (1L, 1000L, 10L), (1L, 2000L, 20L), (1L, 4000L, 5L),
+      (1L, 5000L, 7L), (1L, 5000L, 9L), (1L, 9000L, 1L),
+      (2L, 1500L, 100L), (2L, 1500L, 50L), (2L, 2000L, 3L))
+    val W = 3000L
+    // batch reference: probes = series = the events
+    val probes = evs.zipWithIndex
+      .map { case ((u, t, _), i) => (u, i.toLong, t) }
+      .toDF("user_id", "event_id", "ts_us")
+    val series = evs.map { case (u, t, c) => (u, t, c) }
+      .toDF("user_id", "p_us", "cents")
+    val batch = graft.operators.WindowFeatures
+      .trailingAgg(probes, series, "user_id", "ts_us", "p_us", "cents", W)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("w_n"), r.getAs[Long]("w_sum")))
+      .sorted.toSeq
+    def run(batches: Seq[Seq[Int]], name: String) = {
+      val mem = MemoryStream[StreamOps.TrailIn]
+      val q = StreamOps.trailingStream(mem.toDS(), W, "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        for (b <- batches) {
+          mem.addData(b.map { i =>
+            val (u, t, c) = evs(i)
+            StreamOps.TrailIn(u, t, c, new Timestamp(1700000000000L + t))
+          }: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+            r.getAs[Long]("w_count"), r.getAs[Long]("w_cents")))
+          .sorted.toSeq
+      } finally q.stop()
+    }
+    // per-key in-order delivery in both splits (indices are time-ordered
+    // within each user)
+    val one = run(Seq(evs.indices.toSeq), "tr1")
+    // same-ts events must share a batch (equal ts arriving in a LATER
+    // batch reads as out-of-order under the in-order contract)
+    val split = run(Seq(Seq(0, 1, 6, 7), Seq(2, 3, 4), Seq(5, 8)), "tr2")
+    assert(one == batch, "stream == batch trailing features")
+    assert(split == batch, "micro-batch split must not change features")
+  }
+
   test("streaming tumbling frame agg produces exact integer energies") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Int)]
