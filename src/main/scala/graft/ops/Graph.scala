@@ -53,10 +53,15 @@ object Graph {
   /** Per-node (degree, triangles, clustering) over an undirected edge
     * set `(u < v)`. */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v"))
-    // degrees
+    // materialize the edge list ONCE: it is referenced by the degree
+    // count, the orientation join and the wedge-closing join, and Spark
+    // re-executes a lazy subtree per reference (the sketch_hll diamond —
+    // PlanAudit measured 108 corpus scans here before the checkpoint,
+    // 4 after). Edge/node tables are graph-sized, not corpus-sized.
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
     val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // orient each edge from the (deg, id)-smaller endpoint
     val dpair = e
       .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
@@ -64,6 +69,7 @@ object Graph {
     val oriented = dpair.selectExpr(
       "IF(du < dv OR (du = dv AND u < v), u, v) AS src",
       "IF(du < dv OR (du = dv AND u < v), v, u) AS dst")
+      .localCheckpoint(true)
     // wedges at the oriented source; close against the undirected set
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))

@@ -382,8 +382,13 @@ object Regression {
       .withColumn("bucket", Sampling.milleSlot(col("doc_id")))
     val model = fit(rows.filter(col("bucket") < spec.train)
       .select("y", "x1", "x2"))
+    // one materialized residual table: referenced by the calibration
+    // rank, its count, and the test aggregation (12 bytes/row — eval
+    // corpora are bounded; without it each reference re-runs the scan +
+    // fit, the PlanAudit diamond)
     val pred = rows.crossJoin(broadcast(model.select("b0", "b1", "b2")))
       .selectExpr("doc_id", "bucket", s"$ResidExpr AS resid")
+      .localCheckpoint(true)
     val cal = pred.filter(col("bucket") >= spec.train &&
       col("bucket") < spec.train + spec.valid)
     val calN = cal.agg(count(lit(1)).as("n_cal"))
@@ -462,8 +467,11 @@ object Regression {
     val model = fit(rows.select("y", "x1", "x2")).select("b0", "b1", "b2")
     val mu = rows.agg(count(lit(1)).as("__n"), sum(col("y")).as("__sy"))
       .selectExpr("__n", "CAST(__sy AS DOUBLE) / CAST(__n AS DOUBLE) AS mu")
+    // materialized once: the replicate explode and the base aggregation
+    // both read it (eval slices are bounded — 16 bytes/row)
     val scored = rows.crossJoin(broadcast(model)).crossJoin(broadcast(mu))
       .selectExpr("doc_id", "__n", s"$DMicroExpr AS d_micro")
+      .localCheckpoint(true)
     val base = scored.groupBy(col("__n").as("n"))
       .agg(sum(col("d_micro")).as("d_sum_micro"))
     val rep = scored
