@@ -57,8 +57,11 @@ object CurationQueries {
   val BatchEdges = Seq(2048, 4096, 6144)
   val BatchSize = 16
   val BatchShards = 4
-  // edit-distance pair verify: head-window width (tokens)
-  val EditPrefixW = 256
+  // edit-distance pair verify: head-window width (tokens); W is the
+  // production cost dial (O(W^2) DP per pair). Oracle cost is dominated
+  // by the shared interpreted-minhash pairs CTE (~20 s, the documented
+  // dedup-family cost), not the DP: W=256 measured 27 s, W=128 22 s
+  val EditPrefixW = 128
   // BM25 retrieval: query slice = md5 slot 0 of `mod`, top-k depth
   val Bm25QueryMod = 50
   val Bm25K = 5
