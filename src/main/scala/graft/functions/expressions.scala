@@ -103,6 +103,12 @@ object expressions {
       es => MlmMask(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_mlm_stats",
       es => MlmStats(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_t5_input",
+      es => T5Input(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_t5_target",
+      es => T5Target(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_t5_stats",
+      es => T5Stats(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_linear_score",
       es => LinearScoreKernel(es(0), es(1)), "built-in")
     spectral.register(spark)
@@ -786,6 +792,133 @@ object expressions {
       }
       UnsafeArrayData.fromPrimitiveArray(
         Array(nMask, nSent, nRand, nKeep, sum))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), didE = c(1))
+  }
+
+  /** Span-corruption plan shared by the three T5 kernels: the token grid
+    * is cut into 8-position slots; a slot FIRES (quadratic mod-p draw on
+    * (did, slot), the [[mlmStep]] discipline with its own salt) with
+    * probability 35 %, corrupting a span of `L = 2 + (h div 100) mod 3`
+    * (2..4) tokens at the slot start — expected corruption ≈ 35 %·3/8 ≈
+    * 13 % of positions. GRID-ALIGNED spans keep the decision stateless
+    * per (doc, slot): no sequential span-overlap suppression, so both
+    * engines evaluate it as a parallel map (T5's sampler walks the
+    * sequence; the grid form is the distributable equivalent and the
+    * fired-span semantics — replace span by one sentinel in the input,
+    * emit sentinel+span in the target — are identical). Sentinel ids
+    * `4200 + slot mod 64` sit outside the ±2048 alphabet and the MLM
+    * sentinel. Returns (fired, L, sentinel). */
+  private def t5Slot(did: Long, slot: Int): (Boolean, Int, Int) = {
+    val P = 1000000007L
+    val x = (did * 65536L + slot + 31L) % P
+    val h = ((x * x + 747796405L * x + 12345L) % P * 48271L + 11L) % P
+    ((h % 100) < 35, 2 + ((h / 100) % 3).toInt, 4200 + slot % 64)
+  }
+
+  private def t5Plan(did: Long, n: Int): Array[(Int, Boolean, Int, Int)] = {
+    val slots = n / 8
+    Array.tabulate(slots) { s =>
+      val (f, l, sent) = t5Slot(did, s)
+      (s, f, l, sent)
+    }
+  }
+
+  /** graft_t5_input(tokens ARRAY<INT>, did BIGINT) → ARRAY<INT>: the
+    * corrupted INPUT sequence — each fired span collapsed to its
+    * sentinel; tail positions past the last full slot kept verbatim. */
+  case class T5Input(tokens: Expression, didE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, didE)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable || didE.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val dAny = didE.eval(input)
+      if (dAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val did = dAny.asInstanceOf[Long]
+      val out = new Array[Int](arr.length)
+      var nOut = 0
+      for ((s, fired, l, sent) <- t5Plan(did, arr.length)) {
+        val base = s * 8
+        if (fired) {
+          out(nOut) = sent; nOut += 1
+          var i = base + l
+          while (i < base + 8) { out(nOut) = arr(i); nOut += 1; i += 1 }
+        } else {
+          var i = base
+          while (i < base + 8) { out(nOut) = arr(i); nOut += 1; i += 1 }
+        }
+      }
+      var i = (arr.length / 8) * 8
+      while (i < arr.length) { out(nOut) = arr(i); nOut += 1; i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, nOut))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), didE = c(1))
+  }
+
+  /** graft_t5_target(tokens ARRAY<INT>, did BIGINT) → ARRAY<INT>: the
+    * TARGET sequence — sentinel followed by the original span tokens,
+    * per fired slot in order. */
+  case class T5Target(tokens: Expression, didE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, didE)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable || didE.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val dAny = didE.eval(input)
+      if (dAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val did = dAny.asInstanceOf[Long]
+      val buf = new Array[Int](arr.length + arr.length / 8 + 1)
+      var nOut = 0
+      for ((s, fired, l, sent) <- t5Plan(did, arr.length) if fired) {
+        buf(nOut) = sent; nOut += 1
+        var i = s * 8
+        while (i < s * 8 + l) { buf(nOut) = arr(i); nOut += 1; i += 1 }
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(buf, nOut))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), didE = c(1))
+  }
+
+  /** graft_t5_stats(tokens ARRAY<INT>, did BIGINT) → ARRAY<BIGINT>
+    * `[n_spans, n_corrupted, input_len, target_len, input_checksum,
+    * target_checksum]` — the position-weighted checksums pin both
+    * rewritten sequences (the [[MlmStats]] convention), with the length
+    * identities `input_len = n − n_corrupted + n_spans` and
+    * `target_len = n_corrupted + n_spans` as self-checks. */
+  case class T5Stats(tokens: Expression, didE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, didE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable || didE.nullable
+    override def eval(input: InternalRow): Any = {
+      val inAny = T5Input(tokens, didE).eval(input)
+      if (inAny == null) return null
+      val tgAny = T5Target(tokens, didE).eval(input)
+      val inp = inAny.asInstanceOf[ArrayData].toIntArray()
+      val tgt = tgAny.asInstanceOf[ArrayData].toIntArray()
+      val did = didE.eval(input).asInstanceOf[Long]
+      val n = tokens.eval(input).asInstanceOf[ArrayData].numElements()
+      var nSpans = 0L; var nCorr = 0L
+      for ((_, fired, l, _) <- t5Plan(did, n) if fired) {
+        nSpans += 1; nCorr += l
+      }
+      def ck(a: Array[Int]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += (i + 1L) * a(i); i += 1 }
+        s
+      }
+      UnsafeArrayData.fromPrimitiveArray(Array(nSpans, nCorr,
+        inp.length.toLong, tgt.length.toLong, ck(inp), ck(tgt)))
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), didE = c(1))

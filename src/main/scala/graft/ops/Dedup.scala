@@ -334,6 +334,39 @@ object Dedup {
        |SELECT src AS doc_id, min(lab) AS cluster
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Near-dup component-SIZE histogram — the corpus-shape read after
+    * cluster resolution (how much mass sits in pairs vs giant template
+    * components decides whether canonical-keep or span-excision is the
+    * right dedup treatment, and a heavy tail is the early warning for
+    * crawler traps / mirror farms). One row per component size: cluster
+    * count, doc mass, corpus fraction. Composes [[resolveClustersStar]];
+    * both aggregations are cluster-table-sized. */
+  def componentSizes(allDocs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cl = resolveClustersStar(allDocs, pairs)
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    val tot = cl.agg(count(lit(1)).as("__docs"))
+    sizes.groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("csize", "n_clusters",
+        "csize * n_clusters AS n_docs",
+        "CAST(csize * n_clusters AS DOUBLE) / __docs AS doc_frac")
+  }
+
+  /** DuckDB mirror of [[componentSizes]] over [[duckResolveSql]]'s
+    * transitive-closure clustering. */
+  def duckComponentSizesSql(pairsSql: String,
+      seqsSql: String = graft.sources.Seqs.duckSql): String =
+    s"""WITH resolved AS (${duckResolveSql(pairsSql, seqsSql)}),
+       |sizes AS (SELECT cluster, count(*) AS csize
+       |          FROM resolved GROUP BY 1),
+       |tot AS (SELECT count(*) AS docs FROM resolved)
+       |SELECT CAST(csize AS BIGINT) AS csize,
+       |  count(*) AS n_clusters,
+       |  CAST(csize * count(*) AS BIGINT) AS n_docs,
+       |  CAST(csize * count(*) AS DOUBLE) / tot.docs AS doc_frac
+       |FROM sizes CROSS JOIN tot
+       |GROUP BY csize, tot.docs""".stripMargin
+
   /** Corpus-duplicated n-gram statistics (the document-level signal of
     * Lee et al.'s "Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499): for every document, the fraction of its

@@ -338,6 +338,91 @@ object Tokenizer {
        |  FROM inst LEFT JOIN rare USING (t)
        |  GROUP BY inst.doc_id) g USING (doc_id)""".stripMargin
 
+  /** T5-style span corruption (grid-aligned): fired 8-token slots have a
+    * 2..4-token span replaced by ONE sentinel in the input and emitted as
+    * sentinel+span in the target — the seq2seq denoising materialization
+    * step, deterministic per (doc id, slot) like [[mlmMask]]. Output: the
+    * corrupted input and target arrays per doc plus the stats block. Zero
+    * shuffle ([[graft.functions.expressions.T5Input]] family). */
+  def t5Corrupt(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    seqs.selectExpr("doc_id", "n_tok",
+      "graft_t5_input(tokens, CAST(substring(doc_id, 2) AS BIGINT)) AS input",
+      "graft_t5_target(tokens, CAST(substring(doc_id, 2) AS BIGINT)) AS target",
+      "graft_t5_stats(tokens, CAST(substring(doc_id, 2) AS BIGINT)) AS st")
+  }
+
+  /** Oracle-facing stats projection of [[t5Corrupt]] — counts + both
+    * position-weighted checksums (the [[mlmReport]] convention: a green
+    * hash proves both rewritten sequences). */
+  def t5Report(seqs: DataFrame): DataFrame =
+    t5Corrupt(seqs).selectExpr("doc_id", "n_tok",
+      "element_at(st, 1) AS n_spans",
+      "element_at(st, 2) AS n_corrupted",
+      "element_at(st, 3) AS input_len",
+      "element_at(st, 4) AS target_len",
+      "element_at(st, 5) AS input_checksum",
+      "element_at(st, 6) AS target_checksum")
+
+  /** DuckDB mirror of [[t5Report]] — the same slot draw inlined into
+    * per-doc list lambdas (no slot explode: the token arrays never leave
+    * their row), fragments flattened in slot order, checksums over the
+    * rebuilt sequences. */
+  def duckT5ReportSql(prelude: String): String = {
+    val P = "1000000007"
+    val xs = s"((did * 65536 + s + 31) % $P)"
+    val h = s"((($xs * $xs + 747796405 * $xs + 12345) % $P" +
+      s" * 48271 + 11) % $P)"
+    val fired = s"($h % 100 < 35)"
+    val el = s"(2 + ($h // 100) % 3)"
+    val sent = "CAST(4200 + s % 64 AS INTEGER)"
+    val inpFrag =
+      s"""CASE WHEN $fired
+         |  THEN [$sent] || list_slice(tokens,
+         |         CAST(8 * s + $el + 1 AS INTEGER),
+         |         CAST(8 * s + 8 AS INTEGER))
+         |  ELSE list_slice(tokens, CAST(8 * s + 1 AS INTEGER),
+         |         CAST(8 * s + 8 AS INTEGER)) END""".stripMargin
+    val tgtFrag =
+      s"""CASE WHEN $fired
+         |  THEN [$sent] || list_slice(tokens, CAST(8 * s + 1 AS INTEGER),
+         |         CAST(8 * s + $el AS INTEGER))
+         |  ELSE CAST([] AS INTEGER[]) END""".stripMargin
+    def ck(l: String) =
+      s"""CAST(coalesce(list_sum(list_transform(
+         |  range(1, CAST(len($l) + 1 AS BIGINT)),
+         |  i -> i * $l[CAST(i AS INTEGER)])), 0) AS BIGINT)""".stripMargin
+    s"""WITH $prelude,
+       |base AS (
+       |  SELECT doc_id, n_tok, tokens,
+       |    CAST(substring(doc_id, 2) AS BIGINT) AS did
+       |  FROM seqs),
+       |built AS (
+       |  SELECT doc_id, n_tok,
+       |    flatten(list_transform(range(0, len(tokens) // 8),
+       |      s -> $inpFrag))
+       |      || list_slice(tokens,
+       |           CAST((len(tokens) // 8) * 8 + 1 AS INTEGER),
+       |           CAST(len(tokens) AS INTEGER)) AS inp,
+       |    flatten(list_transform(range(0, len(tokens) // 8),
+       |      s -> $tgtFrag)) AS tgt,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      range(0, len(tokens) // 8),
+       |      s -> CASE WHEN $fired THEN 1 ELSE 0 END)), 0) AS BIGINT)
+       |      AS n_spans,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      range(0, len(tokens) // 8),
+       |      s -> CASE WHEN $fired THEN $el ELSE 0 END)), 0) AS BIGINT)
+       |      AS n_corrupted
+       |  FROM base)
+       |SELECT doc_id, n_tok, n_spans, n_corrupted,
+       |  CAST(len(inp) AS BIGINT) AS input_len,
+       |  CAST(len(tgt) AS BIGINT) AS target_len,
+       |  ${ck("inp")} AS input_checksum,
+       |  ${ck("tgt")} AS target_checksum
+       |FROM built""".stripMargin
+  }
+
   /** Masked-LM corruption plan (BERT: mask 15 % of positions; of those
     * 80 % → sentinel, 10 % → random token, 10 % → kept) — the
     * training-input materialization step of an MLM pipeline, fully

@@ -118,6 +118,13 @@ object CurationQueries {
       Dedup.resolveClustersStar(sq.select("doc_id"), Dedup.lshCandidates(sq))
     }),
 
+    // component-size histogram of the resolved near-dup clusters: the
+    // corpus-shape read (pair mass vs giant template components)
+    "dedup_components" -> ((s, dir) => {
+      val sq = Seqs.fromDocumentsSub(s, dir)
+      Dedup.componentSizes(sq.select("doc_id"), Dedup.lshCandidates(sq))
+    }),
+
     // quantized PageRank over the near-dup graph: template-hub scores
     // (high = boilerplate source near-duplicating into many docs)
     "dup_pagerank" -> ((s, dir) => {
@@ -772,6 +779,8 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "dedup_resolve" -> Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub),
+    "dedup_components" ->
+      Dedup.duckComponentSizesSql(duckLshPairsSql, Seqs.duckSqlSub),
     "cv_folds" -> graft.ops.Sampling.duckGroupedFoldsSql(
       Dedup.duckResolveSql(duckLshPairsSql, Seqs.duckSqlSub), CvFoldK),
     "dup_pagerank" -> Dedup.duckPagerankSql(duckLshPairsSql,

@@ -52,7 +52,12 @@ object TokenizerQueries {
     // sentinel/random/keep), deterministic per (doc, position); the
     // checksum row pins every rewritten token's value and place
     "mlm_mask" -> ((s, dir) =>
-      Tokenizer.mlmReport(Seqs.fromDocuments(s, dir)))
+      Tokenizer.mlmReport(Seqs.fromDocuments(s, dir))),
+
+    // T5-style grid-aligned span corruption: per-doc span/corruption
+    // counts + checksums pinning BOTH the input and target rewrites
+    "t5_spans" -> ((s, dir) =>
+      Tokenizer.t5Report(Seqs.fromDocuments(s, dir)))
   )
 
   /** Vocabulary-pruning threshold and UNK id. 2047 is outside the token
@@ -67,6 +72,7 @@ object TokenizerQueries {
     "bpe_train" -> Tokenizer.duckTrainSql(duckSeqsSub, TrainRounds),
     "bpe_encode" -> Tokenizer.duckEncodeSql(duckSeqsSub, TrainRounds),
     "unk_remap" -> Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId),
-    "mlm_mask" -> Tokenizer.duckMlmReportSql(duckSeqs)
+    "mlm_mask" -> Tokenizer.duckMlmReportSql(duckSeqs),
+    "t5_spans" -> Tokenizer.duckT5ReportSql(duckSeqs)
   )
 }

@@ -1865,6 +1865,35 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("ci_lo_micro") <= r.getAs[Long]("ci_hi_micro"))
   }
 
+  test("t5 spans: length identities, grid semantics, checksums pin rewrites") {
+    val toks = Seq.tabulate(2003)(i => (i * 37) % 2048 - 1024)
+    val seqs = Seq(("d000042", toks, 2003, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val r = graft.ops.Tokenizer.t5Corrupt(seqs).collect()(0)
+    val inp = r.getSeq[Int](2); val tgt = r.getSeq[Int](3)
+    val st = r.getSeq[Long](4)
+    val (nSpans, nCorr, inLen, tgLen) = (st(0), st(1), st(2), st(3))
+    assert(inLen == inp.length && tgLen == tgt.length)
+    assert(inLen == 2003 - nCorr + nSpans, "input length identity")
+    assert(tgLen == nCorr + nSpans, "target length identity")
+    val rate = nCorr.toDouble / 2003
+    assert(rate > 0.08 && rate < 0.18, s"corruption rate $rate")
+    // target structure: sentinels (>= 4200) each followed by 2..4 tokens
+    val sentPos = tgt.zipWithIndex.filter(_._1 >= 4200).map(_._2)
+    assert(sentPos.length == nSpans)
+    val gaps = (sentPos :+ tgt.length).sliding(2)
+      .map { case Seq(a, b) => b - a - 1 }.toSeq
+    assert(gaps.forall(g => g >= 2 && g <= 4), s"span lengths $gaps")
+    // checksums recomputed from the emitted arrays
+    def ck(a: Seq[Int]) = a.zipWithIndex.map { case (t, i) => (i + 1L) * t }.sum
+    assert(st(4) == ck(inp) && st(5) == ck(tgt))
+    // non-fired slots pass through verbatim: the uncorrupted suffix tail
+    assert(inp.takeRight(3) == toks.takeRight(3), "verbatim tail")
+    // determinism
+    val again = graft.ops.Tokenizer.t5Corrupt(seqs).collect()(0).getSeq[Int](2)
+    assert(again == inp)
+  }
+
   test("triangles: hand-counted graph, degree-ordered orientation exact") {
     // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
