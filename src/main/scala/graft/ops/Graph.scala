@@ -98,10 +98,142 @@ object Graph {
       maxOccupancy: Int): DataFrame =
     triangleStats(coActivityEdges(events, bucketUs, maxOccupancy))
 
-  /** DuckDB mirror of [[coActivityTriangles]]. */
-  def duckSql(bucketUs: Long, maxOccupancy: Int,
+  /** Degree assortativity (Newman's r — do high-degree nodes attach to
+    * high-degree nodes?): the Pearson correlation of endpoint-degree
+    * pairs over both orientations of every edge. Positive = hub-to-hub
+    * (social/community structure), negative = hub-to-leaf (star/botnet
+    * topology) — a one-number screen next to [[triangleStats]].
+    *
+    * Exactness: degrees are exact integers, so all five Pearson moments
+    * are exact int64 sums (order-free, map-side partials; the
+    * [[graft.ops.Regression]] moment discipline), and r is ONE fixed
+    * double tree both engines share. NULL on degenerate (regular graph:
+    * zero degree variance). Cost: the degree join + a 5-long moment
+    * exchange. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pairs = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .selectExpr("du AS x", "dv AS y")
+    val both = pairs.unionByName(pairs.selectExpr("y AS x", "x AS y"))
+    both.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .selectExpr("m", AssortExpr)
+  }
+
+  /** The ONE Pearson tree shared with the Duck mirror. */
+  private val AssortExpr: String =
+    """CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = CAST(0 AS DOUBLE)
+      |     OR CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = CAST(0 AS DOUBLE)
+      |     THEN CAST(NULL AS DOUBLE)
+      |     ELSE (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |          / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |             * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |END AS assortativity""".stripMargin
+
+  /** k-core membership after EXACTLY `rounds` peeling rounds (each round
+    * drops nodes whose degree within the surviving subgraph is < k) plus
+    * a `converged` flag (round `rounds` changed nothing). A fixed round
+    * count — not run-to-fixpoint — keeps the operator bitwise-mirrorable
+    * (the oracle unrolls the same rounds; the engine checkpoints each) —
+    * the [[graft.ops.Dedup.resolveClustersStar]] bounded-rounds
+    * discipline: at web scale peeling converges in O(log n)-ish rounds
+    * and an unconverged run says so in-band instead of lying. Output:
+    * one row per surviving node (node, deg_in_core). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 2, "need >= 2 rounds for the convergence flag")
+    val e0 = edges.select(col("u"), col("v")).localCheckpoint(true)
+    def degOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var e = e0
+    var lastKeep = e0.select(col("u").as("n"))
+    var prevCount = -1L
+    var lastCount = -2L
+    for (_ <- 1 to rounds) {
+      lastKeep = degOf(e).filter(col("deg") >= k).select(col("n"))
+        .localCheckpoint(true)
+      prevCount = lastCount
+      lastCount = lastKeep.count()
+      e = e.join(lastKeep.select(col("n").as("u")), Seq("u"))
+        .join(lastKeep.select(col("n").as("v")), Seq("v"))
+        .select(col("u"), col("v")).localCheckpoint(true)
+    }
+    val converged = lastCount == prevCount
+    // state after EXACTLY `rounds` rounds: the last keep set with each
+    // node's degree in the surviving subgraph (a trailing deg >= k filter
+    // would be an extra implicit peel beyond the declared budget)
+    lastKeep.join(degOf(e), Seq("n"), "left_outer")
+      .selectExpr("n AS user_id", "coalesce(deg, 0L) AS core_deg",
+        s"$converged AS converged")
+  }
+
+  /** DuckDB mirror of [[assortativity]] over the co-activity edges. */
+  def duckAssortativitySql(bucketUs: Long, maxOccupancy: Int,
       table: String = "events"): String =
-    s"""WITH bu AS (
+    s"""WITH ${duckEdgeCtes(bucketUs, maxOccupancy, table)},
+       |deg AS (
+       |  SELECT n, count(*) AS deg
+       |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT a.deg AS x, b.deg AS y
+       |  FROM e JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v),
+       |both_ AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+       |mo AS (
+       |  SELECT count(*) AS m,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x*x) AS BIGINT) AS sxx,
+       |    CAST(sum(y*y) AS BIGINT) AS syy,
+       |    CAST(sum(x*y) AS BIGINT) AS sxy
+       |  FROM both_)
+       |SELECT m, $AssortExpr FROM mo""".stripMargin
+
+  /** DuckDB mirror of [[kCore]] — the same `rounds` peeling rounds
+    * unrolled as CTE levels, same convergence flag. */
+  def duckKCoreSql(bucketUs: Long, maxOccupancy: Int, k: Int, rounds: Int,
+      table: String = "events"): String = {
+    def degSql(eTbl: String) =
+      s"""SELECT n, count(*) AS deg
+         |  FROM (SELECT u AS n FROM $eTbl UNION ALL SELECT v FROM $eTbl)
+         |  GROUP BY 1""".stripMargin
+    val levels = (1 to rounds).map { r =>
+      val prev = if (r == 1) "e" else s"e${r - 1}"
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT n FROM (${degSql(prev)}) WHERE deg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT p.u, p.v FROM $prev p
+         |  JOIN keep$r a ON a.n = p.u
+         |  JOIN keep$r b ON b.n = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${duckEdgeCtes(bucketUs, maxOccupancy, table)},
+       |$levels,
+       |conv AS (
+       |  SELECT (SELECT count(*) FROM keep$rounds)
+       |       = (SELECT count(*) FROM keep${rounds - 1}) AS converged)
+       |SELECT kp.n AS user_id,
+       |  CAST(coalesce(d.deg, 0) AS BIGINT) AS core_deg,
+       |  conv.converged
+       |FROM keep$rounds kp
+       |LEFT JOIN (${degSql(s"e$rounds")}) d ON d.n = kp.n
+       |CROSS JOIN conv""".stripMargin
+  }
+
+  /** The shared co-activity edge CTE chain (bu/occ/inb/e). */
+  private def duckEdgeCtes(bucketUs: Long, maxOccupancy: Int,
+      table: String): String =
+    s"""bu AS (
        |  SELECT DISTINCT
        |    epoch_us(CAST(ts AS TIMESTAMP)) // $bucketUs AS bucket,
        |    user_id
@@ -113,7 +245,12 @@ object Graph {
        |e AS MATERIALIZED (
        |  SELECT DISTINCT a.user_id AS u, b.user_id AS v
        |  FROM inb a JOIN inb b
-       |    ON a.bucket = b.bucket AND a.user_id < b.user_id),
+       |    ON a.bucket = b.bucket AND a.user_id < b.user_id)""".stripMargin
+
+  /** DuckDB mirror of [[coActivityTriangles]]. */
+  def duckSql(bucketUs: Long, maxOccupancy: Int,
+      table: String = "events"): String =
+    s"""WITH ${duckEdgeCtes(bucketUs, maxOccupancy, table)},
        |deg AS MATERIALIZED (
        |  SELECT n, count(*) AS deg
        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)

@@ -237,6 +237,19 @@ object EventQueries {
       graft.ops.Graph.coActivityTriangles(
         s.read.parquet(s"$dir/events.parquet"), TriBucketUs, TriMaxOcc)),
 
+    // degree assortativity of the co-activity graph: exact integer
+    // Pearson moments + one shared double tree (NULL on regular graphs)
+    "graph_assortativity" -> ((s, dir) =>
+      graft.ops.Graph.assortativity(graft.ops.Graph.coActivityEdges(
+        s.read.parquet(s"$dir/events.parquet"), TriBucketUs, TriMaxOcc))),
+
+    // 12-core membership after exactly KCoreRounds peeling rounds, with an
+    // in-band convergence flag (bounded-rounds discipline)
+    "graph_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCore(graft.ops.Graph.coActivityEdges(
+        s.read.parquet(s"$dir/events.parquet"), TriBucketUs, TriMaxOcc),
+        KCoreK, KCoreRounds)),
+
     // rendezvous (HRW) sharding: per-shard mass at n and n+1 shards +
     // the measured moved-key fraction (expected ~1/(n+1)) — the
     // re-layout cost read before growing a bucketed table
@@ -305,6 +318,11 @@ object EventQueries {
   // co-activity triangles: bucket width (1 h) + occupancy cap
   val TriBucketUs: Long = 3600L * 1000000
   val TriMaxOcc = 8
+  // k-core: k and the fixed peeling-round count (converged flag in-band).
+  // k=12 exercises real cascading peeling on the gate graph
+  // (144 -> 105 -> 96 -> 94 -> 92 nodes, converged at round 5)
+  val KCoreK = 12
+  val KCoreRounds = 5
 
   /** Deterministic missingness mask for the imputation query. */
   val ImputeMissMod = 13
@@ -510,6 +528,13 @@ object EventQueries {
       graft.core.Partitioning.duckRendezvousSql("events", "user_id",
         RendezvousN),
 
-    "triangle_stats" -> graft.ops.Graph.duckSql(TriBucketUs, TriMaxOcc)
+    "triangle_stats" -> graft.ops.Graph.duckSql(TriBucketUs, TriMaxOcc),
+
+    "graph_assortativity" ->
+      graft.ops.Graph.duckAssortativitySql(TriBucketUs, TriMaxOcc),
+
+    "graph_kcore" ->
+      graft.ops.Graph.duckKCoreSql(TriBucketUs, TriMaxOcc, KCoreK,
+        KCoreRounds)
   )
 }

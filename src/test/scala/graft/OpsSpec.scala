@@ -1910,6 +1910,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 6L, "2 triangles x 3 corners")
   }
 
+  test("assortativity: star graph is exactly -1, regular graph is NULL") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    val r1 = graft.ops.Graph.assortativity(star).collect()(0)
+    assert(r1.getLong(0) == 8L, "both orientations of 4 edges")
+    assert(math.abs(r1.getDouble(1) + 1.0) < 1e-12, "pure hub-leaf = -1")
+    val cycle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val r2 = graft.ops.Graph.assortativity(cycle).collect()(0)
+    assert(r2.isNullAt(1), "regular graph: zero degree variance -> NULL")
+  }
+
+  test("kcore: pendant peels, cascade respects the fixed round budget") {
+    // triangle {1,2,3} + pendant 4: k=2 converges in 2 rounds
+    val g1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val c1 = graft.ops.Graph.kCore(g1, 2, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(c1.keySet == Set(1L, 2L, 3L))
+    assert(c1.values.forall(_ == ((2L, true))))
+    // path 1-..-6, k=2: peels 2 nodes/round; 2 rounds is NOT enough
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val c2 = graft.ops.Graph.kCore(path, 2, 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(c2.keySet == Set(3L, 4L), "round-2 keep set, no extra peel")
+    assert(c2.values.forall(_ == ((1L, false))),
+      "post-round degrees reported; unconverged said in-band")
+    // with enough rounds the 2-core of a path is empty
+    assert(graft.ops.Graph.kCore(path, 2, 4).collect().isEmpty)
+  }
+
   test("edit distance pairs: planted near-copy scores high, shuffled bag low") {
     val base = Seq.tabulate(300)(i => (i * 37) % 211 - 100)
     val nearCopy = base.patch(50, Seq(999, 998, 997), 0) // 3 token inserts
