@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** First-order behavioral Markov model over the event stream: the
+  * event-type transition matrix, estimated per SESSION (a transition
+  * only counts when the gap to the previous event is within the session
+  * horizon — cross-session "transitions" are spurious). The model behind
+  * funnel analysis, next-action prediction baselines and bot-pattern
+  * screens (a scripted client's transition rows are near-deterministic;
+  * a human's are mixed).
+  *
+  * Exactness: ordering is `(ts_us, event_id)` — a total order, so the
+  * lag pairs are unique under any partitioning; counts are exact int64
+  * and each probability is ONE IEEE divide of exact integers (bitwise
+  * both engines). Scale: one user-keyed window (the sessionize exchange)
+  * + a |types|²-sized count aggregation with map-side partials — the
+  * model table is alphabet-sized, never corpus-sized. */
+object Markov {
+
+  /** (from_type, to_type, cnt, row_total, p) — rows normalize over the
+    * outgoing type. */
+  def transitions(events: DataFrame, sessionGapUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val pairs = events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_type").isNotNull &&
+        col("ts_us") - col("prev_us") <= sessionGapUs)
+    val counts = pairs
+      .groupBy(col("prev_type").as("from_type"),
+        col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowTot = counts.groupBy(col("from_type"))
+      .agg(sum(col("cnt")).as("row_total"))
+    counts.join(rowTot, Seq("from_type"))
+      .selectExpr("from_type", "to_type", "cnt", "row_total",
+        "CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE) AS p")
+  }
+
+  /** DuckDB mirror of [[transitions]]. */
+  def duckSql(sessionGapUs: Long, table: String = "events"): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+       |  FROM $table),
+       |lagged AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER w AS prev_type,
+       |    ts_us - lag(ts_us) OVER w AS gap
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |c AS (
+       |  SELECT prev_type AS from_type, event_type AS to_type,
+       |    count(*) AS cnt
+       |  FROM lagged
+       |  WHERE prev_type IS NOT NULL AND gap <= $sessionGapUs
+       |  GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT from_type, CAST(sum(cnt) AS BIGINT) AS row_total
+       |  FROM c GROUP BY 1)
+       |SELECT c.from_type, c.to_type, CAST(c.cnt AS BIGINT) AS cnt,
+       |  rt.row_total,
+       |  CAST(c.cnt AS DOUBLE) / CAST(rt.row_total AS DOUBLE) AS p
+       |FROM c JOIN rt USING (from_type)""".stripMargin
+}

@@ -1006,6 +1006,63 @@ object Similarity {
        |      FROM wp WHERE label <> alabel)
        |WHERE rank <= $k""".stripMargin
 
+  /** k-NN label-agreement screen (the classic mislabeled-example /
+    * label-noise detector, Wilson-editing style): per anchor, the share
+    * of its top-k cosine neighbors (ANY label, self excluded) carrying
+    * the anchor's own label. Low agreement = the example sits in another
+    * class's neighborhood — a candidate mislabel or distribution-edge
+    * case to route to review before training. Same broadcast-anchor /
+    * corpus-never-shuffles plan as [[hardNegatives]]; the full-corpus
+    * path feeds banded-LSH candidates through the same rank, with this
+    * exact form as its oracle. `suspect` = agreement < 1/2. */
+  def knnLabelAgreement(embeddings0: DataFrame, nAnchors: Int,
+      k: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    val anchors = embeddings.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("av"),
+        col("label").as("alabel"))
+    val wNn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    embeddings.join(broadcast(anchors),
+        col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos", expr("graft_cosine(av, embedding)"))
+      .withColumn("rank", row_number().over(wNn))
+      .filter(col("rank") <= k)
+      .groupBy(col("anchor_id"), col("alabel").as("label"))
+      .agg(sum(expr("IF(label = alabel, 1L, 0L)")).as("n_agree"))
+      .selectExpr("anchor_id", "label", "n_agree", s"$k AS k",
+        s"CAST(n_agree AS DOUBLE) / CAST($k AS DOUBLE) AS agreement",
+        s"2 * n_agree < $k AS suspect")
+  }
+
+  /** DuckDB mirror of [[knnLabelAgreement]]. */
+  def duckKnnLabelAgreementSql(nAnchors: Int, k: Int): String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS anchor_id, embedding AS av, label AS alabel
+       |  FROM embeddings WHERE vec_id < $nAnchors),
+       |scored AS (
+       |  SELECT a.anchor_id, a.alabel, e.vec_id, e.label,
+       |    ${duckCosine("a.av", "e.embedding")} AS cos
+       |  FROM a JOIN embeddings e ON e.vec_id <> a.anchor_id),
+       |nn AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k)
+       |SELECT anchor_id, alabel AS label,
+       |  CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  $k AS k,
+       |  CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST($k AS DOUBLE) AS agreement,
+       |  2 * sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) < $k
+       |    AS suspect
+       |FROM nn
+       |GROUP BY anchor_id, alabel""".stripMargin
+
   private def duckCosine(a: String, b: String): String =
     s"""(SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
        |        ELSE dot / sqrt(na * nb) END

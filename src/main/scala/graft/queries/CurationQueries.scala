@@ -69,6 +69,8 @@ object CurationQueries {
   val PcaIters = 8
   // paired-bootstrap replicates
   val BootstrapB = 200
+  // kNN label-agreement neighborhood size
+  val KnnAgreeK = 5
   // exact substring-span dedup: window length (tokens) and stride
   val SpanLen = 64
   val SpanStride = 16
@@ -267,6 +269,12 @@ object CurationQueries {
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK)),
+
+    // k-NN label-agreement screen: share of each anchor's top-k cosine
+    // neighbors carrying its own label — the mislabel/label-noise detector
+    "knn_label_check" -> ((s, dir) =>
+      Similarity.knnLabelAgreement(
+        s.read.parquet(s"$dir/embeddings.parquet"), TopKQueries, KnnAgreeK)),
 
     "embed_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -821,6 +829,8 @@ object CurationQueries {
     "tokenizer_fertility" -> TextAnalysis.duckFertilitySql,
     "embed_topk" -> Similarity.duckBruteTopKSql(TopKQueries, TopK),
     "hard_negatives" -> Similarity.duckHardNegativesSql(TopKQueries, TopK),
+    "knn_label_check" ->
+      Similarity.duckKnnLabelAgreementSql(TopKQueries, KnnAgreeK),
     "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes),
     "dedup_embed" -> Similarity.duckEmbeddingNearDupsSql(
       EmbedBands, EmbedBits, EmbedMinCos, src = "aug",

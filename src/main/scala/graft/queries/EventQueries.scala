@@ -237,6 +237,12 @@ object EventQueries {
       graft.ops.Graph.coActivityTriangles(
         s.read.parquet(s"$dir/events.parquet"), TriBucketUs, TriMaxOcc)),
 
+    // session-scoped event-type transition matrix (first-order Markov):
+    // exact counts, one divide per cell — funnel/bot-pattern screen
+    "event_transitions" -> ((s, dir) =>
+      graft.ops.Markov.transitions(
+        s.read.parquet(s"$dir/events.parquet"), SessionGapUs)),
+
     // degree assortativity of the co-activity graph: exact integer
     // Pearson moments + one shared double tree (NULL on regular graphs)
     "graph_assortativity" -> ((s, dir) =>
@@ -532,6 +538,8 @@ object EventQueries {
 
     "graph_assortativity" ->
       graft.ops.Graph.duckAssortativitySql(TriBucketUs, TriMaxOcc),
+
+    "event_transitions" -> graft.ops.Markov.duckSql(SessionGapUs),
 
     "graph_kcore" ->
       graft.ops.Graph.duckKCoreSql(TriBucketUs, TriMaxOcc, KCoreK,

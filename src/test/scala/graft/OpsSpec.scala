@@ -1910,6 +1910,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 6L, "2 triangles x 3 corners")
   }
 
+  test("knn label agreement: wrong-neighborhood anchor flagged suspect") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 1),
+      (1L, Seq(0.9f, 0.1f, 0.0f), 1),   // same label, cos ~.994
+      (2L, Seq(0.8f, 0.2f, 0.0f), 2),   // diff label, cos ~.970
+      (3L, Seq(0.0f, 1.0f, 0.0f), 1),   // same label, cos 0 (outside k)
+      (4L, Seq(0.95f, 0.05f, 0.0f), 2)) // diff label, cos ~.999
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(e, 1, 3).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(0) == 0L && r.getInt(1) == 1)
+    assert(r.getLong(2) == 1L, "only vec 1 among the top-3 agrees")
+    assert(math.abs(r.getDouble(4) - 1.0 / 3.0) < 1e-12)
+    assert(r.getBoolean(5), "minority-label neighborhood -> suspect")
+  }
+
+  test("markov transitions: session-scoped pairs, exact row-normalized p") {
+    val base = 1700000000000000L
+    def ts(us: Long) = new java.sql.Timestamp(base / 1000 + us / 1000)
+    // user 1: A->B->A->B in one session, then a cross-session gap to B
+    // (excluded); user 2: single event (no transitions)
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (1L, 2L, "B", 1000000L), (1L, 3L, "A", 2000000L),
+      (1L, 4L, "B", 3000000L), (1L, 5L, "B", 10L * 3600 * 1000000),
+      (2L, 6L, "C", 0L))
+      .map { case (u, id, t, us) => (u, id, t, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.ops.Markov.transitions(ev, 30L * 60 * 1000000)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(("A", "B"), ("B", "A")),
+      "cross-session and single-event rows contribute nothing")
+    assert(out(("A", "B")) == ((2L, 2L, 1.0)), "A always goes to B")
+    assert(out(("B", "A")) == ((1L, 1L, 1.0)),
+      "the session-final B->B gap pair is excluded")
+  }
+
   test("assortativity: star graph is exactly -1, regular graph is NULL") {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
     val r1 = graft.ops.Graph.assortativity(star).collect()(0)
