@@ -99,6 +99,8 @@ object expressions {
       es => SpanExcise(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_edit_distance",
       es => TokenEditDistance(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_common_prefix",
+      es => CommonPrefixLen(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_mlm_mask",
       es => MlmMask(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_mlm_stats",
@@ -922,6 +924,30 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), didE = c(1))
+  }
+
+  /** graft_common_prefix(a ARRAY<INT>, b ARRAY<INT>) → INT — length of
+    * the longest common prefix (the sorted-neighborhood adjacency
+    * measure; O(lcp) per pair). */
+  case class CommonPrefixLen(aE: Expression, bE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(aE, bE)
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = aE.nullable || bE.nullable
+    override def eval(input: InternalRow): Any = {
+      val aAny = aE.eval(input)
+      if (aAny == null) return null
+      val bAny = bE.eval(input)
+      if (bAny == null) return null
+      val a = aAny.asInstanceOf[ArrayData].toIntArray()
+      val b = bAny.asInstanceOf[ArrayData].toIntArray()
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      i
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(aE = c(0), bE = c(1))
   }
 
   /** graft_edit_distance(a ARRAY<INT>, b ARRAY<INT>, cap INT) → INT

@@ -334,6 +334,92 @@ object Dedup {
        |SELECT src AS doc_id, min(lab) AS cluster
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Sorted-neighborhood duplicate screen (Hernández & Stolfo's
+    * merge/purge method — the third dedup FAMILY next to hashing
+    * (exact/LSH) and pairwise verification): sort the corpus by a
+    * content-derived key, then compare only ADJACENT rows. One
+    * distributed sort + a linear adjacency pass — no candidate
+    * generation at all, the cheapest screen shape there is; its miss
+    * mode is near-dups whose keys land apart (window size / key choice
+    * is the recall dial, and the LSH family is the backstop).
+    *
+    * The key is the packed 4-gram at a FIXED offset past the maximal
+    * leading-silence run (`offset` ≥ the corpus's lead-run bound):
+    * near-copies in this corpus share content at equal ABSOLUTE
+    * positions and differ in their silence runs, so a trimmed-head key
+    * would misalign them while the fixed-offset window lines them up —
+    * key choice is always domain knowledge in merge/purge. Verification
+    * on the adjacent pair is the O(lcp) common-prefix kernel over the
+    * same window.
+    *
+    * Scale: `orderBy` is a range-partitioned distributed sort; the
+    * adjacency lag here is a single global window (fine at gate scale —
+    * production runs the lag per range partition with one-row boundary
+    * overlap, same results). Payload through the sort is (doc_id, one
+    * int64 key, a clipped window), never full documents. */
+  def sortedNeighborhood(seqs: DataFrame, offset: Int, win: Int,
+      minLcp: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val keyed = seqs.selectExpr("doc_id",
+        s"slice(tokens, ${offset + 1}, $win) AS head")
+      .selectExpr("doc_id", "head",
+        """IF(size(head) >= 4,
+          |   element_at(graft_pack_ngrams(slice(head, 1, 4), 4), 1),
+          |   CAST(-1 AS BIGINT)) AS head_key""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("head_key"), col("doc_id"))
+    keyed
+      .withColumn("prev_doc", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_head", lag(col("head"), 1).over(w))
+      .selectExpr("doc_id", "prev_doc", "head_key",
+        """IF(prev_doc IS NULL, CAST(NULL AS INT),
+          |   graft_common_prefix(head, prev_head)) AS lcp""".stripMargin)
+      .selectExpr("doc_id", "prev_doc", "head_key", "lcp",
+        s"""CASE WHEN lcp IS NULL THEN false
+           |     ELSE lcp >= $minLcp END AS near_dup""".stripMargin)
+  }
+
+  /** DuckDB mirror of [[sortedNeighborhood]]. */
+  def duckSortedNeighborhoodSql(seqsPrelude: String, offset: Int,
+      win: Int, minLcp: Int): String =
+    s"""WITH $seqsPrelude,
+       |keyed AS (
+       |  SELECT doc_id, head,
+       |    CASE WHEN len(head) >= 4 THEN
+       |      (((head[1] + 2048)::BIGINT * 4096 + (head[2] + 2048)) * 4096
+       |        + (head[3] + 2048)) * 4096 + (head[4] + 2048)
+       |    ELSE CAST(-1 AS BIGINT) END AS head_key
+       |  FROM (SELECT doc_id,
+       |          list_slice(tokens, ${offset + 1},
+       |            least(${offset + win}, len(tokens))) AS head
+       |        FROM seqs)),
+       |lagged AS (
+       |  SELECT doc_id, head_key, head,
+       |    lag(doc_id) OVER w AS prev_doc,
+       |    lag(head) OVER w AS prev_head
+       |  FROM keyed
+       |  WINDOW w AS (ORDER BY head_key, doc_id))
+       |SELECT doc_id, prev_doc, head_key,
+       |  CASE WHEN prev_doc IS NULL THEN CAST(NULL AS INTEGER)
+       |       ELSE CAST(coalesce(list_min(list_transform(
+       |              range(CAST(least(len(head), len(prev_head))
+       |                AS BIGINT)),
+       |              i -> CASE WHEN head[CAST(i + 1 AS INTEGER)]
+       |                          <> prev_head[CAST(i + 1 AS INTEGER)]
+       |                        THEN i END)),
+       |            least(len(head), len(prev_head))) AS INTEGER)
+       |  END AS lcp,
+       |  CASE WHEN prev_doc IS NULL THEN false
+       |       ELSE coalesce(list_min(list_transform(
+       |              range(CAST(least(len(head), len(prev_head))
+       |                AS BIGINT)),
+       |              i -> CASE WHEN head[CAST(i + 1 AS INTEGER)]
+       |                          <> prev_head[CAST(i + 1 AS INTEGER)]
+       |                        THEN i END)),
+       |            least(len(head), len(prev_head))) >= $minLcp
+       |  END AS near_dup
+       |FROM lagged""".stripMargin
+
   /** Near-dup component-SIZE histogram — the corpus-shape read after
     * cluster resolution (how much mass sits in pairs vs giant template
     * components decides whether canonical-keep or span-excision is the

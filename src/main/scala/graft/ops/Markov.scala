@@ -44,6 +44,56 @@ object Markov {
         "CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE) AS p")
   }
 
+  /** Cohort retention table — the product-analytics standard read over
+    * the event stream: users grouped by FIRST-ACTIVITY week (cohort),
+    * and for each week offset `w ≥ 0` the count and fraction of the
+    * cohort active in cohort-week + w. Weeks are pure integer arithmetic
+    * on microsecond epochs (`ts_us div 7·86400·10⁶` — fixed 7-day bins,
+    * no calendar/timezone ambiguity to diverge on), the fraction ONE
+    * IEEE divide of exact counts.
+    *
+    * Scale: one user-keyed min-aggregation (first week), one distinct
+    * (user, week) pass joined back on user (co-partitioned with the
+    * first exchange), and a (cohort, offset)-keyed count — the output is
+    * weeks²-sized, never user-sized. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val WeekUs = 7L * 86400 * 1000000
+    val uw = events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select(col("user_id"), expr(s"ts_us DIV ${WeekUs}L").as("week"))
+      .distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    val cohortSize = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    uw.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(cohortSize, Seq("cohort"))
+      .selectExpr("cohort", "offset", "n_active", "cohort_users",
+        "CAST(n_active AS DOUBLE) / CAST(cohort_users AS DOUBLE)" +
+          " AS retention")
+  }
+
+  /** DuckDB mirror of [[retentionCohorts]]. */
+  def duckRetentionSql(table: String = "events"): String = {
+    val weekUs = 7L * 86400 * 1000000
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // $weekUs AS week
+       |  FROM $table),
+       |f AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY 1),
+       |cs AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY 1)
+       |SELECT a.cohort, a.offset, a.n_active, cs.cohort_users,
+       |  CAST(a.n_active AS DOUBLE) / CAST(cs.cohort_users AS DOUBLE)
+       |    AS retention
+       |FROM (
+       |  SELECT f.cohort, uw.week - f.cohort AS offset,
+       |    count(*) AS n_active
+       |  FROM uw JOIN f USING (user_id)
+       |  GROUP BY 1, 2) a
+       |JOIN cs USING (cohort)""".stripMargin
+  }
+
   /** DuckDB mirror of [[transitions]]. */
   def duckSql(sessionGapUs: Long, table: String = "events"): String =
     s"""WITH ev AS (

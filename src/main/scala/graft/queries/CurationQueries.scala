@@ -57,6 +57,10 @@ object CurationQueries {
   val BatchEdges = Seq(2048, 4096, 6144)
   val BatchSize = 16
   val BatchShards = 4
+  // sorted-neighborhood screen: key/verify window past the max lead run
+  val SortedNbrOffset = 128
+  val SortedNbrWin = 96
+  val SortedNbrMinLcp = 48
   // edit-distance pair verify: head-window width (tokens); W is the
   // production cost dial (O(W^2) DP per pair). Oracle cost is dominated
   // by the shared interpreted-minhash pairs CTE (~20 s, the documented
@@ -161,6 +165,13 @@ object CurationQueries {
       val sq = Seqs.fromDocumentsSub(s, dir)
       Dedup.containmentPairs(sq, Dedup.lshCandidates(sq))
     }),
+
+    // sorted-neighborhood (merge/purge) screen: one distributed sort by
+    // a fixed-offset content key + adjacent-pair LCP verify — the
+    // no-candidate-generation dedup family
+    "dedup_sorted_screen" -> ((s, dir) =>
+      Dedup.sortedNeighborhood(Seqs.fromDocuments(s, dir),
+        SortedNbrOffset, SortedNbrWin, SortedNbrMinLcp)),
 
     // order-sensitive edit-distance verification of the same LSH
     // candidates: Levenshtein over token prefixes + normalized similarity
@@ -801,6 +812,9 @@ object CurationQueries {
     "dedup_editdist" ->
       Dedup.duckEditDistancePairsSql(s"seqs AS (${Seqs.duckSqlSub})",
         duckLshPairsSql, EditPrefixW),
+    "dedup_sorted_screen" ->
+      Dedup.duckSortedNeighborhoodSql(s"seqs AS (${Seqs.duckSql})",
+        SortedNbrOffset, SortedNbrWin, SortedNbrMinLcp),
     "dedup_incremental" -> Dedup.duckIncrementalSql(
       s"seqs AS (${Seqs.duckSqlSub})",
       batchPred = "CAST(substr(doc_id, 2) AS INTEGER) % 50 = 49",

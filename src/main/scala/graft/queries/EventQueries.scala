@@ -237,6 +237,12 @@ object EventQueries {
       graft.ops.Graph.coActivityTriangles(
         s.read.parquet(s"$dir/events.parquet"), TriBucketUs, TriMaxOcc)),
 
+    // weekly cohort retention table: users grouped by first-activity
+    // week, per-offset active counts + retention fraction
+    "retention_cohorts" -> ((s, dir) =>
+      graft.ops.Markov.retentionCohorts(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     // session-scoped event-type transition matrix (first-order Markov):
     // exact counts, one divide per cell — funnel/bot-pattern screen
     "event_transitions" -> ((s, dir) =>
@@ -540,6 +546,8 @@ object EventQueries {
       graft.ops.Graph.duckAssortativitySql(TriBucketUs, TriMaxOcc),
 
     "event_transitions" -> graft.ops.Markov.duckSql(SessionGapUs),
+
+    "retention_cohorts" -> graft.ops.Markov.duckRetentionSql(),
 
     "graph_kcore" ->
       graft.ops.Graph.duckKCoreSql(TriBucketUs, TriMaxOcc, KCoreK,

@@ -1910,6 +1910,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 6L, "2 triangles x 3 corners")
   }
 
+  test("sorted neighborhood: twins adjacent under the offset key, verified by lcp") {
+    val shared = Seq.tabulate(300)(i => (i * 37) % 211 - 100)
+    def doc(lead: Int, n: Int) =
+      Seq.fill(lead)(0) ++ shared.drop(lead).take(n - lead)
+    // twins: same content at equal absolute positions, different lead runs
+    val seqs = Seq(
+      ("a", doc(10, 290), 290, "s"),
+      ("b", doc(25, 300), 300, "s"),
+      ("c", Seq.tabulate(300)(i => (i * 53) % 199 - 90), 300, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val out = Dedup.sortedNeighborhood(seqs, offset = 128, win = 96,
+        minLcp = 48).collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getString(1)), r.getBoolean(4))).toMap
+    // a and b share the window at offset 128 -> same key -> adjacent,
+    // full-window lcp -> near_dup; c's key differs -> no flag
+    val abPair = out("b")._1.contains("a") || out("a")._1.contains("b")
+    assert(abPair, s"twins must sort adjacent: $out")
+    assert(out.values.count(_._2) == 1, "exactly the twin adjacency flags")
+    val flagged = out.filter(_._2._2).head
+    assert(Set("a", "b").contains(flagged._1))
+  }
+
+  test("retention cohorts: hand-computed weekly matrix") {
+    val wk = 7L * 86400 * 1000 // ms
+    def ts(week: Long) = new java.sql.Timestamp(1700000000000L + week * wk)
+    val ev = Seq(
+      (1L, 10L, "A", ts(0)), (1L, 11L, "A", ts(1)),  // cohort 0, wks 0+1
+      (2L, 12L, "B", ts(0)),                          // cohort 0, wk 0
+      (3L, 13L, "A", ts(1)))                          // cohort 1, wk 1
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.ops.Markov.retentionCohorts(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val c0 = out.keys.map(_._1).min
+    assert(out((c0, 0L)) == ((2L, 2L, 1.0)), "cohort week itself")
+    assert(out((c0, 1L)) == ((1L, 2L, 0.5)), "half retained at +1 week")
+    assert(out((c0 + 1, 0L)) == ((1L, 1L, 1.0)), "second cohort")
+    assert(out.size == 3)
+  }
+
   test("knn label agreement: wrong-neighborhood anchor flagged suspect") {
     val e = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f), 1),
