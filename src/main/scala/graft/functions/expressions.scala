@@ -101,6 +101,8 @@ object expressions {
       es => TokenEditDistance(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_common_prefix",
       es => CommonPrefixLen(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cusum",
+      es => CusumStats(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_mlm_mask",
       es => MlmMask(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_mlm_stats",
@@ -924,6 +926,55 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), didE = c(1))
+  }
+
+  /** graft_cusum(xs ARRAY<BIGINT>, mu BIGINT, k BIGINT, h BIGINT) →
+    * ARRAY<BIGINT> `[n_up, n_down, first_up, first_down, s_up, s_down]`
+    *
+    * Two-sided CUSUM control chart (Page 1954) with reset-on-alarm over
+    * an integer series: `s⁺ ← max(0, s⁺ + (x−μ−k))`, alarm and reset
+    * when `s⁺ > h` (mirror for s⁻) — the sequential drift ALARM that
+    * complements the distributional screens (PSI/KS/JSD fire on a
+    * snapshot comparison; CUSUM accumulates small persistent shifts and
+    * fires mid-stream, with first-alarm INDEX as the change-point
+    * estimate; -1 = never). Pure int64 recursion — bitwise in any
+    * engine; the outputs (alarm counts, first indices, final states) pin
+    * the whole trajectory. */
+  case class CusumStats(xsE: Expression, muE: Expression, kE: Expression,
+      hE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(xsE, muE, kE, hE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = xsE.nullable || muE.nullable
+    override def eval(input: InternalRow): Any = {
+      val xsAny = xsE.eval(input)
+      if (xsAny == null) return null
+      val muAny = muE.eval(input)
+      if (muAny == null) return null
+      val xs = xsAny.asInstanceOf[ArrayData].toLongArray()
+      val mu = muAny.asInstanceOf[Long]
+      val k = kE.eval(input).asInstanceOf[Long]
+      val h = hE.eval(input).asInstanceOf[Long]
+      var sUp = 0L; var sDn = 0L
+      var nUp = 0L; var nDn = 0L
+      var firstUp = -1L; var firstDn = -1L
+      var i = 0
+      while (i < xs.length) {
+        sUp = math.max(0L, sUp + (xs(i) - mu - k))
+        if (sUp > h) {
+          nUp += 1; if (firstUp < 0) firstUp = i; sUp = 0L
+        }
+        sDn = math.max(0L, sDn + (mu - xs(i) - k))
+        if (sDn > h) {
+          nDn += 1; if (firstDn < 0) firstDn = i; sDn = 0L
+        }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        Array(nUp, nDn, firstUp, firstDn, sUp, sDn))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(xsE = c(0), muE = c(1), kE = c(2), hE = c(3))
   }
 
   /** graft_common_prefix(a ARRAY<INT>, b ARRAY<INT>) → INT — length of

@@ -237,6 +237,12 @@ object EventQueries {
       graft.ops.Graph.coActivityTriangles(
         s.read.parquet(s"$dir/events.parquet"), TriBucketUs, TriMaxOcc)),
 
+    // two-sided CUSUM drift alarm on per-type daily mean value: the
+    // sequential complement of the snapshot drift screens
+    "value_cusum" -> ((s, dir) =>
+      graft.ops.Cusum.dailyValueCusum(
+        s.read.parquet(s"$dir/events.parquet"), CusumKMicro, CusumHMicro)),
+
     // weekly cohort retention table: users grouped by first-activity
     // week, per-offset active counts + retention fraction
     "retention_cohorts" -> ((s, dir) =>
@@ -330,6 +336,9 @@ object EventQueries {
   // co-activity triangles: bucket width (1 h) + occupancy cap
   val TriBucketUs: Long = 3600L * 1000000
   val TriMaxOcc = 8
+  // CUSUM allowance + threshold (micro-dollars)
+  val CusumKMicro = 1000000L
+  val CusumHMicro = 5000000L
   // k-core: k and the fixed peeling-round count (converged flag in-band).
   // k=12 exercises real cascading peeling on the gate graph
   // (144 -> 105 -> 96 -> 94 -> 92 nodes, converged at round 5)
@@ -548,6 +557,8 @@ object EventQueries {
     "event_transitions" -> graft.ops.Markov.duckSql(SessionGapUs),
 
     "retention_cohorts" -> graft.ops.Markov.duckRetentionSql(),
+
+    "value_cusum" -> graft.ops.Cusum.duckSql(CusumKMicro, CusumHMicro),
 
     "graph_kcore" ->
       graft.ops.Graph.duckKCoreSql(TriBucketUs, TriMaxOcc, KCoreK,

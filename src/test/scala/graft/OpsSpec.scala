@@ -1910,6 +1910,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 6L, "2 triangles x 3 corners")
   }
 
+  test("cusum: planted step shift fires upward at the computed delay") {
+    graft.functions.expressions.register(spark)
+    // flat at mu=100 for 10 steps, then +30 per step; k=10, h=55:
+    // excess (x-mu-k)=20/step -> alarm when s>55: after 3 shifted steps
+    // (s=60 at index 12), reset, then again at 15, 18
+    val xs = Seq.fill(10)(100L) ++ Seq.fill(9)(130L)
+    val df = Seq(Tuple1(xs)).toDF("xs")
+    val st = df.selectExpr("graft_cusum(xs, 100L, 10L, 55L) AS st")
+      .collect()(0).getSeq[Long](0)
+    assert(st(0) == 3L, s"three upward alarms, got ${st(0)}")
+    assert(st(2) == 12L, "first alarm 3 shifted steps in")
+    assert(st(1) == 0L && st(3) == -1L, "no downward alarms")
+    // hand recursion for the final state: steps 19 has s = 0 after the
+    // alarm at 18... indices 13,14 accumulate 20+20=40 <= 55
+    assert(st(4) == 0L, "alarm at the final index resets to 0")
+  }
+
   test("sorted neighborhood: twins adjacent under the offset key, verified by lcp") {
     val shared = Seq.tabulate(300)(i => (i * 37) % 211 - 100)
     def doc(lead: Int, n: Int) =
