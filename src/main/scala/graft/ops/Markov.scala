@@ -44,6 +44,40 @@ object Markov {
         "CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE) AS p")
   }
 
+  /** Empirical entropy rate of the session transition chain —
+    * `H = −Σ_ij (c_ij/N)·ln(c_ij/n_i)` in nats (c from
+    * [[transitions]]; N total transitions, n_i the from-state mass): the
+    * one-number predictability score. Low H = near-deterministic
+    * behavior (scripted client / template bot); high H = mixed organic
+    * behavior. Exact: each `ln` of an exact integer ratio is micro-nat
+    * quantized once per (from, to) CELL ([[LanguageModel]] discipline),
+    * the weighted sum `Σ c_ij·mn_ij` is an exact order-free int64, and H
+    * is ONE divide. Alphabet-sized everything after the transition
+    * count. */
+  def entropyRate(events: DataFrame, sessionGapUs: Long): DataFrame = {
+    val t = transitions(events, sessionGapUs)
+    t.selectExpr("cnt", "row_total",
+        """cnt * CAST(round(ln(CAST(row_total AS DOUBLE)
+          |  / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS wmn"""
+          .stripMargin)
+      .agg(sum(col("cnt")).as("n_transitions"),
+        sum(col("wmn")).as("__s"))
+      .selectExpr("n_transitions",
+        "CAST(__s AS DOUBLE) / CAST(n_transitions AS DOUBLE)" +
+          " / CAST(1000000 AS DOUBLE) AS entropy_rate_nats")
+  }
+
+  /** DuckDB mirror of [[entropyRate]]. */
+  def duckEntropyRateSql(sessionGapUs: Long,
+      table: String = "events"): String =
+    s"""WITH t AS (${duckSql(sessionGapUs, table)})
+       |SELECT CAST(sum(cnt) AS BIGINT) AS n_transitions,
+       |  CAST(sum(cnt * CAST(round(ln(CAST(row_total AS DOUBLE)
+       |      / CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT)) AS DOUBLE)
+       |    / CAST(sum(cnt) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+       |    AS entropy_rate_nats
+       |FROM t""".stripMargin
+
   /** Cohort retention table — the product-analytics standard read over
     * the event stream: users grouped by FIRST-ACTIVITY week (cohort),
     * and for each week offset `w ≥ 0` the count and fraction of the

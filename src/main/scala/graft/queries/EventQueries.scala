@@ -249,6 +249,12 @@ object EventQueries {
       graft.ops.Markov.retentionCohorts(
         s.read.parquet(s"$dir/events.parquet"))),
 
+    // empirical entropy rate of the transition chain: one-number
+    // behavioral-predictability score (low = scripted/bot-like)
+    "event_entropy_rate" -> ((s, dir) =>
+      graft.ops.Markov.entropyRate(
+        s.read.parquet(s"$dir/events.parquet"), SessionGapUs)),
+
     // session-scoped event-type transition matrix (first-order Markov):
     // exact counts, one divide per cell — funnel/bot-pattern screen
     "event_transitions" -> ((s, dir) =>
@@ -555,6 +561,9 @@ object EventQueries {
       graft.ops.Graph.duckAssortativitySql(TriBucketUs, TriMaxOcc),
 
     "event_transitions" -> graft.ops.Markov.duckSql(SessionGapUs),
+
+    "event_entropy_rate" ->
+      graft.ops.Markov.duckEntropyRateSql(SessionGapUs),
 
     "retention_cohorts" -> graft.ops.Markov.duckRetentionSql(),
 

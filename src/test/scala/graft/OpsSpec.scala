@@ -1910,6 +1910,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 6L, "2 triangles x 3 corners")
   }
 
+  test("entropy rate: half-deterministic chain scores exactly half ln 2") {
+    def ts(us: Long) = new java.sql.Timestamp(1700000000000L + us / 1000)
+    // A alternates to B and C (1 bit each); B and C always return to A
+    val types = Seq("A", "B", "A", "C", "A", "B", "A", "C", "A")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong, t, ts(i * 1000000L)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val r = graft.ops.Markov.entropyRate(ev, 30L * 60 * 1000000)
+      .collect()(0)
+    assert(r.getLong(0) == 8L)
+    // A-row: 2x ln(4/2) micro-rounded; B/C rows deterministic -> 0
+    val expect = 4.0 * math.round(math.log(2.0) * 1e6) / 8.0 / 1e6
+    assert(r.getDouble(1) == expect, s"got ${r.getDouble(1)}")
+  }
+
   test("cusum: planted step shift fires upward at the computed delay") {
     graft.functions.expressions.register(spark)
     // flat at mu=100 for 10 steps, then +30 per step; k=10, h=55:
