@@ -128,7 +128,13 @@ object Explain {
       "bm25_top (broadcast query grams + idf into the postings join — corpus side never shuffles for scoring)" ->
         SparkEntry.queries("bm25_top")(spark, sfDir),
       "conformal (train-split moment fit broadcast, one calibration-split rank sort, test-split agg)" ->
-        SparkEntry.queries("conformal")(spark, sfDir))
+        SparkEntry.queries("conformal")(spark, sfDir),
+      "mlm_mask (zero-shuffle corruption-plan kernel projection)" ->
+        SparkEntry.queries("mlm_mask")(spark, sfDir),
+      "dedup_sorted_screen (one distributed sort + adjacency window, no candidate generation)" ->
+        SparkEntry.queries("dedup_sorted_screen")(spark, sfDir),
+      "value_cusum (one (type, day) exchange, model-sized series kernel)" ->
+        SparkEntry.queries("value_cusum")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")
