@@ -117,4 +117,63 @@ object Binning {
        |  CAST(count(*) AS BIGINT) AS n_crosses,
        |  min(raw) AS min_cross
        |FROM h GROUP BY 1""".stripMargin
+
+  /** Cross-source quantile normalization (the batch-effect alignment of
+    * bioinformatics, applied to corpus features): every document's value
+    * is replaced by the REFERENCE source's value at the same quantile
+    * position, so all sources share the reference's distribution exactly
+    * — the rank-based alternative to z-scoring when source distributions
+    * differ in SHAPE, not just location (a mean/variance affine map
+    * can't fix a skew mismatch; a rank map does).
+    *
+    * Exact: within-source rank under the total order (value, doc_id);
+    * the mapped reference rank is `⌈r·n_ref / n_s⌉` in pure integers;
+    * `x_norm` is an ORDER STATISTIC — an exact copy of an existing
+    * reference value, never arithmetic. Reference docs map to
+    * themselves. Scale: per-source rank windows (the CCNet-percentile
+    * exchange) + a rank-keyed join against the reference table
+    * (reference-sized — broadcast when one source fits, else a plain
+    * equi-join); the GK-sketch variant replaces the exact ranks at
+    * extreme scale with this form as its oracle
+    * ([[quantileBinApprox]] pattern). */
+  def quantileNormalize(docs: DataFrame, v: String, key: String,
+      ref: String): DataFrame = {
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("x"), col("doc_id"))
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+    val ranked = docs
+      .selectExpr("doc_id", s"$key AS src", s"CAST($v AS BIGINT) AS x")
+      .withColumn("r", row_number().over(wR))
+      .withColumn("ns", count(lit(1)).over(wN))
+    val refTab = ranked.filter(col("src") === ref)
+      .select(col("r").as("rr"), col("x").as("x_norm"))
+    val refN = refTab.agg(count(lit(1)).cast("long").as("n_ref"))
+    ranked.crossJoin(broadcast(refN))
+      .withColumn("rr", expr(
+        "CAST((CAST(r AS BIGINT) * n_ref + ns - 1) DIV ns AS INT)"))
+      .join(broadcast(refTab), Seq("rr"))
+      .selectExpr("doc_id", "src AS source", "x", "r AS src_rank",
+        "x_norm")
+  }
+
+  /** DuckDB mirror of [[quantileNormalize]] over the documents table. */
+  def duckQuantileNormalizeSql(v: String, key: String, ref: String,
+      src: String = "documents"): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, $key AS src, CAST($v AS BIGINT) AS x,
+       |    CAST(row_number() OVER (PARTITION BY $key
+       |      ORDER BY CAST($v AS BIGINT), doc_id) AS INTEGER) AS r,
+       |    CAST(count(*) OVER (PARTITION BY $key) AS BIGINT) AS ns
+       |  FROM $src),
+       |reft AS (SELECT r AS rr, x AS x_norm FROM ranked
+       |         WHERE src = '$ref'),
+       |refn AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM reft)
+       |SELECT ranked.doc_id, ranked.src AS source, ranked.x,
+       |  ranked.r AS src_rank, reft.x_norm
+       |FROM ranked
+       |CROSS JOIN refn
+       |JOIN reft ON reft.rr =
+       |  CAST((CAST(ranked.r AS BIGINT) * refn.n_ref + ranked.ns - 1)
+       |    // ranked.ns AS INTEGER)""".stripMargin
 }

@@ -481,6 +481,13 @@ object CurationQueries {
       graft.ops.Regression.lengthInfluence(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // cross-source quantile normalization: every doc's n_chars mapped to
+    // the reference source's value at the same quantile position
+    "quantile_norm" -> ((s, dir) =>
+      graft.ops.Binning.quantileNormalize(
+        s.read.parquet(s"$dir/documents.parquet"), "n_chars", "source",
+        DsirTargetSource)),
+
     // split conformal prediction: train-split fit, calibration-split
     // nonconformity quantile, test-split empirical coverage (alpha = 10%)
     "conformal" -> ((s, dir) =>
@@ -890,6 +897,8 @@ object CurationQueries {
     "ols_length" -> graft.ops.Regression.duckLengthModelSql(),
     "length_influence" -> graft.ops.Regression.duckLengthInfluenceSql(),
     "conformal" -> graft.ops.Regression.duckConformalSql(),
+    "quantile_norm" -> graft.ops.Binning.duckQuantileNormalizeSql(
+      "n_chars", "source", DsirTargetSource),
     "bootstrap_diff" -> graft.ops.Regression.duckBootstrapSql(BootstrapB),
     "eval_metrics" -> graft.ops.Evaluation.duckSql(
       s"""SELECT d.source AS source, s.logit AS score,

@@ -1925,6 +1925,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == expect, s"got ${r.getDouble(1)}")
   }
 
+  test("quantile norm: rank map onto the reference distribution, exact copies") {
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "A", 40L),
+      (5L, "B", 100L), (6L, "B", 200L),
+      (7L, "C", 7L), (8L, "C", 8L), (9L, "C", 9L), (10L, "C", 6L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = graft.ops.Binning
+      .quantileNormalize(docs, "n_chars", "source", "A").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3), r.getLong(4)))
+      .toMap
+    // reference docs map to themselves
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id)._1 == out(id)._3))
+    // B (n=2): rank 1 -> ceil(4/2)=2 -> 20; rank 2 -> 4 -> 40
+    assert(out(5L) == ((100L, 1, 20L)))
+    assert(out(6L) == ((200L, 2, 40L)))
+    // C (n=4 = n_ref): x_norm multiset is EXACTLY the reference values
+    val cNorm = Seq(7L, 8L, 9L, 10L).map(out(_)._3).sorted
+    assert(cNorm == Seq(10L, 20L, 30L, 40L))
+  }
+
   test("cusum: planted step shift fires upward at the computed delay") {
     graft.functions.expressions.register(spark)
     // flat at mu=100 for 10 steps, then +30 per step; k=10, h=55:
