@@ -1676,6 +1676,32 @@ class OpsSpec extends AnyFunSuite {
       assert(got(i) == refEdit(a, b), s"case $i") }
   }
 
+  test("edit distance: fuzz — full and banded match the reference DP") {
+    val rng = new scala.util.Random(20260820)
+    val cases = (0 until 24).map { _ =>
+      val n = 1 + rng.nextInt(60); val m = 1 + rng.nextInt(60)
+      val alpha = 1 + rng.nextInt(8) // small alphabets force matches
+      (Seq.fill(n)(rng.nextInt(alpha)), Seq.fill(m)(rng.nextInt(alpha)),
+        1 + rng.nextInt(12))
+    }
+    val df = cases.zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, c) }.toDF("id", "a", "b", "c")
+    graft.functions.expressions.register(spark)
+    val full = df.selectExpr("id", "graft_edit_distance(a, b, 0) AS d")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b, _), i) =>
+      assert(full(i) == refEdit(a, b), s"full case $i") }
+    // per-row caps via the column is not supported (literal cap); check
+    // each distinct cap value in one pass over the whole set
+    cases.map(_._3).distinct.foreach { cap =>
+      val got = df.selectExpr("id", s"graft_edit_distance(a, b, $cap) AS d")
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      cases.zipWithIndex.foreach { case ((a, b, _), i) =>
+        assert(got(i) == math.min(refEdit(a, b), cap + 1),
+          s"cap=$cap case $i") }
+    }
+  }
+
   test("edit distance: banded kernel == min(full, cap+1)") {
     val a = Seq.tabulate(120)(i => (i * 37) % 29)
     val variants = Seq(
