@@ -128,6 +128,96 @@ object Markov {
        |JOIN cs USING (cohort)""".stripMargin
   }
 
+  /** Ordered funnel conversion — the third classic product read next to
+    * [[transitions]] and [[retentionCohorts]]: for a declared step
+    * sequence, a user REACHES step k when their first occurrences are
+    * time-ordered `t₁ ≤ t₂ ≤ … ≤ t_k` (first-touch attribution). Per
+    * step: users reached, conversion from the previous step and from the
+    * top — all exact counts, each fraction one IEEE divide.
+    *
+    * Scale: one user-keyed min-per-type aggregation (conditional mins in
+    * a single pass — no per-step scans), then a steps-sized rollup. The
+    * step list is a literal; the reached-k predicate is a pure column
+    * conjunction. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs >= 2 steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val minCols = steps.zipWithIndex.map { case (st, i) =>
+      min(when(col("event_type") === st, col("ts_us"))).as(s"t$i")
+    }
+    val mins = events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .groupBy(col("user_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    def reached(k: Int): String =
+      (0 to k).map(i => s"t$i IS NOT NULL")
+        .mkString("", " AND ", "") +
+        (1 to k).map(i => s" AND t${i - 1} <= t$i").mkString
+    val nCols = steps.indices.map(k =>
+      sum(expr(s"IF(${reached(k)}, 1L, 0L)")).as(s"n$k"))
+    val counts = mins.agg(nCols.head, nCols.tail: _*)
+    val rows = steps.indices.map(k =>
+      (k + 1, steps(k), s"n$k")).toDF("step", "event_type", "__col")
+    // steps-sized cross join against the 1-row count table
+    rows.crossJoin(broadcast(counts))
+      .selectExpr("step", "event_type",
+        s"CASE ${steps.indices.map(k => s"WHEN step = ${k + 1} THEN n$k")
+          .mkString(" ")} END AS n_reached",
+        s"CASE WHEN step = 1 THEN CAST(NULL AS DOUBLE) ${
+          (1 until steps.size).map(k =>
+            s"WHEN step = ${k + 1} THEN CASE WHEN n${k - 1} = 0" +
+              s" THEN CAST(NULL AS DOUBLE)" +
+              s" ELSE CAST(n$k AS DOUBLE) / CAST(n${k - 1} AS DOUBLE) END")
+            .mkString(" ")} END AS conv_prev",
+        s"""CASE WHEN n0 = 0 THEN CAST(NULL AS DOUBLE)
+           |ELSE CAST(CASE ${steps.indices.map(k =>
+          s"WHEN step = ${k + 1} THEN n$k").mkString(" ")} END AS DOUBLE)
+           |  / CAST(n0 AS DOUBLE) END AS conv_top""".stripMargin)
+  }
+
+  /** DuckDB mirror of [[funnel]]. */
+  def duckFunnelSql(steps: Seq[String],
+      table: String = "events"): String = {
+    val minsCols = steps.zipWithIndex.map { case (st, i) =>
+      s"min(CASE WHEN event_type = '$st' THEN ts_us END) AS t$i"
+    }.mkString(",\n    ")
+    def reached(k: Int): String =
+      (0 to k).map(i => s"t$i IS NOT NULL").mkString(" AND ") +
+        (1 to k).map(i => s" AND t${i - 1} <= t$i").mkString
+    val nCols = steps.indices.map(k =>
+      s"CAST(sum(CASE WHEN ${reached(k)} THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS n$k").mkString(",\n    ")
+    val stepRows = steps.zipWithIndex.map { case (st, k) =>
+      s"(${k + 1}, '$st')" }.mkString(", ")
+    s"""WITH mins AS (
+       |  SELECT user_id,
+       |    $minsCols
+       |  FROM (SELECT user_id, event_type,
+       |          epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM $table)
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT
+       |    $nCols
+       |  FROM mins),
+       |st(step, event_type) AS (VALUES $stepRows)
+       |SELECT st.step, st.event_type,
+       |  CASE ${steps.indices.map(k =>
+      s"WHEN st.step = ${k + 1} THEN c.n$k").mkString(" ")} END
+       |    AS n_reached,
+       |  CASE WHEN st.step = 1 THEN CAST(NULL AS DOUBLE) ${
+      (1 until steps.size).map(k =>
+        s"WHEN st.step = ${k + 1} THEN CASE WHEN c.n${k - 1} = 0" +
+          s" THEN CAST(NULL AS DOUBLE)" +
+          s" ELSE CAST(c.n$k AS DOUBLE) / CAST(c.n${k - 1} AS DOUBLE) END")
+        .mkString(" ")} END AS conv_prev,
+       |  CASE WHEN c.n0 = 0 THEN CAST(NULL AS DOUBLE)
+       |    ELSE CAST(CASE ${steps.indices.map(k =>
+      s"WHEN st.step = ${k + 1} THEN c.n$k").mkString(" ")} END AS DOUBLE)
+       |      / CAST(c.n0 AS DOUBLE) END AS conv_top
+       |FROM st CROSS JOIN c""".stripMargin
+  }
+
   /** DuckDB mirror of [[transitions]]. */
   def duckSql(sessionGapUs: Long, table: String = "events"): String =
     s"""WITH ev AS (

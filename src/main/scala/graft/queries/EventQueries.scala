@@ -243,6 +243,12 @@ object EventQueries {
       graft.ops.Cusum.dailyValueCusum(
         s.read.parquet(s"$dir/events.parquet"), CusumKMicro, CusumHMicro)),
 
+    // ordered funnel conversion (signup -> view -> click -> purchase by
+    // first-touch times): per-step reach + conversion fractions
+    "event_funnel" -> ((s, dir) =>
+      graft.ops.Markov.funnel(
+        s.read.parquet(s"$dir/events.parquet"), FunnelSteps)),
+
     // weekly cohort retention table: users grouped by first-activity
     // week, per-offset active counts + retention fraction
     "retention_cohorts" -> ((s, dir) =>
@@ -342,6 +348,8 @@ object EventQueries {
   // co-activity triangles: bucket width (1 h) + occupancy cap
   val TriBucketUs: Long = 3600L * 1000000
   val TriMaxOcc = 8
+  // funnel step order (first-touch attribution)
+  val FunnelSteps = Seq("signup", "view", "click", "purchase")
   // CUSUM allowance + threshold (micro-dollars)
   val CusumKMicro = 1000000L
   val CusumHMicro = 5000000L
@@ -566,6 +574,8 @@ object EventQueries {
       graft.ops.Markov.duckEntropyRateSql(SessionGapUs),
 
     "retention_cohorts" -> graft.ops.Markov.duckRetentionSql(),
+
+    "event_funnel" -> graft.ops.Markov.duckFunnelSql(FunnelSteps),
 
     "value_cusum" -> graft.ops.Cusum.duckSql(CusumKMicro, CusumHMicro),
 

@@ -1951,6 +1951,29 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == expect, s"got ${r.getDouble(1)}")
   }
 
+  test("funnel: first-touch order gates each step, exact conversions") {
+    def ts(us: Long) = new java.sql.Timestamp(1700000000000L + us / 1000)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, "signup", 0L), (1L, 2L, "view", 1000000L),
+      (1L, 3L, "click", 2000000L),
+      // user 2: viewed BEFORE signing up -> stuck at step 1
+      (2L, 4L, "view", 0L), (2L, 5L, "signup", 1000000L),
+      // user 3: signup only
+      (3L, 6L, "signup", 0L))
+      .map { case (u, id, t, us) => (u, id, t, ts(us)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = graft.ops.Markov.funnel(ev, Seq("signup", "view", "click"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1) == (("signup", 3L, None, Some(1.0))))
+    assert(out(2)._2 == 1L, "only user 1 viewed AFTER signup")
+    assert(out(2)._3.contains(1.0 / 3.0))
+    assert(out(3) == (("click", 1L, Some(1.0), Some(1.0 / 3.0))))
+  }
+
   test("quantile norm: rank map onto the reference distribution, exact copies") {
     val docs = Seq(
       (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "A", 40L),
