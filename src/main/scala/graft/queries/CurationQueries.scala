@@ -353,10 +353,18 @@ object CurationQueries {
 
     // REAL PNG decode (JDK ImageIO) -> gray featurizer; the oracle computes
     // the same features analytically from the synthetic pixel formula, so a
-    // green hash proves the encode->decode->featurize path is lossless
-    "image_features" -> ((s, _) =>
-      graft.sources.Multimodal.imageFeatureTable(
-        graft.sources.Multimodal.synth(s, ImageCorpusN))),
+    // green hash proves the encode->decode->featurize path is lossless.
+    // Array-free driver boundary: the 16-bin histogram is emitted as 16
+    // scalar columns (each an exact ratio of integer counts — bitwise
+    // identical across engines); Multimodal.imageFeatureTable is the raw
+    // array form for specs.
+    "image_features" -> ((s, _) => {
+      val raw = graft.sources.Multimodal.imageFeatureTable(
+        graft.sources.Multimodal.synth(s, ImageCorpusN))
+      raw.select(Seq(col("doc_id"), col("width"), col("height"),
+        col("mean_gray"), col("var_gray")) ++
+        (0 until 16).map(b => col("hist")(b).as(f"hist_$b%02d")): _*)
+    }),
 
     // REAL uncompressed-AVI decode (pure-JVM RIFF parser, like the WAV
     // codec) -> every-2nd-frame sample + per-frame gray featurizer; the
@@ -433,9 +441,15 @@ object CurationQueries {
 
     // span-level REWRITE: non-owner docs drop every position covered by a
     // cross-doc duplicated window; rewritten token arrays bitwise-checked
-    // (sub corpus — the oracle re-derives the rewrite relationally)
+    // (sub corpus — the oracle re-derives the rewrite relationally).
+    // Array-free driver boundary: md5 over the canonical CSV of the
+    // rewritten array (the `seqs_tokens` convention); Dedup.spanRemove is
+    // the raw array form for specs.
     "span_remove" -> ((s, dir) =>
-      Dedup.spanRemove(Seqs.fromDocumentsSub(s, dir), SpanLen, SpanStride)),
+      Dedup.spanRemove(Seqs.fromDocumentsSub(s, dir), SpanLen, SpanStride)
+        .select(col("doc_id"), col("n_tok"), col("n_kept"),
+          expr("md5(array_join(transform(tokens_clean, x -> CAST(x AS STRING)), ','))")
+            .as("clean_md5"))),
 
     // winnowing fingerprints (MOSS): per-doc selection-set digest and
     // cross-doc duplicated-selection stats; native O(n) deque kernel,
@@ -871,8 +885,12 @@ object CurationQueries {
     "ivf_cells" -> Similarity.duckIvfCellsSql(IvfCells),
     "ivf_recall" ->
       Similarity.duckIvfRecallSql(TopKQueries, TopK, IvfCells, IvfProbe),
-    "image_features" ->
-      graft.sources.Multimodal.duckImageFeaturesSql(ImageCorpusN),
+    "image_features" -> {
+      val hist = (0 until 16)
+        .map(b => f"hist[${b + 1}] AS hist_$b%02d").mkString(", ")
+      s"""SELECT doc_id, width, height, mean_gray, var_gray, $hist
+         |FROM (${graft.sources.Multimodal.duckImageFeaturesSql(ImageCorpusN)}) q""".stripMargin
+    },
     "video_frames" ->
       graft.sources.Multimodal.duckVideoFramesSql(ImageCorpusN),
     "image_resize" ->
@@ -910,8 +928,11 @@ object CurationQueries {
       s"seqs AS (${Seqs.duckSql})", BatchEdges, BatchSize, BatchShards),
     "span_dedup" -> Dedup.duckSpanDupSql(
       s"seqs AS (${Seqs.duckSql})", SpanLen, SpanStride),
-    "span_remove" -> Dedup.duckSpanRemoveSql(
-      s"seqs AS (${Seqs.duckSqlSub})", SpanLen, SpanStride),
+    "span_remove" ->
+      s"""SELECT doc_id, n_tok, n_kept,
+         |  md5(array_to_string(tokens_clean, ',')) AS clean_md5
+         |FROM (${Dedup.duckSpanRemoveSql(
+                  s"seqs AS (${Seqs.duckSqlSub})", SpanLen, SpanStride)}) q""".stripMargin,
     "winnow_fp" -> Dedup.duckWinnowStatsSql(
       s"seqs AS (${Seqs.duckSql})", WinnowK, WinnowW),
     "winnow_dedup" -> Dedup.duckWinnowDupSql(

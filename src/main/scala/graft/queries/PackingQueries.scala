@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.ops.Packing
 import graft.sources.Seqs
@@ -32,10 +33,17 @@ object PackingQueries {
 
     // within-doc training windows (stride < win -> 25% context overlap),
     // materialized token slices bitwise-checked — the complement of
-    // seq_pack's cross-doc dense stream
+    // seq_pack's cross-doc dense stream. Array-free driver boundary:
+    // each window's token slice rides as an md5 over its canonical CSV
+    // (the `seqs_tokens` convention); Packing.splitWindows is the raw
+    // array form for specs.
     "seq_split" -> ((s, dir) =>
       Packing.splitWindows(Seqs.fromDocuments(s, dir),
-        SplitWin, SplitStride, SplitMinLen))
+        SplitWin, SplitStride, SplitMinLen)
+        .select(col("doc_id"), col("win_id"), col("start"),
+          expr("md5(array_join(transform(win_tokens, x -> CAST(x AS STRING)), ','))")
+            .as("win_md5"),
+          col("win_len")))
   )
 
   /** seq_split window geometry: 512-token windows every 384 tokens
@@ -47,7 +55,10 @@ object PackingQueries {
   def oracles: Map[String, String] = Map(
     "seq_pack" -> Packing.duckPackSql(duckSeqs, ChunkCapacity),
     "pack_stats" -> Packing.duckPackStatsSql(duckSeqs, ChunkCapacity),
-    "seq_split" -> Packing.duckSplitWindowsSql(duckSeqs,
-      SplitWin, SplitStride, SplitMinLen)
+    "seq_split" ->
+      s"""SELECT doc_id, win_id, start,
+         |  md5(array_to_string(win_tokens, ',')) AS win_md5, win_len
+         |FROM (${Packing.duckSplitWindowsSql(duckSeqs,
+                  SplitWin, SplitStride, SplitMinLen)}) q""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.ops.Tokenizer
 import graft.sources.Seqs
@@ -37,16 +38,29 @@ object TokenizerQueries {
     // the full encode output: corpus re-tokenized by the k merges learned
     // from it, token arrays bitwise-checked against the oracle's
     // independent relational derivation (exact token-array equality is
-    // the per-row invariant of the whole engine)
+    // the per-row invariant of the whole engine). Driver boundary is
+    // array-free (the harness can't hash array cells): the bitwise
+    // invariant rides an md5 over the canonical CSV rendering + the
+    // length — the `seqs_tokens` convention. Raw-array form stays
+    // available as Tokenizer.encodeTable for specs.
     "bpe_encode" -> ((s, dir) =>
-      Tokenizer.encodeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds)),
+      Tokenizer.encodeTable(Seqs.fromDocumentsSub(s, dir), TrainRounds)
+        .select(col("doc_id"),
+          expr("md5(array_join(transform(tokens_enc, x -> CAST(x AS STRING)), ','))")
+            .as("enc_md5"),
+          col("n_enc"))),
 
     // vocabulary pruning: corpus-rare tokens (count < MinTokenCount)
     // collapsed to the UNK id — rare set is planning metadata (one
     // counting job), rewrite is one zero-shuffle kernel projection with
-    // full token-array parity
+    // full token-array parity (md5-digest driver boundary, raw form =
+    // Tokenizer.unkRemap)
     "unk_remap" -> ((s, dir) =>
-      Tokenizer.unkRemap(Seqs.fromDocuments(s, dir), MinTokenCount, UnkId)),
+      Tokenizer.unkRemap(Seqs.fromDocuments(s, dir), MinTokenCount, UnkId)
+        .select(col("doc_id"),
+          expr("md5(array_join(transform(tokens_remap, x -> CAST(x AS STRING)), ','))")
+            .as("remap_md5"),
+          col("n_tok"))),
 
     // BERT-style MLM corruption plan (15% masked; 80/10/10
     // sentinel/random/keep), deterministic per (doc, position); the
@@ -70,8 +84,12 @@ object TokenizerQueries {
   def oracles: Map[String, String] = Map(
     "bpe_pairs" -> Tokenizer.duckPairsSql(duckSeqs, PairTopK),
     "bpe_train" -> Tokenizer.duckTrainSql(duckSeqsSub, TrainRounds),
-    "bpe_encode" -> Tokenizer.duckEncodeSql(duckSeqsSub, TrainRounds),
-    "unk_remap" -> Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId),
+    "bpe_encode" ->
+      s"""SELECT doc_id, md5(array_to_string(tokens_enc, ',')) AS enc_md5, n_enc
+         |FROM (${Tokenizer.duckEncodeSql(duckSeqsSub, TrainRounds)}) q""".stripMargin,
+    "unk_remap" ->
+      s"""SELECT doc_id, md5(array_to_string(tokens_remap, ',')) AS remap_md5, n_tok
+         |FROM (${Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId)}) q""".stripMargin,
     "mlm_mask" -> Tokenizer.duckMlmReportSql(duckSeqs),
     "t5_spans" -> Tokenizer.duckT5ReportSql(duckSeqs)
   )
