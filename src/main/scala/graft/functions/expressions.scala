@@ -117,6 +117,8 @@ object expressions {
       es => LinearScoreKernel(es(0), es(1)), "built-in")
     spectral.register(spark)
     rhythm.register(spark)
+    reg.createOrReplaceTempFunction("graft_coreset_cell",
+      es => CoresetGreedyCell(es(0), es(1)), "built-in")
     fvkernel.register(spark)
   }
 
@@ -1916,5 +1918,126 @@ object expressions {
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0), frameSizeE = c(1), hopE = c(2), thrE = c(3),
         coefE = c(4), thrsE = c(5))
+  }
+
+  // ------------------------------------------------------------------
+
+  val CoresetPickType: StructType = StructType(Seq(
+    StructField("step", IntegerType, nullable = false),
+    StructField("vec_id", LongType, nullable = false),
+    StructField("gain_micro", LongType, nullable = false),
+    StructField("coverage_micro", LongType, nullable = false)))
+
+  /** graft_coreset_cell(members ARRAY<STRUCT<vec_id BIGINT,
+    * embedding ARRAY<FLOAT|DOUBLE>>>, k INT) → ARRAY<[[CoresetPickType]]>
+    *
+    * Facility-location greedy WITHIN one cell — the per-task kernel of
+    * [[graft.ops.Similarity.coresetGreedyPerCell]]. Semantics are
+    * bit-identical to the all-pairs oracle
+    * ([[graft.ops.Similarity.coresetGreedy]]) restricted to the cell:
+    * micro-quantized cosines `floor(cos·10⁶ + 0.5)` as BIGINT, cover
+    * starts at 0, marginal gain `Σ_j max(q(j,c) − cover_j, 0)` is an exact
+    * commutative integer sum, argmax ties break to the lowest vec_id, and
+    * min(k, m) rounds for an m-member cell. Members are sorted by vec_id
+    * before the greedy so the result is invariant to `collect_list` order.
+    * Cost: m² cosines + k·m gain updates per cell — the Σ m_c² SemDeDup
+    * bound, embarrassingly parallel across cells. */
+  case class CoresetGreedyCell(members: Expression, kE: Expression)
+      extends Expression with CodegenFallback {
+    private lazy val k = litInt(kE)
+    override def children: Seq[Expression] = Seq(members, kE)
+    override def dataType: DataType =
+      ArrayType(CoresetPickType, containsNull = false)
+    override def nullable: Boolean = members.nullable
+    private def toDoubles(ad: ArrayData, et: DataType): Array[Double] =
+      et match {
+        case FloatType  => ad.toFloatArray().map(_.toDouble)
+        case DoubleType => ad.toDoubleArray()
+        case other =>
+          throw new IllegalArgumentException(s"coreset over $other")
+      }
+    override def eval(input: InternalRow): Any = {
+      val mAny = members.eval(input)
+      if (mAny == null) return null
+      val arr = mAny.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val elemType = members.dataType.asInstanceOf[ArrayType]
+        .elementType.asInstanceOf[StructType]
+      val embType = elemType.fields(1).dataType
+        .asInstanceOf[ArrayType].elementType
+      val ids = new Array[Long](m)
+      val embs = new Array[Array[Double]](m)
+      var i = 0
+      while (i < m) {
+        val row = arr.getStruct(i, 2)
+        ids(i) = row.getLong(0)
+        embs(i) = toDoubles(row.getArray(1), embType)
+        i += 1
+      }
+      // sort members by vec_id: argmax tie-break + output determinism
+      val order = Array.range(0, m).sortBy(ids(_))
+      // q(j, c) micro-quantized cosine matrix, both axes in sorted order
+      val q = Array.ofDim[Long](m, m)
+      var a = 0
+      while (a < m) {
+        val xs = embs(order(a))
+        var b = 0
+        while (b < m) {
+          val ys = embs(order(b))
+          val n = math.min(xs.length, ys.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var t = 0
+          while (t < n) {
+            dot += xs(t) * ys(t)
+            na += xs(t) * xs(t)
+            nb += ys(t) * ys(t)
+            t += 1
+          }
+          val cos = if (na == 0.0 || nb == 0.0) 0.0
+                    else dot / math.sqrt(na * nb)
+          q(a)(b) = math.floor(cos * 1000000 + 0.5).toLong
+          b += 1
+        }
+        a += 1
+      }
+      val cover = new Array[Long](m)
+      val picked = new Array[Boolean](m)
+      val rounds = math.min(k, m)
+      val out = new Array[Any](rounds)
+      var running = 0L
+      var step = 0
+      while (step < rounds) {
+        var bestC = -1
+        var bestGain = -1L
+        var c = 0
+        while (c < m) {
+          if (!picked(c)) {
+            var gain = 0L
+            var j = 0
+            while (j < m) {
+              val d = q(j)(c) - cover(j)
+              if (d > 0L) gain += d
+              j += 1
+            }
+            // strict > : ties keep the earliest (lowest vec_id) candidate
+            if (gain > bestGain) { bestGain = gain; bestC = c }
+          }
+          c += 1
+        }
+        picked(bestC) = true
+        running += bestGain
+        var j = 0
+        while (j < m) {
+          if (q(j)(bestC) > cover(j)) cover(j) = q(j)(bestC)
+          j += 1
+        }
+        out(step) = new GenericInternalRow(Array[Any](
+          step + 1, ids(order(bestC)), bestGain, running))
+        step += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(members = c(0), kE = c(1))
   }
 }

@@ -945,6 +945,122 @@ object Similarity {
     sb.toString
   }
 
+  /** PRODUCTION coreset selection: the [[coresetGreedy]] facility-location
+    * greedy run independently inside each k-means cell — the greedy-per-cell
+    * shape [[coresetGreedy]]'s Scaladoc names (and [[semDedupWith]]
+    * already uses for near-dup pruning). Output: one row per pick —
+    * (cell, step, vec_id, gain_micro, coverage_micro), `step`/`coverage`
+    * scoped per cell.
+    *
+    * == Scale shape ==
+    * One broadcast of the (tiny) centroid table assigns cells with no
+    * shuffle of the corpus; ONE `groupBy(cell)` shuffle gathers members;
+    * each cell then runs the greedy locally in its task
+    * ([[graft.functions.expressions.CoresetGreedyCell]] — m² cosines,
+    * the Σ m_c² SemDeDup bound, `nCells` the dial). No per-round driver
+    * argmax, no all-pairs join: at 10^12 rows the plan is two narrow
+    * passes + one bounded-fanout shuffle. [[coresetGreedy]] (all-pairs +
+    * k driver rounds) is this operator's quality oracle: on cells that
+    * are well-separated (cross-cell similarity below in-cell similarity)
+    * the per-cell picks equal the exact greedy's restricted to each cell
+    * — asserted in OpsSpec on an orthogonal-cluster fixture. */
+  def coresetGreedyPerCell(embeddings0: DataFrame, centsDf: DataFrame,
+                           kPerCell: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val emb = graft.core.Partitioning.balance(
+      embeddings0.select(col("vec_id"), col("embedding")), "vec_id")
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell").asc)
+    emb.crossJoin(broadcast(centsDf))
+      .withColumn("ccos", expr("graft_cosine(cv, embedding)"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding")))
+        .as("members"))
+      .select(col("cell"),
+        explode(expr(s"graft_coreset_cell(members, $kPerCell)")).as("p"))
+      .select(col("cell"), col("p.step").as("step"),
+        col("p.vec_id").as("vec_id"),
+        col("p.gain_micro").as("gain_micro"),
+        col("p.coverage_micro").as("coverage_micro"))
+  }
+
+  /** [[coresetGreedyPerCell]] with the bootstrap stride-sample centroids
+    * ([[cents]]) — the query-surface form; feed [[ivfTrainedCents]] to
+    * the explicit-centroid overload for the Lloyd-trained index. */
+  def coresetCells(embeddings0: DataFrame, nCells: Int,
+                   kPerCell: Int): DataFrame =
+    coresetGreedyPerCell(embeddings0, cents(embeddings0, nCells), kPerCell)
+
+  /** Bootstrap-centroid twin of [[duckCoresetCellsSql]]. */
+  def duckCoresetCellsBootSql(nCells: Int, kPerCell: Int,
+                              src: String = "embeddings"): String =
+    duckCoresetCellsSql(centsSql(nCells, src), kPerCell, src)
+
+  /** DuckDB mirror of [[coresetGreedyPerCell]] — cell assignment exactly
+    * as [[duckIvfCellsSqlWith]], then the k greedy rounds unrolled with a
+    * PER-CELL argmax (`row_number() OVER (PARTITION BY cell)`) instead of
+    * [[duckCoresetSql]]'s global one. An m-member cell stops after m
+    * rounds (its candidate set empties), matching the kernel's min(k, m). */
+  def duckCoresetCellsSql(centsSelect: String, kPerCell: Int,
+                          src: String = "embeddings"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH cents AS (
+       |  SELECT cell, cv FROM ($centsSelect)),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("c.cv", "e.embedding")} DESC,
+       |                 c.cell ASC) AS crank
+       |    FROM $src e CROSS JOIN cents c)
+       |  WHERE crank = 1),
+       |p AS MATERIALIZED (
+       |  SELECT aj.cell, aj.vec_id AS j, ac.vec_id AS c,
+       |    CAST(floor(${duckCosine("ea.embedding", "eb.embedding")}
+       |      * 1000000 + 0.5) AS BIGINT) AS q
+       |  FROM asg aj JOIN asg ac ON aj.cell = ac.cell
+       |  JOIN $src ea ON ea.vec_id = aj.vec_id
+       |  JOIN $src eb ON eb.vec_id = ac.vec_id),
+       |cover0 AS (SELECT cell, vec_id AS j, CAST(0 AS BIGINT) AS cov
+       |           FROM asg)""".stripMargin
+    for (t <- 1 to kPerCell) {
+      val prev = s"cover${t - 1}"
+      val excl = if (t == 1) ""
+        else "AND NOT EXISTS (SELECT 1 FROM (" + (1 until t)
+          .map(i => s"SELECT cell, vec_id FROM s$i")
+          .mkString(" UNION ALL ") +
+          ") sel WHERE sel.cell = p.cell AND sel.vec_id = p.c)"
+      sb ++= s""",
+         |g$t AS (
+         |  SELECT p.cell, p.c,
+         |    CAST(sum(greatest(p.q - $prev.cov, 0)) AS BIGINT) AS gain
+         |  FROM p JOIN $prev ON p.cell = $prev.cell AND p.j = $prev.j
+         |  WHERE true $excl
+         |  GROUP BY p.cell, p.c),
+         |s$t AS (
+         |  SELECT cell, c AS vec_id, gain FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cell
+         |      ORDER BY gain DESC, c ASC) AS rn FROM g$t)
+         |  WHERE rn = 1),
+         |cover$t AS (
+         |  SELECT $prev.cell, $prev.j,
+         |    greatest($prev.cov, coalesce(pc.q, 0)) AS cov
+         |  FROM $prev LEFT JOIN
+         |    (SELECT p.cell, p.j, p.q FROM p
+         |     JOIN s$t ON p.cell = s$t.cell AND p.c = s$t.vec_id) pc
+         |    ON $prev.cell = pc.cell AND $prev.j = pc.j)""".stripMargin
+    }
+    sb ++= "\nSELECT cell, step, vec_id, gain_micro,\n" +
+      "  CAST(sum(gain_micro) OVER (PARTITION BY cell ORDER BY step\n" +
+      "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS coverage_micro\nFROM (\n" +
+      (1 to kPerCell).map(t =>
+        s"  SELECT cell, $t AS step, vec_id, gain AS gain_micro FROM s$t")
+        .mkString("\n  UNION ALL\n") + ")"
+    sb.toString
+  }
+
   /** Batch-hard triplet mining over labeled embeddings (the hard-negative
     * curation op of contrastive/metric training, FaceNet-style batch-hard
     * applied corpus-wide): for every anchor (`vec_id < nAnchors`), the

@@ -25,6 +25,10 @@ object CurationQueries {
   val CvFoldK = 5
   val PagerankIters = 5
   val CoresetK = 4
+  // greedy-per-cell: 8 cells over the full 500-vector corpus (m ≈ 60),
+  // 3 picks per cell — 3 unrolled oracle rounds, Σ m_c² ≈ 31k pair rows
+  val CoresetCellsN = 8
+  val CoresetKPerCell = 3
   val CoresetMaxId = 250
   val EmbedBands = 4
   val EmbedBits = 8
@@ -316,6 +320,15 @@ object CurationQueries {
       Similarity.coresetGreedy(
         s.read.parquet(s"$dir/embeddings.parquet")
           .filter(col("vec_id") < CoresetMaxId), CoresetK)),
+
+    // PRODUCTION coreset: greedy-per-cell over the full corpus — one
+    // centroid broadcast + one groupBy(cell) shuffle, each cell's greedy
+    // local to its task (no all-pairs join, no per-round driver argmax);
+    // coreset_greedy above is its exact-form quality oracle
+    "coreset_cells" -> ((s, dir) =>
+      Similarity.coresetCells(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        CoresetCellsN, CoresetKPerCell)),
 
     // recall of the banded near-dup path vs brute-force planted ground
     // truth (subsampled corpus) — the trust measurement behind the band
@@ -874,6 +887,8 @@ object CurationQueries {
     "coreset_greedy" -> Similarity.duckCoresetSql(
       CoresetK,
       src = s"(SELECT * FROM embeddings WHERE vec_id < $CoresetMaxId)"),
+    "coreset_cells" -> Similarity.duckCoresetCellsBootSql(
+      CoresetCellsN, CoresetKPerCell),
     "semdedup" -> Similarity.duckSemDedupSql(
       IvfCells, EmbedMinCos, src = "aug",
       prelude = s"aug AS MATERIALIZED (\n${

@@ -2215,6 +2215,59 @@ class OpsSpec extends AnyFunSuite {
       (4, 1L, 0L, 4000000L)))
   }
 
+  private def coresetPicks(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Int]("step"), r.getAs[Long]("vec_id"),
+      r.getAs[Long]("gain_micro"), r.getAs[Long]("coverage_micro")))
+      .sortBy(_._1).toSeq
+
+  test("coreset per-cell: single cell reproduces the exact greedy bitwise") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)),
+      (4L, Seq(0.7f, 0.7f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val oneCent = Seq((0L, Seq(1.0, 0.0, 0.0))).toDF("cell", "cv")
+    val perCell = Similarity.coresetGreedyPerCell(e, oneCent, 4)
+    assert(perCell.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L))
+    assert(coresetPicks(perCell.drop("cell")) ==
+      coresetPicks(Similarity.coresetGreedy(e, 4)))
+  }
+
+  test("coreset per-cell: well-separated clusters == exact greedy per cluster") {
+    // two orthogonal-subspace clusters; each vector's dominant component
+    // lies in its own cluster's subspace, so assignment is unambiguous
+    val a = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // dup of 0
+      (2L, Seq(0.6f, 0.8f, 0.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.4f, 0.0f, 0.0f)))
+    val b = Seq(
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f, 0.05f)),
+      (6L, Seq(0.0f, 0.0f, 0.7f, 0.7f)),
+      (7L, Seq(0.0f, 0.0f, 0.95f, 0.2f)))
+    val e = (a ++ b).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (20L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("cell", "cv")
+    val perCell = Similarity.coresetGreedyPerCell(e, cents, 3)
+    assert(coresetPicks(perCell.filter(col("cell") === 10L).drop("cell")) ==
+      coresetPicks(Similarity.coresetGreedy(a.toDF("vec_id", "embedding"), 3)))
+    assert(coresetPicks(perCell.filter(col("cell") === 20L).drop("cell")) ==
+      coresetPicks(Similarity.coresetGreedy(b.toDF("vec_id", "embedding"), 3)))
+  }
+
+  test("coreset per-cell: an m-member cell yields min(k, m) picks") {
+    val e = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cell", "cv")
+    val perCell = Similarity.coresetGreedyPerCell(e, cents, 5)
+    assert(coresetPicks(perCell.drop("cell")) ==
+      coresetPicks(Similarity.coresetGreedy(e, 2)))
+  }
+
   test("ols fit: exact recovery of a noiseless plane, r2=1, rmse~0") {
     val xy = Seq((0L, 0L, 2L), (1L, 0L, 5L), (0L, 1L, 7L), (2L, 1L, 13L),
         (3L, 4L, 31L))
