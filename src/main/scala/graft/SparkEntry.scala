@@ -164,6 +164,12 @@ object SparkEntry {
           col("pred_class"): _*)
     }),
 
+    // in-engine GBDT TRAINING (GBDT.cpp:50-117 analog, histogram method):
+    // depth-2 boosting over quantized integer features; one row per round
+    // (pre-round loss + fitted splits/leaves) + closing final-loss row
+    "gbdt_train" -> ((s, dir) =>
+      graft.ops.GbdtTrain.fitReport(seqs(s, dir))),
+
     // prefix/suffix silence trim + effective lengths (SampleAnalyser.cpp:646-676, 1715-1756)
     "silence_trim" -> ((s, dir) =>
       ll(s, dir).select(Seq(col("doc_id")) ++
@@ -273,6 +279,8 @@ object SparkEntry {
          |  $pred AS pred_class
          |FROM m""".stripMargin
     },
+
+    "gbdt_train" -> graft.ops.GbdtTrain.duckFitSql(Seqs.duckSql),
 
     "silence_trim" -> {
       val cols = Pipeline.EffectiveLengthThresholds.map { t =>

@@ -83,6 +83,10 @@ object expressions {
       es => SkipGrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_kmin",
       es => KMinAgg(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmin_d",
+      es => KMinAgg(es(0), es(1), dedup = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_tokens",
+      es => KmvTokensAgg(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_counts",
       es => UnigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
@@ -284,11 +288,26 @@ object expressions {
 
   /** Bounded k-min buffer: a max-heap of the `k` smallest values seen.
     * Insert is O(log k); state is exactly k longs — the property that
-    * makes [[KMinAgg]] a constant-state mergeable aggregate. */
-  final class KMinBuffer(val k: Int) {
+    * makes [[KMinAgg]] a constant-state mergeable aggregate.
+    *
+    * `dedup = true` keeps the k smallest DISTINCT values: a candidate that
+    * already sits in the heap is skipped (O(k) membership scan, paid only
+    * when the value would actually be kept — at most O(k log n) accepted
+    * inserts over n inputs, so the scan never touches the per-row hot
+    * path). An evicted value can never re-enter (eviction only removes the
+    * current max in favor of something smaller, so a re-arrival of an
+    * evicted value fails the `v < heap(0)` gate), which makes the dedup
+    * exact over the whole stream, not just the kept window. */
+  final class KMinBuffer(val k: Int, val dedup: Boolean = false) {
     val heap = new Array[Long](k) // max-heap over the kept minima
     var size = 0
+    private def contains(v: Long): Boolean = {
+      var i = 0
+      while (i < size) { if (heap(i) == v) return true; i += 1 }
+      false
+    }
     def insert(v: Long): Unit = {
+      if (dedup && (size < k || (k > 0 && v < heap(0))) && contains(v)) return
       if (size < k) {
         var i = size; heap(i) = v; size += 1
         while (i > 0 && heap((i - 1) / 2) < heap(i)) {
@@ -326,10 +345,15 @@ object expressions {
     * k-slot max-heap at every stage: map-side partials carry ≤ k longs per
     * group, merge is heap-into-heap, so the exchange traffic is
     * O(k × partitions) regardless of input size — the shape that lets a
-    * 10^12-row distinct sketch run in one pass. Duplicate inputs are kept
-    * (callers feed pre-distinct hashes). */
+    * 10^12-row distinct sketch run in one pass. With `dedup = false`
+    * duplicate inputs are kept (callers feed pre-distinct hashes); with
+    * `dedup = true` (`graft_kmin_d`) the buffer keeps the k smallest
+    * DISTINCT values, which removes the need for any corpus-wide
+    * `.distinct()` upstream — the k-min of a multiset's distinct values is
+    * computed directly from the raw duplicated stream. */
   case class KMinAgg(child: Expression, kE: Expression,
-      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0,
+      dedup: Boolean = false)
       extends org.apache.spark.sql.catalyst.expressions.aggregate
         .TypedImperativeAggregate[KMinBuffer] {
     private lazy val k = {
@@ -340,7 +364,8 @@ object expressions {
     override def children: Seq[Expression] = Seq(child, kE)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
-    override def createAggregationBuffer(): KMinBuffer = new KMinBuffer(k)
+    override def createAggregationBuffer(): KMinBuffer =
+      new KMinBuffer(k, dedup)
     override def update(b: KMinBuffer, row: InternalRow): KMinBuffer = {
       val v = child.eval(row)
       if (v != null) b.insert(v.asInstanceOf[Long])
@@ -363,7 +388,7 @@ object expressions {
     override def deserialize(bytes: Array[Byte]): KMinBuffer = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
       val n = bb.getInt()
-      val b = new KMinBuffer(k)
+      val b = new KMinBuffer(k, dedup)
       // heap-array order round-trips the heap property directly
       var i = 0
       while (i < n) { b.heap(i) = bb.getLong(); i += 1 }
@@ -376,6 +401,101 @@ object expressions {
       copy(inputAggBufferOffset = o)
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(child = c(0), kE = c(1))
+  }
+
+  /** Murmur3 64-bit finalizer constants + the golden-ratio gram multiplier
+    * used by [[KmvTokensAgg]]. Shared with the DuckDB mirror generator
+    * ([[graft.ops.Sketches.duckKmvTokensSql]]) so both engines mix the
+    * same u64 lattice. */
+  object KmvMix {
+    val C1: Long = 0xff51afd7ed558ccdL
+    val C2: Long = 0xc4ceb9fe1a85ec53L
+    val K3: Long = 0x9e3779b97f4a7c15L
+    val Mask60: Long = (1L << 60) - 1
+    /** Murmur3 fmix64 of `salt + gram·K3` masked to 60 bits. Java Long
+      * arithmetic IS mod-2^64 u64 arithmetic (wrap on multiply/add, `>>>`
+      * = unsigned shift, `^` bitwise), so the DuckDB hugeint rendering of
+      * the same steps is bitwise-identical. */
+    def hash(salt: Long, gram: Long): Long = {
+      var x = salt + gram * K3
+      x ^= (x >>> 33); x *= C1
+      x ^= (x >>> 33); x *= C2
+      x ^= (x >>> 33)
+      x & Mask60
+    }
+  }
+
+  /** graft_kmv_tokens(tokens ARRAY<INT>, salt BIGINT, k INT) → ARRAY<BIGINT>
+    *
+    * Fused KMV sketch over per-row token bigrams: for every adjacent pair
+    * the kernel packs the exact 24-bit gram identity ([[PackNgrams]]
+    * layout), mixes it with the group's salt through the Murmur3 64-bit
+    * finalizer ([[KmvMix]] — ~8 integer ops, no string render, no md5),
+    * masks to 60 bits, and feeds a dedup [[KMinBuffer]]. Aggregation state
+    * is a k-slot heap of distinct minima at every stage, so a corpus-scale
+    * distinct-count sketch runs as ONE narrow pass over the token arrays:
+    * no explode row materialization, no per-occurrence hash-string
+    * allocation, no corpus-wide `.distinct()` — the exchange carries ≤ k
+    * longs per (group, partition). This is the production form of the KMV
+    * family; [[KMinAgg]]`(dedup)` remains the generic any-column path. */
+  case class KmvTokensAgg(tokens: Expression, saltE: Expression,
+      kE: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate
+        .TypedImperativeAggregate[KMinBuffer] {
+    private lazy val k = {
+      val v = litInt(kE)
+      require(v >= 1 && v <= (1 << 20), s"kmv k must be 1..2^20, got $v")
+      v
+    }
+    override def children: Seq[Expression] = Seq(tokens, saltE, kE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): KMinBuffer =
+      new KMinBuffer(k, dedup = true)
+    override def update(b: KMinBuffer, row: InternalRow): KMinBuffer = {
+      val tAny = tokens.eval(row)
+      val sAny = saltE.eval(row)
+      if (tAny == null || sAny == null) return b
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val salt = sAny.asInstanceOf[Long]
+      var i = 0
+      while (i < arr.length - 1) {
+        val gram = (arr(i) + 2048L) * 4096L + (arr(i + 1) + 2048L)
+        b.insert(KmvMix.hash(salt, gram))
+        i += 1
+      }
+      b
+    }
+    override def merge(b: KMinBuffer, o: KMinBuffer): KMinBuffer = {
+      var i = 0
+      while (i < o.size) { b.insert(o.heap(i)); i += 1 }
+      b
+    }
+    override def eval(b: KMinBuffer): Any =
+      UnsafeArrayData.fromPrimitiveArray(b.sortedAsc)
+    override def serialize(b: KMinBuffer): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.size)
+      bb.putInt(b.size)
+      var i = 0
+      while (i < b.size) { bb.putLong(b.heap(i)); i += 1 }
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): KMinBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val b = new KMinBuffer(k, dedup = true)
+      var i = 0
+      while (i < n) { b.heap(i) = bb.getLong(); i += 1 }
+      b.size = n
+      b
+    }
+    override def withNewMutableAggBufferOffset(o: Int): KmvTokensAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvTokensAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), saltE = c(1), kE = c(2))
   }
 
   // ------------------------------------------------------------------

@@ -1179,6 +1179,157 @@ object Similarity {
        |FROM nn
        |GROUP BY anchor_id, alabel""".stripMargin
 
+  /** FULL-CORPUS batch-hard triplet mining: every vector is an anchor;
+    * candidate neighbors come from the banded sign-LSH join
+    * ([[embedCandidates]] — ids only, per-band equi-join) instead of a
+    * broadcast anchor set, so the plan scales with corpus size: no
+    * all-pairs product, no N-row broadcast, the heavy exchange carries
+    * (vec_id, band_hash) pairs and candidate ids only. Per anchor the
+    * DIFFERENT-label candidates rank by cosine desc (top-k = the hard
+    * negatives) and `pos_cos` is the hardest (lowest-cosine) SAME-label
+    * candidate — both computed over the LSH candidate set, which is the
+    * production trade: the S-curve `1 − (1 − s^r)^b` concentrates
+    * candidates exactly where hard negatives live (high cosine), while
+    * distant easy negatives — which batch-hard mining discards anyway —
+    * never generate a pair. [[hardNegatives]] (exact, broadcast-anchor) is
+    * this path's recall oracle at test scale; OpsSpec asserts equality of
+    * ranks/cosines on the candidate subgraph. */
+  def hardNegativesLsh(embeddings0: DataFrame, nBands: Int,
+      bitsPerBand: Int, k: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val cand = embedCandidates(embeddings0, nBands, bitsPerBand)
+    // symmetric closure: each undirected candidate pair serves both ends
+    val sym = cand.select(col("vec_a").as("anchor_id"),
+        col("vec_b").as("neighbor_id"))
+      .unionByName(cand.select(col("vec_b").as("anchor_id"),
+        col("vec_a").as("neighbor_id")))
+    val e = embeddings0.select(col("vec_id"), col("embedding"), col("label"))
+    val scored = sym
+      .join(e.select(col("vec_id").as("anchor_id"),
+        col("embedding").as("av"), col("label").as("alabel")), Seq("anchor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("label")), Seq("neighbor_id"))
+      .withColumn("cos", expr("graft_cosine(av, nv)"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+    val wNeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("pos_cos",
+        min(when(col("label") === col("alabel"), col("cos"))).over(wAll))
+      .filter(col("label") =!= col("alabel"))
+      .withColumn("rank", row_number().over(wNeg))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neighbor_id"),
+        col("cos").as("neg_cos"), col("pos_cos"),
+        (col("cos") - col("pos_cos")).as("margin"))
+  }
+
+  /** DuckDB mirror of [[hardNegativesLsh]] — candidate generation via the
+    * identical band-hash SQL, then the same label-split rank. */
+  def duckHardNegativesLshSql(nBands: Int, bitsPerBand: Int,
+      k: Int): String =
+    s"""WITH bh AS MATERIALIZED (
+       |${duckEmbedBandHashesSql(nBands, bitsPerBand)}),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bh a JOIN bh b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |    AND a.vec_id < b.vec_id),
+       |sym AS (
+       |  SELECT vec_a AS anchor_id, vec_b AS neighbor_id FROM cand
+       |  UNION ALL
+       |  SELECT vec_b AS anchor_id, vec_a AS neighbor_id FROM cand),
+       |scored AS (
+       |  SELECT s.anchor_id, ea.label AS alabel, s.neighbor_id, eb.label,
+       |    ${duckCosine("ea.embedding", "eb.embedding")} AS cos
+       |  FROM sym s
+       |  JOIN embeddings ea ON ea.vec_id = s.anchor_id
+       |  JOIN embeddings eb ON eb.vec_id = s.neighbor_id),
+       |wp AS (
+       |  SELECT *, min(CASE WHEN label = alabel THEN cos END)
+       |      OVER (PARTITION BY anchor_id) AS pos_cos
+       |  FROM scored)
+       |SELECT anchor_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  cos AS neg_cos, pos_cos, cos - pos_cos AS margin
+       |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |         ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |      FROM wp WHERE label <> alabel)
+       |WHERE rank <= $k""".stripMargin
+
+  /** FULL-CORPUS k-NN label-agreement screen: [[knnLabelAgreement]] with
+    * the broadcast anchor probe replaced by banded sign-LSH candidates —
+    * every vector is screened, and `k` becomes "up to k nearest
+    * CANDIDATES" (`n_cand` reports how many the bands produced; agreement
+    * divides by the actual neighborhood size, so sparse-candidate anchors
+    * are not penalized). Same ids-only scale shape as
+    * [[hardNegativesLsh]]; the exact broadcast form is the oracle. */
+  def knnAgreementLsh(embeddings0: DataFrame, nBands: Int,
+      bitsPerBand: Int, k: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val cand = embedCandidates(embeddings0, nBands, bitsPerBand)
+    val sym = cand.select(col("vec_a").as("anchor_id"),
+        col("vec_b").as("neighbor_id"))
+      .unionByName(cand.select(col("vec_b").as("anchor_id"),
+        col("vec_a").as("neighbor_id")))
+    val e = embeddings0.select(col("vec_id"), col("embedding"), col("label"))
+    val wNn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    sym
+      .join(e.select(col("vec_id").as("anchor_id"),
+        col("embedding").as("av"), col("label").as("alabel")), Seq("anchor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("label")), Seq("neighbor_id"))
+      .withColumn("cos", expr("graft_cosine(av, nv)"))
+      .withColumn("rank", row_number().over(wNn))
+      .filter(col("rank") <= k)
+      .groupBy(col("anchor_id"), col("alabel").as("label"))
+      .agg(sum(expr("IF(label = alabel, 1L, 0L)")).as("n_agree"),
+        count(lit(1)).as("n_cand"))
+      .selectExpr("anchor_id", "label", "n_agree", "n_cand",
+        "CAST(n_agree AS DOUBLE) / CAST(n_cand AS DOUBLE) AS agreement",
+        "2 * n_agree < n_cand AS suspect")
+  }
+
+  /** DuckDB mirror of [[knnAgreementLsh]]. */
+  def duckKnnAgreementLshSql(nBands: Int, bitsPerBand: Int,
+      k: Int): String =
+    s"""WITH bh AS MATERIALIZED (
+       |${duckEmbedBandHashesSql(nBands, bitsPerBand)}),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bh a JOIN bh b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |    AND a.vec_id < b.vec_id),
+       |sym AS (
+       |  SELECT vec_a AS anchor_id, vec_b AS neighbor_id FROM cand
+       |  UNION ALL
+       |  SELECT vec_b AS anchor_id, vec_a AS neighbor_id FROM cand),
+       |scored AS (
+       |  SELECT s.anchor_id, ea.label AS alabel, s.neighbor_id, eb.label,
+       |    ${duckCosine("ea.embedding", "eb.embedding")} AS cos
+       |  FROM sym s
+       |  JOIN embeddings ea ON ea.vec_id = s.anchor_id
+       |  JOIN embeddings eb ON eb.vec_id = s.neighbor_id),
+       |nn AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k)
+       |SELECT anchor_id, alabel AS label,
+       |  CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  CAST(count(*) AS BIGINT) AS n_cand,
+       |  CAST(sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS agreement,
+       |  2 * sum(CASE WHEN label = alabel THEN 1 ELSE 0 END) < count(*)
+       |    AS suspect
+       |FROM nn
+       |GROUP BY anchor_id, alabel""".stripMargin
+
   private def duckCosine(a: String, b: String): String =
     s"""(SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
        |        ELSE dot / sqrt(na * nb) END

@@ -173,6 +173,193 @@ object Sketches {
        |         / CAST(kth_min AS DOUBLE) END AS est_distinct
        |FROM sk""".stripMargin
 
+  /** Sketch-only KMV: the production form of [[kmvReport]] with the exact
+    * side (and its corpus-wide `.distinct()` shuffle) removed.
+    *
+    * [[kmvReport]] is the error-*report* form: it carries `n_exact`, which
+    * forces a full distinct over every per-source bigram before the
+    * bounded k-min reduce — at sf0.1 that distinct was 34 % of the whole
+    * bench battery, and at 100× it is a corpus-wide shuffle the sketch
+    * exists to avoid. Here the raw (duplicated) gram stream feeds
+    * `graft_kmin_d` directly: [[graft.functions.expressions.KMinAgg]] with
+    * in-heap dedup keeps the k smallest DISTINCT hashes, so the k-min of
+    * the distinct set is computed WITHOUT materializing the distinct set —
+    * state stays a k-slot heap at map/shuffle/final stages and the only
+    * exchange is ≤ k longs per (source, partition). The merged `__all__`
+    * row still folds the 20-row per-source partials (disjoint
+    * source-salted hash spaces, so a plain sort+slice merge is exact).
+    * `n_est` replaces `n_exact` everywhere downstream; keep [[kmvReport]]
+    * as the accuracy oracle at test scale. */
+  def kmvSketch(seqs: DataFrame, k: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val h = seqs
+      .select(col("source"),
+        explode(expr("graft_pack_ngrams(tokens, 2)")).as("gram"))
+      .select(col("source"),
+        conv(substring(md5(concat(lit("kmv:"), col("source"), lit(":"),
+          col("gram").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val perSource = h.groupBy(col("source"))
+      .agg(expr(s"graft_kmin_d(h, $k)").as("hs"))
+    val merged = perSource
+      .agg(expr(s"slice(array_sort(flatten(collect_list(hs))), 1, $k)")
+        .as("hs"))
+      .select(lit("__all__").as("source"), col("hs"))
+    perSource.unionByName(merged)
+      .select(col("source"),
+        expr(s"try_element_at(hs, $k)").as("kth_min"),
+        size(col("hs")).as("n_kept"))
+      .select(col("source"), col("kth_min"),
+        expr(s"""CASE WHEN n_kept < $k OR kth_min IS NULL
+                |  THEN CAST(n_kept AS DOUBLE)
+                |  ELSE CAST(${k - 1} AS DOUBLE) * CAST($KmvRange AS DOUBLE)
+                |       / CAST(kth_min AS DOUBLE) END""".stripMargin)
+          .as("est_distinct"))
+  }
+
+  /** DuckDB mirror of [[kmvSketch]] — the mirror reduces each source's
+    * DISTINCT hash set directly (exactly what the in-heap dedup computes
+    * from the raw stream); when the distinct set has fewer than k hashes
+    * the estimate falls back to the kept count, which in that regime IS
+    * the distinct count. */
+  def duckKmvSketchSql(seqsSql: String, k: Int): String =
+    s"""WITH seqs AS ($seqsSql),
+       |bi AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
+       |  FROM (SELECT source, unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5('kmv:' || source || ':' || gram), 1, 15))::BIGINT
+       |      AS h
+       |  FROM bi),
+       |per_source AS MATERIALIZED (
+       |  SELECT source, (list(h ORDER BY h))[1:$k] AS hs
+       |  FROM h GROUP BY 1),
+       |merged AS (
+       |  SELECT '__all__' AS source,
+       |    (SELECT (list(x ORDER BY x))[1:$k]
+       |     FROM (SELECT unnest(hs) AS x FROM per_source)) AS hs),
+       |sk AS (
+       |  SELECT source, hs[$k] AS kth_min, len(hs) AS n_kept
+       |  FROM (SELECT * FROM per_source UNION ALL SELECT * FROM merged))
+       |SELECT source, kth_min,
+       |  CASE WHEN n_kept < $k OR kth_min IS NULL
+       |    THEN CAST(n_kept AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE) * CAST($KmvRange AS DOUBLE)
+       |         / CAST(kth_min AS DOUBLE) END AS est_distinct
+       |FROM sk""".stripMargin
+
+  /** Production KMV: the fused token-array form. One narrow pass —
+    * [[graft.functions.expressions.KmvTokensAgg]] packs each bigram,
+    * mixes it with a per-SOURCE salt through the Murmur3 64-bit finalizer
+    * (integer ops only; the md5 render that made the explode form pay a
+    * string hash per gram OCCURRENCE runs here once per DOC row for the
+    * salt), and keeps the k smallest distinct 60-bit hashes in-heap. No
+    * explode, no distinct, no per-occurrence strings; the only exchange is
+    * ≤ k longs per (source, partition), merged exactly as [[kmvSketch]].
+    * Salting keeps per-source hash spaces effectively disjoint, so the
+    * `__all__` row (k-min over the folded per-source partials) estimates
+    * the SUM of per-source distinct counts — the same contract as
+    * [[kmvReport]], which remains the error oracle at test scale. */
+  def kmvTokens(seqs: DataFrame, k: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val salted = seqs.select(col("source"), col("tokens"),
+      conv(substring(md5(concat(lit("kmv:"), col("source"))), 1, 15), 16, 10)
+        .cast("long").as("salt"))
+    val perSource = salted.groupBy(col("source"))
+      .agg(expr(s"graft_kmv_tokens(tokens, salt, $k)").as("hs"))
+    val merged = perSource
+      .agg(expr(s"slice(array_sort(flatten(collect_list(hs))), 1, $k)")
+        .as("hs"))
+      .select(lit("__all__").as("source"), col("hs"))
+    perSource.unionByName(merged)
+      .select(col("source"),
+        expr(s"try_element_at(hs, $k)").as("kth_min"),
+        size(col("hs")).as("n_kept"))
+      .select(col("source"), col("kth_min"),
+        expr(s"""CASE WHEN n_kept < $k OR kth_min IS NULL
+                |  THEN CAST(n_kept AS DOUBLE)
+                |  ELSE CAST(${k - 1} AS DOUBLE) * CAST($KmvRange AS DOUBLE)
+                |       / CAST(kth_min AS DOUBLE) END""".stripMargin)
+          .as("est_distinct"))
+  }
+
+  // -- DuckDB u64 arithmetic renderings for the KMV mixer ---------------
+  // DuckDB BIGINT raises on overflow, so the mod-2^64 lattice that Java
+  // Long arithmetic gives for free is rendered in HUGEINT with explicit
+  // `% 2^64`, 32-bit-half decomposition for xor (DuckDB's xor() is
+  // BIGINT-only) and for the 128-bit-safe multiply.
+
+  private val U64 = "18446744073709551616" // 2^64
+  private val U32 = 4294967296L            // 2^32
+
+  /** u64 xor via 32-bit halves (each half fits signed BIGINT). */
+  private def duckXor64(a: String, b: String): String =
+    s"""(CAST(xor(CAST(($a) // $U32 AS BIGINT),
+       |          CAST(($b) // $U32 AS BIGINT)) AS HUGEINT) * $U32
+       | + xor(CAST(($a) % $U32 AS BIGINT), CAST(($b) % $U32 AS BIGINT)))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** (a · c) mod 2^64 with constant c split c = ch·2^32 + cl, so every
+    * intermediate product stays under 2^96 (hugeint-safe). */
+  private def duckMul64(a: String, c: Long): String = {
+    val cl = java.lang.Long.toUnsignedString(c & 0xffffffffL)
+    val ch = java.lang.Long.toUnsignedString(c >>> 32)
+    s"""((($a) * $cl + ((($a) * $ch) % $U32) * $U32) % $U64)"""
+  }
+
+  /** DuckDB mirror of [[kmvTokens]]. The mirror is free to take the slow
+    * road (DISTINCT per-source grams first, then hash the distinct set —
+    * the k-min of distinct hashes is exactly what the in-heap dedup
+    * computes from the raw stream); the Murmur3 fmix64 steps run as a CTE
+    * chain of hugeint ops bitwise-equal to Java Long arithmetic. */
+  def duckKmvTokensSql(seqsSql: String, k: Int): String = {
+    import graft.functions.expressions.KmvMix
+    val k3 = java.lang.Long.toUnsignedString(KmvMix.K3)
+    val shift33 = "8589934592" // 2^33
+    val mask60 = "1152921504606846976" // 2^60
+    def xs(x: String) = duckXor64(x, s"(($x) // $shift33)")
+    s"""WITH seqs AS ($seqsSql),
+       |salt AS (
+       |  SELECT source,
+       |    CAST(('0x' || substr(md5('kmv:' || source), 1, 15))::BIGINT
+       |      AS HUGEINT) AS salt
+       |  FROM (SELECT DISTINCT source FROM seqs)),
+       |bi AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
+       |  FROM (SELECT source, unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)),
+       |m0 AS (
+       |  SELECT b.source,
+       |    (s.salt + CAST(b.gram AS HUGEINT) * $k3) % $U64 AS x
+       |  FROM bi b JOIN salt s ON b.source = s.source),
+       |m1 AS (SELECT source, ${xs("x")} AS x FROM m0),
+       |m2 AS (SELECT source, ${duckMul64("x", KmvMix.C1)} AS x FROM m1),
+       |m3 AS (SELECT source, ${xs("x")} AS x FROM m2),
+       |m4 AS (SELECT source, ${duckMul64("x", KmvMix.C2)} AS x FROM m3),
+       |m5 AS (SELECT source, ${xs("x")} AS x FROM m4),
+       |h AS (SELECT DISTINCT source, CAST(x % $mask60 AS BIGINT) AS h FROM m5),
+       |per_source AS MATERIALIZED (
+       |  SELECT source, (list(h ORDER BY h))[1:$k] AS hs
+       |  FROM h GROUP BY 1),
+       |merged AS (
+       |  SELECT '__all__' AS source,
+       |    (SELECT (list(x ORDER BY x))[1:$k]
+       |     FROM (SELECT unnest(hs) AS x FROM per_source)) AS hs),
+       |sk AS (
+       |  SELECT source, hs[$k] AS kth_min, len(hs) AS n_kept
+       |  FROM (SELECT * FROM per_source UNION ALL SELECT * FROM merged))
+       |SELECT source, kth_min,
+       |  CASE WHEN n_kept < $k OR kth_min IS NULL
+       |    THEN CAST(n_kept AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE) * CAST($KmvRange AS DOUBLE)
+       |         / CAST(kth_min AS DOUBLE) END AS est_distinct
+       |FROM sk""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // HyperLogLog distinct-count sketch
   // ------------------------------------------------------------------

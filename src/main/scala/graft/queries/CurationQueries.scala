@@ -79,6 +79,11 @@ object CurationQueries {
   val BootstrapB = 200
   // kNN label-agreement neighborhood size
   val KnnAgreeK = 5
+  // full-corpus LSH screens: more/narrower bands than the near-dup
+  // detector — hard-negative mining wants a DENSER candidate neighborhood
+  // (recall at moderate cosine), where dedup only needs the >0.8 band
+  val HnLshBands = 8
+  val HnLshBits = 4
   // exact substring-span dedup: window length (tokens) and stride
   val SpanLen = 64
   val SpanStride = 16
@@ -290,6 +295,22 @@ object CurationQueries {
     "knn_label_check" -> ((s, dir) =>
       Similarity.knnLabelAgreement(
         s.read.parquet(s"$dir/embeddings.parquet"), TopKQueries, KnnAgreeK)),
+
+    // FULL-CORPUS batch-hard mining: every vector an anchor, neighbors
+    // from the banded sign-LSH candidate join (ids-only; no broadcast
+    // probe set, no all-pairs product) — the production form whose exact
+    // oracle is hard_negatives
+    "hard_negatives_lsh" -> ((s, dir) =>
+      Similarity.hardNegativesLsh(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        HnLshBands, HnLshBits, TopK)),
+
+    // FULL-CORPUS label-agreement screen over LSH candidates (knn_label_check
+    // is its exact broadcast oracle)
+    "knn_agree_lsh" -> ((s, dir) =>
+      Similarity.knnAgreementLsh(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        HnLshBands, HnLshBits, KnnAgreeK)),
 
     "embed_lsh" -> ((s, dir) =>
       Similarity.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -879,6 +900,12 @@ object CurationQueries {
     "hard_negatives" -> Similarity.duckHardNegativesSql(TopKQueries, TopK),
     "knn_label_check" ->
       Similarity.duckKnnLabelAgreementSql(TopKQueries, KnnAgreeK),
+
+    "hard_negatives_lsh" ->
+      Similarity.duckHardNegativesLshSql(HnLshBands, HnLshBits, TopK),
+
+    "knn_agree_lsh" ->
+      Similarity.duckKnnAgreementLshSql(HnLshBands, HnLshBits, KnnAgreeK),
     "embed_lsh" -> Similarity.duckLshBucketsSql(LshPlanes),
     "dedup_embed" -> Similarity.duckEmbeddingNearDupsSql(
       EmbedBands, EmbedBits, EmbedMinCos, src = "aug",

@@ -46,8 +46,18 @@ object SketchQueries {
       Sketches.countMinReport(Seqs.fromDocuments(s, dir),
         CmsDepth, CmsWidth)),
 
-    // KMV distinct-count sketch per source + merged global row
+    // KMV distinct-count sketch per source + merged global row —
+    // production sketch-only path: fused token-array aggregate (integer
+    // mixer + in-heap dedup k-min; no explode, no distinct, no
+    // per-occurrence hashing)
     "sketch_kmv" -> ((s, dir) =>
+      Sketches.kmvTokens(Seqs.fromDocuments(s, dir), KmvK)),
+
+    // KMV error-REPORT form (sketch + exact distinct side by side). The
+    // exact side costs a corpus-wide distinct shuffle by definition, so it
+    // lives here as the accuracy oracle at gate scale and stays out of the
+    // bench battery.
+    "sketch_kmv_exact" -> ((s, dir) =>
       Sketches.kmvReport(Seqs.fromDocuments(s, dir), KmvK)),
 
     // HLL register sketch per source + element-wise-max-merged union row
@@ -80,6 +90,9 @@ object SketchQueries {
       Sketches.duckCountMinSql(Seqs.duckSql, CmsDepth, CmsWidth),
 
     "sketch_kmv" ->
+      Sketches.duckKmvTokensSql(Seqs.duckSql, KmvK),
+
+    "sketch_kmv_exact" ->
       Sketches.duckKmvSql(Seqs.duckSql, KmvK),
 
     "sketch_hll" ->

@@ -36,11 +36,7 @@ import org.apache.spark.sql.functions._
   *  - AFEC's single-writer mutex (`Crawler.cpp:685`) disappears: the atomic
   *    pointer flip is the only serialization point and is O(1).
   */
-object KeyedSink {
-
-  final case class CommitStats(
-      snapshot: Int, totalRows: Long, upsertedRows: Long, deletedRows: Long,
-      partitions: Int)
+object KeyedSink extends SnapshotStore {
 
   private def latestFile(path: String) = Paths.get(path, "_latest")
 

@@ -35,6 +35,127 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(loaded == direct, "persisted-model scoring must equal direct")
   }
 
+  test("accuracy gate: train -> persist -> reload -> held-out classify, error <= 0.2") {
+    // The UnitTests.cpp:427-615 analog: the reference crawls a train set,
+    // trains, classifies the held-out test set and asserts error <= 0.2
+    // plus class-name round-trip through the persisted class list. Here:
+    // planted class-conditional token bands (with a 25% shared band so the
+    // problem is not degenerate), hash split, NB fit on train only,
+    // model + priors + class metadata persisted via KeyedSink, everything
+    // reloaded from disk, held-out scoring through classifyWith (OOV grams
+    // hit the persisted smoothing floor), and the same accuracy bar.
+    graft.functions.expressions.register(spark)
+    val classes = Seq("news", "code", "forum")
+    val docs = (0 until 90).map { d =>
+      val c = d % 3
+      val toks = Seq.tabulate(120) { i =>
+        val noise = (d * 31 + i * 17) % 400
+        if ((d * 7 + i) % 4 == 0) 1900 + (noise % 100) // shared band
+        else c * 600 + noise                            // class band
+      }
+      (s"d$d", toks, classes(c))
+    }
+    val all = docs.toDF("doc_id", "tokens", "source")
+    val isTest = (d: Int) => d % 5 == 0
+    val train = all.filter(expr("CAST(substring(doc_id, 2) AS INT) % 5 != 0"))
+    val test = all.filter(expr("CAST(substring(doc_id, 2) AS INT) % 5 = 0"))
+
+    // train once, persist the full artifact set
+    val (m, p) = graft.ops.NaiveBayes.fitModel(train)
+    val dir = freshPath()
+    KeyedSink.upsert(spark, s"$dir/model",
+      m.withColumn("mk", concat_ws(":", col("gram"), col("source"))), "mk")
+    KeyedSink.upsert(spark, s"$dir/priors", p, "source")
+    KeyedSink.writeClassifierMeta(spark, s"$dir/meta",
+      Seq(("nb-source", classes.sorted, "v1")))
+
+    // reload EVERYTHING from the sink and classify the held-out split
+    val m2 = KeyedSink.read(spark, s"$dir/model", "mk").get.drop("mk")
+    val p2 = KeyedSink.read(spark, s"$dir/priors", "source").get
+    val meta = KeyedSink.readClassifierMeta(spark, s"$dir/meta").get
+      .filter(col("classifier") === "nb-source").collect()(0)
+    val metaClasses = meta.getSeq[String](meta.fieldIndex("classes"))
+    val scored = graft.ops.NaiveBayes.classifyWith(test, m2, p2).collect()
+
+    assert(scored.length == docs.count(d => isTest(d._1.drop(1).toInt)))
+    val err = scored.count(!_.getAs[Boolean]("correct")).toDouble / scored.length
+    assert(err <= 0.2, s"held-out error $err exceeds the 0.2 gate")
+    // class-name round trip: every prediction is a persisted class name,
+    // and the persisted list is exactly the trained source set
+    val preds = scored.map(_.getAs[String]("pred")).toSet
+    assert(preds.subsetOf(metaClasses.toSet))
+    assert(metaClasses.toSeq == classes.sorted)
+    // margins are int64 micro-nats (determinism contract survives the
+    // persist/reload boundary)
+    assert(scored.forall(_.getAs[Long]("margin_micro") >= 0L))
+  }
+
+  test("SnapshotStore conformance: the contract holds through the seam type") {
+    // Runs against the INTERFACE, not the object: an Iceberg-backed
+    // implementation drops in here unchanged and inherits the contract
+    // (SnapshotStore's scaladoc maps each method to its MERGE INTO /
+    // VERSION AS OF / table_changes equivalent).
+    val store: graft.sink.SnapshotStore = KeyedSink
+    val path = freshPath()
+    val k = "doc_id"
+
+    // 1+2: atomic visibility + idempotent upsert
+    val b1 = Seq(("a", 1L), ("b", 2L)).toDF(k, "v")
+    val s1 = store.upsert(spark, path, b1, k, None, None)
+    assert(s1.snapshot == 1 && s1.totalRows == 2)
+    val s2 = store.upsert(spark, path, b1, k, None, None)
+    assert(s2.snapshot == 2 && s2.totalRows == 2, "idempotent re-upsert")
+
+    // 3: last-writer-wins by key, via the merge-on-read delta path
+    val s3 = store.upsertDelta(spark, path,
+      Seq(("b", 20L), ("c", 3L)).toDF(k, "v"), k, None)
+    assert(s3.totalRows == 3)
+    val live = store.read(spark, path, k).get.orderBy(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(live == Seq(("a", 1L), ("b", 20L), ("c", 3L)))
+
+    // 4: immutable history — snapshot 2's state is still readable
+    val at2 = store.readAt(spark, path, 2, k).get.orderBy(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(at2 == Seq(("a", 1L), ("b", 2L)))
+
+    // incremental scan across the delta commit
+    val ch = store.changedSince(spark, path, 2, 3, k).get
+      .collect().map(r => (r.getString(0), r.getAs[String]("change_type")))
+      .toSet
+    assert(ch == Set(("b", "updated"), ("c", "added")))
+
+    // compaction folds the chain and preserves the live state
+    assert(store.compact(spark, path, k).isDefined)
+    val folded = store.read(spark, path, k).get.orderBy(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(folded == live)
+
+    // 5: exactly-once streaming — a replayed batch id is a no-op
+    val sp = freshPath()
+    assert(store.upsertStreamBatch(spark, sp, 7L,
+      Seq(("x", 1L)).toDF(k, "v"), k).isDefined)
+    assert(store.lastStreamBatch(sp).contains(7L))
+    assert(store.upsertStreamBatch(spark, sp, 7L,
+      Seq(("x", 99L)).toDF(k, "v"), k).isEmpty, "replay must skip")
+    val xv = store.read(spark, sp, k).get.collect()(0).getLong(1)
+    assert(xv == 1L, "replayed batch must not overwrite")
+
+    // pending: version-diff resume through the seam
+    val vp = freshPath()
+    val src = Seq(("a", "v2"), ("d", "v1")).toDF(k, "version")
+    store.upsert(spark, vp, Seq(("a", "v1")).toDF(k, "version"), k, None, None)
+    val pend = store.pending(spark, vp, src, k, "version")
+      .collect().map(_.getString(0)).toSet
+    assert(pend == Set("a", "d"), "changed version + new key are pending")
+
+    // classifier side table through the seam
+    val mp = freshPath()
+    store.writeClassifierMeta(spark, mp, Seq(("clf", Seq("x", "y"), "v1")))
+    val meta = store.readClassifierMeta(spark, mp).get.collect()(0)
+    assert(meta.getSeq[String](meta.fieldIndex("classes")) == Seq("x", "y"))
+  }
+
   test("first upsert creates snapshot 1 with all rows") {
     val path = freshPath()
     val df = Seq(("a", 1, 10.0), ("b", 1, 20.0)).toDF("doc_id", "v", "x")

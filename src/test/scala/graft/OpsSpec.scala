@@ -2170,6 +2170,100 @@ class OpsSpec extends AnyFunSuite {
     assert(solo.nonEmpty && solo.forall(r => r.isNullAt(r.fieldIndex("pos_cos"))))
   }
 
+  test("full-corpus LSH hard negatives: exact ranking on the candidate subgraph") {
+    // 24 vectors in 3 label groups with correlated directions so the sign
+    // bands produce a dense candidate graph
+    val e = (0 until 24).map { i =>
+      val g = i % 3
+      val v = Seq.tabulate(8)(j =>
+        (math.cos(0.4 * g + 0.15 * j + 0.05 * i) +
+          0.3 * math.sin(1.7 * i + j)).toFloat)
+      (i.toLong, v, g)
+    }.toDF("vec_id", "embedding", "label")
+    val (bands, bits) = (6, 3)
+    val out = Similarity.hardNegativesLsh(e, bands, bits, 3).collect()
+    // reference: collected candidate pairs + double-cosine ranking
+    val cand = Similarity.embedCandidates(e, bands, bits).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = (0 until 24).map { i =>
+      val g = i % 3
+      i.toLong -> (Seq.tabulate(8)(j =>
+        (math.cos(0.4 * g + 0.15 * j + 0.05 * i) +
+          0.3 * math.sin(1.7 * i + j)).toFloat), g)
+    }.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (j <- a.indices) {
+        dot += a(j).toDouble * b(j).toDouble
+        na += a(j).toDouble * a(j).toDouble
+        nb += b(j).toDouble * b(j).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val neigh = (cand ++ cand.map(p => (p._2, p._1))).groupBy(_._1)
+    val expect = neigh.flatMap { case (a, ps) =>
+      val (av, alabel) = vecs(a)
+      val scored = ps.map(_._2).toSeq.map { n =>
+        val (nv, nl) = vecs(n); (n, cos(av, nv), nl)
+      }
+      val negs = scored.filter(_._3 != alabel)
+        .sortBy { case (n, c, _) => (-c, n) }.take(3)
+      negs.zipWithIndex.map { case ((n, c, _), r) => (a, r + 1) -> (n, c) }
+    }
+    val gotRows = out.map(r => (r.getAs[Long]("anchor_id"),
+      r.getAs[Int]("rank")) -> (r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("neg_cos"))).toMap
+    assert(gotRows.keySet == expect.keySet,
+      "LSH path must rank exactly the candidate subgraph")
+    for ((k, (n, c)) <- expect) {
+      assert(gotRows(k)._1 == n, s"neighbor mismatch at $k")
+      assert(math.abs(gotRows(k)._2 - c) < 1e-12)
+    }
+    // agreement screen over the same candidate graph
+    val agree = Similarity.knnAgreementLsh(e, bands, bits, 5).collect()
+      .map(r => r.getAs[Long]("anchor_id") ->
+        (r.getAs[Long]("n_agree"), r.getAs[Long]("n_cand"))).toMap
+    val expAgree = neigh.map { case (a, ps) =>
+      val (av, alabel) = vecs(a)
+      val top = ps.map(_._2).toSeq.map { n =>
+        val (nv, nl) = vecs(n); (n, cos(av, nv), nl)
+      }.sortBy { case (n, c, _) => (-c, n) }.take(5)
+      a -> (top.count(_._3 == alabel).toLong, top.size.toLong)
+    }
+    assert(agree == expAgree)
+  }
+
+  test("gbdt training: monotone loss descent, partition invariance, planted structure") {
+    // planted corpus: the label's XOR term needs depth 2; the fit must cut
+    // loss every round and be bitwise-stable under repartitioning
+    val docs = (0 until 200).map { d =>
+      val toks = Seq.tabulate(96) { i =>
+        val v = ((d * 37 + i * i * 13 + 7 * i) % 1999) - 999
+        if ((d * 3 + i) % 11 == 0) 0 else v
+      }
+      (s"d$d", toks, toks.length, s"s${d % 4}")
+    }
+    val seqs = docs.toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = graft.ops.GbdtTrain.fitReport(seqs, rounds = 4)
+      .orderBy("round").collect()
+    assert(rep.length == 5)
+    val losses = rep.map(_.getAs[Long]("loss_pre")).toSeq
+    assert(losses == losses.sorted.reverse && losses.distinct == losses,
+      s"loss must strictly decrease: $losses")
+    assert(losses.last < losses.head,
+      "boosting must reduce training loss overall")
+    // exact reproducibility across partitionings (order-free aggregation)
+    val rep2 = graft.ops.GbdtTrain.fitReport(seqs.repartition(13), rounds = 4)
+      .orderBy("round").collect()
+    assert(rep.map(_.toSeq).toSeq == rep2.map(_.toSeq).toSeq,
+      "fit must be bitwise partition-invariant")
+    // structural sanity: every non-marker split is a real (feature, bin)
+    for (r <- rep.dropRight(1)) {
+      assert(r.getAs[Int]("root_f") >= 0 && r.getAs[Int]("root_f") < 4)
+      assert(r.getAs[Int]("root_bin") >= 0 && r.getAs[Int]("root_bin") < 16)
+    }
+  }
+
   test("semdedup: in-cell pruning, centroid-rank precedence, cross-cell blind spot") {
     val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
       .toDF("cell", "cv")

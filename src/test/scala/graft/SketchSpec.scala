@@ -126,6 +126,93 @@ class SketchSpec extends AnyFunSuite {
     assert(gotSmall.toSeq == (0L until 10L).toSeq)
   }
 
+  test("kmin_d aggregate: duplicate-laden stream yields k smallest DISTINCT") {
+    graft.functions.expressions.register(spark)
+    // every value appears 1 + (v % 5) times, shuffled across 16 partitions:
+    // the plain kmin would return duplicates; kmin_d must dedup in-heap
+    val base = (0 until 800).map(i => (i * 2654435761L) % 99991L)
+    val dup = base.flatMap(v => Seq.fill(1 + (v % 5).toInt)(v))
+    val vals = new scala.util.Random(7).shuffle(dup).zipWithIndex
+      .toDF("v", "i").repartition(16)
+    val got = vals.groupBy().agg(expr("graft_kmin_d(v, 40)").as("hs"))
+      .collect()(0).getSeq[Long](0)
+    val exact = base.distinct.sorted.take(40)
+    assert(got.toSeq == exact,
+      "in-heap dedup must equal k-min over the distinct set")
+    assert(got.distinct.size == got.size, "no duplicate survives the heap")
+    // duplicates-only small input: fewer distincts than k
+    val small = Seq.fill(30)(7L).zipWithIndex.toDF("v", "i")
+    val gotSmall = small.groupBy().agg(expr("graft_kmin_d(v, 8)").as("hs"))
+      .collect()(0).getSeq[Long](0)
+    assert(gotSmall.toSeq == Seq(7L))
+  }
+
+  test("KMV sketch-only path: equals the report's sketch columns, no distinct") {
+    // same corpus as the merge test: kmvSketch (raw duplicated stream +
+    // in-heap dedup) must reproduce kmvReport's kth_min/est bitwise
+    val seqs = (0 until 8).map { d =>
+      (s"d$d",
+        Seq.tabulate(600)(i => (d * 601 + i * i * 17 + i) % 1499 - 700),
+        600, s"src${d % 4}")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = Sketches.kmvReport(seqs, k = 32).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct"))).toMap
+    val sk = Sketches.kmvSketch(seqs, k = 32).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct"))).toMap
+    assert(sk.keySet == rep.keySet)
+    for ((s, (kth, est)) <- rep) assert(sk(s) == ((kth, est)),
+      s"sketch-only path diverged from report sketch at $s")
+    // and the plan has no Distinct/expand over the gram stream
+    val plan = Sketches.kmvSketch(seqs, k = 32)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Deduplicate"),
+      "sketch-only path must not plan a corpus-wide distinct")
+  }
+
+  test("KMV fused token aggregate: equals brute-force distinct mixer k-min") {
+    import graft.functions.expressions.KmvMix
+    val docs = (0 until 12).map { d =>
+      (s"d$d",
+        Seq.tabulate(500)(i => (d * 313 + i * i * 29 + 3 * i) % 1800 - 900),
+        500, s"src${d % 3}")
+    }
+    val seqs = docs.toDF("doc_id", "tokens", "n_tok", "source")
+      .repartition(16)
+    val k = 24
+    val got = Sketches.kmvTokens(seqs, k).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("kth_min")).toMap
+    // brute force: per source, distinct mixed bigram hashes, k-th smallest
+    def saltOf(src: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"kmv:$src".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expect = docs.groupBy(_._4).map { case (src, ds) =>
+      val salt = saltOf(src)
+      val hs = ds.flatMap { case (_, toks, _, _) =>
+        toks.sliding(2).map { p =>
+          KmvMix.hash(salt, (p(0) + 2048L) * 4096L + (p(1) + 2048L))
+        }
+      }.distinct.sorted
+      src -> hs(k - 1)
+    }
+    for ((src, kth) <- expect)
+      assert(got(src) == kth, s"fused kmv diverged at $src")
+    // merged row: k-th smallest over the union of per-source distinct sets
+    val allHs = docs.groupBy(_._4).toSeq.flatMap { case (src, ds) =>
+      val salt = saltOf(src)
+      ds.flatMap { case (_, toks, _, _) =>
+        toks.sliding(2).map { p =>
+          KmvMix.hash(salt, (p(0) + 2048L) * 4096L + (p(1) + 2048L))
+        }
+      }.distinct
+    }.sorted
+    assert(got("__all__") == allHs(k - 1))
+  }
+
   test("bloom pruning: zero false negatives, nontrivial pruning, fp accounting") {
     val universe = (0L until 400L).map(i => (i, i % 11 == 0))
       .toDF("id", "member")
