@@ -71,7 +71,7 @@ object Explain {
         SparkEntry.queries("seq_split")(spark, sfDir),
       "pmi_top (one bigram exchange, broadcast unigram table x2, take-ordered)" ->
         SparkEntry.queries("pmi_top")(spark, sfDir),
-      "sketch_kmv (one distinct + one groupBy pass: count + bounded kmin together)" ->
+      "sketch_kmv (fused token-array KMV: ONE corpus pass — zero explode/distinct, bounded in-heap-dedup kmin; the displayed plan is only the model-sized tail because the __all__ row is the driver-side fold of the collected per-source partials)" ->
         SparkEntry.queries("sketch_kmv")(spark, sfDir),
       "skipgram_top (native pair codes, one count exchange, take-ordered top-k)" ->
         SparkEntry.queries("skipgram_top")(spark, sfDir),
@@ -134,7 +134,13 @@ object Explain {
       "dedup_sorted_screen (one distributed sort + adjacency window, no candidate generation)" ->
         SparkEntry.queries("dedup_sorted_screen")(spark, sfDir),
       "value_cusum (one (type, day) exchange, model-sized series kernel)" ->
-        SparkEntry.queries("value_cusum")(spark, sfDir))
+        SparkEntry.queries("value_cusum")(spark, sfDir),
+      "hard_negatives_lsh (full-corpus mining: ids-only band join, vector re-fetch, one anchor exchange)" ->
+        SparkEntry.queries("hard_negatives_lsh")(spark, sfDir),
+      "knn_agree_lsh (same candidate graph through the label-agreement screen)" ->
+        SparkEntry.queries("knn_agree_lsh")(spark, sfDir),
+      "coreset_cells (broadcast centroid assignment, one cell exchange, per-cell greedy kernel)" ->
+        SparkEntry.queries("coreset_cells")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")

@@ -141,7 +141,23 @@ object GbdtTrain {
     * closing row (`round = rounds+1`, `root_f = −2`) carrying the final
     * loss, so the output itself evidences monotone descent. */
   def fitReport(seqs: DataFrame, rounds: Int = DefaultRounds,
-                bins: Int = DefaultBins): DataFrame = {
+                bins: Int = DefaultBins): DataFrame =
+    fit(seqs, rounds, bins)._1
+
+  /** [[fitReport]]'s companion surface closing the train → apply loop: the
+    * per-doc predictions of the fitted ensemble, `(doc_id, y, pred_micro)`
+    * — the additive CASE-expression application of every fitted tree (the
+    * same compiled-expression shape [[TreeEnsemble.score]] uses for
+    * external models). `Σ (y − pred)²` over this table equals the report's
+    * closing-row loss exactly (pinned in OpsSpec). */
+  def fitPredict(seqs: DataFrame, rounds: Int = DefaultRounds,
+                 bins: Int = DefaultBins): DataFrame = {
+    val (_, binned, predC) = fit(seqs, rounds, bins)
+    binned.select(col("doc_id"), col("y"), predC.as("pred_micro"))
+  }
+
+  private def fit(seqs: DataFrame, rounds: Int, bins: Int)
+      : (DataFrame, DataFrame, Column) = {
     val spark = seqs.sparkSession
     val fm = features(seqs)
     // quantization constants: one tiny agg (8 longs of planning metadata)
@@ -152,7 +168,7 @@ object GbdtTrain {
     // binned working set, checkpointed once: every round re-reads bins+y
     // only (at cluster scale: a persisted/checkpointed narrow table)
     val binned = fm.select(
-      (col("y") +: Seq.tabulate(NF)(f =>
+      (col("doc_id") +: col("y") +: Seq.tabulate(NF)(f =>
         binCol(f, mm(f)._1, mm(f)._2, bins).as(s"b$f"))): _*)
       .localCheckpoint(true)
     // base prediction: integer floor-mean of y (both engines: positive DIV)
@@ -211,7 +227,8 @@ object GbdtTrain {
     val fin = binned.withColumn("resid", col("y") - predC)
       .agg(sum(col("resid") * col("resid"))).collect()(0).getLong(0)
     out += Row(rounds + 1, fin, -2, 0, -2, 0, -2, 0, 0L, 0L, 0L, 0L)
-    spark.createDataFrame(new java.util.ArrayList[Row](out.asJava), OutSchema)
+    (spark.createDataFrame(new java.util.ArrayList[Row](out.asJava), OutSchema),
+      binned, predC)
   }
 
   // ------------------------------------------------------------------

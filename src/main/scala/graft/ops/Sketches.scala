@@ -264,17 +264,34 @@ object Sketches {
     * the SUM of per-source distinct counts — the same contract as
     * [[kmvReport]], which remains the error oracle at test scale. */
   def kmvTokens(seqs: DataFrame, k: Int): DataFrame = {
-    graft.functions.expressions.register(seqs.sparkSession)
+    val spark = seqs.sparkSession
+    graft.functions.expressions.register(spark)
     val salted = seqs.select(col("source"), col("tokens"),
       conv(substring(md5(concat(lit("kmv:"), col("source"))), 1, 15), 16, 10)
         .cast("long").as("salt"))
-    val perSource = salted.groupBy(col("source"))
+    // ONE corpus pass. The `__all__` row is then the associative merge of
+    // the per-source PARTIALS (≤ sources × k longs — model-sized), folded
+    // on the driver: a `unionByName(perSource.agg(...))` form instead made
+    // Catalyst plan the scan + kernel aggregation TWICE (no cross-branch
+    // subtree reuse), doubling the only expensive stage.
+    val per = salted.groupBy(col("source"))
       .agg(expr(s"graft_kmv_tokens(tokens, salt, $k)").as("hs"))
-    val merged = perSource
-      .agg(expr(s"slice(array_sort(flatten(collect_list(hs))), 1, $k)")
-        .as("hs"))
-      .select(lit("__all__").as("source"), col("hs"))
-    perSource.unionByName(merged)
+      .collect()
+    val mergedHs = per.flatMap(_.getSeq[Long](1)).sorted.take(k).toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("hs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false),
+        nullable = false)))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      per.toSeq.map(r => org.apache.spark.sql.Row(
+        r.getString(0), r.getSeq[Long](1))) :+
+        org.apache.spark.sql.Row("__all__", mergedHs)
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
       .select(col("source"),
         expr(s"try_element_at(hs, $k)").as("kth_min"),
         size(col("hs")).as("n_kept"))

@@ -2262,6 +2262,15 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Int]("root_f") >= 0 && r.getAs[Int]("root_f") < 4)
       assert(r.getAs[Int]("root_bin") >= 0 && r.getAs[Int]("root_bin") < 16)
     }
+    // train -> apply loop closes: the applied ensemble's residual loss is
+    // exactly the report's closing row
+    val preds = graft.ops.GbdtTrain.fitPredict(seqs, rounds = 4).collect()
+    assert(preds.length == 200)
+    val applied = preds.map { p =>
+      val d = p.getAs[Long]("y") - p.getAs[Long]("pred_micro"); d * d
+    }.sum
+    assert(applied == losses.last,
+      "applied-tree loss must equal the report's final loss")
   }
 
   test("semdedup: in-cell pruning, centroid-rank precedence, cross-cell blind spot") {
