@@ -170,6 +170,11 @@ object SparkEntry {
     "gbdt_train" -> ((s, dir) =>
       graft.ops.GbdtTrain.fitReport(seqs(s, dir))),
 
+    // k-fold BAGGED fit (Bagging.h:191-217 analog): per-fold train/
+    // out-of-bag losses + the fold-averaged predictor's full-corpus loss
+    "gbdt_bagged" -> ((s, dir) =>
+      graft.ops.GbdtTrain.fitBagged(seqs(s, dir))),
+
     // prefix/suffix silence trim + effective lengths (SampleAnalyser.cpp:646-676, 1715-1756)
     "silence_trim" -> ((s, dir) =>
       ll(s, dir).select(Seq(col("doc_id")) ++
@@ -281,6 +286,8 @@ object SparkEntry {
     },
 
     "gbdt_train" -> graft.ops.GbdtTrain.duckFitSql(Seqs.duckSql),
+
+    "gbdt_bagged" -> graft.ops.GbdtTrain.duckBaggedSql(Seqs.duckSql),
 
     "silence_trim" -> {
       val cols = Pipeline.EffectiveLengthThresholds.map { t =>

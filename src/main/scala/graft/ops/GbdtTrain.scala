@@ -156,23 +156,34 @@ object GbdtTrain {
     binned.select(col("doc_id"), col("y"), predC.as("pred_micro"))
   }
 
-  private def fit(seqs: DataFrame, rounds: Int, bins: Int)
+  /** Core fitter. `trainPred` (over the [[features]] columns — doc_id and
+    * f0..f3) restricts histogram building, quantization constants, the
+    * base mean and every reported loss to the TRAIN subset, while the
+    * prediction column applies to every row — the leak-free k-fold shape
+    * [[fitBagged]] composes. The default `lit(true)` trains on everything
+    * (identical to the pre-predicate form, bit for bit). */
+  private def fit(seqs: DataFrame, rounds: Int, bins: Int,
+                  trainPred: Column = lit(true))
       : (DataFrame, DataFrame, Column) = {
     val spark = seqs.sparkSession
     val fm = features(seqs)
-    // quantization constants: one tiny agg (8 longs of planning metadata)
-    val mmRow = fm.agg(
+    // quantization constants from the TRAIN subset only: one tiny agg
+    // (8 longs of planning metadata)
+    val mmRow = fm.filter(trainPred).agg(
       min("f0"), max("f0"), min("f1"), max("f1"),
       min("f2"), max("f2"), min("f3"), max("f3")).collect()(0)
     val mm = Array.tabulate(NF)(f => (mmRow.getLong(2 * f), mmRow.getLong(2 * f + 1)))
     // binned working set, checkpointed once: every round re-reads bins+y
     // only (at cluster scale: a persisted/checkpointed narrow table)
     val binned = fm.select(
-      (col("doc_id") +: col("y") +: Seq.tabulate(NF)(f =>
-        binCol(f, mm(f)._1, mm(f)._2, bins).as(s"b$f"))): _*)
+      (col("doc_id") +: trainPred.as("is_train") +: col("y") +:
+        Seq.tabulate(NF)(f =>
+          binCol(f, mm(f)._1, mm(f)._2, bins).as(s"b$f"))): _*)
       .localCheckpoint(true)
-    // base prediction: integer floor-mean of y (both engines: positive DIV)
-    val b0 = binned.agg(sum("y"), count(lit(1))).collect()(0)
+    // base prediction: integer floor-mean of train y (both engines:
+    // positive DIV)
+    val b0 = binned.filter(col("is_train"))
+      .agg(sum("y"), count(lit(1))).collect()(0)
     val base = b0.getLong(0) / b0.getLong(1)
 
     var predC: Column = lit(base)
@@ -180,8 +191,9 @@ object GbdtTrain {
     var lastLoss = 0L
     for (r <- 1 to rounds) {
       val resid = binned.withColumn("resid", col("y") - predC)
+      val train = resid.filter(col("is_train"))
       // loss + root histogram in ONE pass: long-form over the 4 features
-      val longF = resid.select(col("resid"),
+      val longF = train.select(col("resid"),
         posexplode(array(Seq.tabulate(NF)(f => col(s"b$f")): _*))
           .as(Seq("f", "bin")))
       val histRows = longF.groupBy("f", "bin")
@@ -197,7 +209,7 @@ object GbdtTrain {
         if (rootS.f < 0) lit(0)
         else when(col(s"b${rootS.f}") <= rootS.t, lit(0)).otherwise(lit(1))
       // level-2 histograms, keyed by side
-      val hist2Rows = resid.withColumn("side", sideC)
+      val hist2Rows = train.withColumn("side", sideC)
         .select(col("side"), col("resid"),
           posexplode(array(Seq.tabulate(NF)(f => col(s"b$f")): _*))
             .as(Seq("f", "bin")))
@@ -223,12 +235,60 @@ object GbdtTrain {
       out += Row(r, loss, rootS.f, rootS.t, lS.f, lS.t, rS.f, rS.t,
         vs(0), vs(1), vs(2), vs(3))
     }
-    // closing row: final loss after the last update
-    val fin = binned.withColumn("resid", col("y") - predC)
+    // closing row: final train loss after the last update
+    val fin = binned.filter(col("is_train"))
+      .withColumn("resid", col("y") - predC)
       .agg(sum(col("resid") * col("resid"))).collect()(0).getLong(0)
     out += Row(rounds + 1, fin, -2, 0, -2, 0, -2, 0, 0L, 0L, 0L, 0L)
     (spark.createDataFrame(new java.util.ArrayList[Row](out.asJava), OutSchema),
       binned, predC)
+  }
+
+  /** k-FOLD BAGGED fit — the reference's actual model-creation shape
+    * (`Bagging.h:191-217`: LightGBM bagged over cross-validation folds;
+    * `ClassificationTestDataSet.cpp:455-530` builds the folds). Fold `f`
+    * trains on documents with `doc_num % folds ≠ f` (quantization, base
+    * mean and histograms all train-side only — leak-free), predicts
+    * everyone; the bagged predictor is the integer-floored mean of the
+    * fold predictors. Output: one `(part, loss)` row per fold×{train,oob}
+    * plus `bagged_full` — Jensen guarantees bagged_full ≤ mean of the
+    * folds' full-corpus losses (up to ±1-micro flooring), which the spec
+    * asserts. Cost: folds × the [[fitReport]] job graph + one folds-way
+    * doc_id join for the average — each join side is the narrow binned
+    * table, co-partitioned on doc_id. */
+  def fitBagged(seqs: DataFrame, folds: Int = 3, rounds: Int = 2,
+                bins: Int = DefaultBins): DataFrame = {
+    require(folds >= 2, "bagging needs at least 2 folds")
+    val spark = seqs.sparkSession
+    val fits = (0 until folds).map { f =>
+      val pred = expr(
+        s"CAST(substring(doc_id, 2) AS BIGINT) % $folds != $f")
+      val (rep, binned, predC) = fit(seqs, rounds, bins, pred)
+      val trainLoss = rep.orderBy(col("round").desc).collect()(0)
+        .getAs[Long]("loss_pre")
+      val oob = binned.filter(!col("is_train"))
+        .withColumn("resid", col("y") - predC)
+        .agg(sum(col("resid") * col("resid"))).collect()(0).getLong(0)
+      (f, trainLoss, oob, binned.select(col("doc_id"), col("y"),
+        predC.as(s"p$f")))
+    }
+    val joined = fits.map(_._4).reduce((a, b) =>
+      a.join(b.drop("y"), Seq("doc_id")))
+    val baggedLoss = joined
+      .withColumn("bp", expr(
+        s"CAST(floor(CAST(${fits.map(f => s"p${f._1}").mkString(" + ")} " +
+          s"AS DOUBLE) / $folds) AS BIGINT)"))
+      .withColumn("resid", col("y") - col("bp"))
+      .agg(sum(col("resid") * col("resid"))).collect()(0).getLong(0)
+    val rows: Seq[Row] =
+      fits.flatMap { case (f, tr, ho, _) =>
+        Seq(Row(s"fold${f}_train", tr), Row(s"fold${f}_oob", ho)) } :+
+        Row("bagged_full", baggedLoss)
+    val schema = StructType(Seq(
+      StructField("part", StringType, nullable = false),
+      StructField("loss", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema)
   }
 
   // ------------------------------------------------------------------
@@ -245,154 +305,178 @@ object GbdtTrain {
        |  CAST(len(list_filter(tokens, x -> x = 0)) AS BIGINT) AS f3
        |FROM ($seqsSql) WHERE n_tok > 0""".stripMargin
 
-  /** DuckDB mirror of [[fitReport]] — the same rounds unrolled as CTEs.
-    * Each round: residual table → long-form histogram → cumulative-gain
-    * candidates (+ the f = −1 fallback) → best root → per-side candidates
-    * → per-side best → leaf means → next prediction table → one output
-    * row. All aggregations integer; gains/leaf means the identical double
-    * expressions. */
-  def duckFitSql(seqsSql: String, rounds: Int = DefaultRounds,
-                 bins: Int = DefaultBins): String = {
+
+  /** Shared feat + lab CTE header (label formula identical to
+    * [[features]]'s `y`). */
+  private def duckHeader(seqsSql: String): String =
+    s"""WITH feat AS MATERIALIZED (
+       |${duckFeaturesSql(seqsSql)}),
+       |lab AS (
+       |  SELECT *,
+       |    CASE WHEN f1 > 560 THEN 600000 ELSE 0 END
+       |    + CASE WHEN (f3 > 79) != (f0 > 4800) THEN 400000 ELSE 0 END
+       |    + (CAST(substring(doc_id, 2) AS BIGINT) * 2654435761) % 100000
+       |      AS y
+       |  FROM lab_src),
+       |""".stripMargin.replace("FROM lab_src", "FROM feat")
+
+  /** One boosting chain as CTE text — every CTE name prefixed `p`, every
+    * statistic (quantization bounds, base mean, histograms, leaf values,
+    * losses) restricted to `trainPredSql` rows while the prediction table
+    * carries EVERY row. `p = ""` with `trainPredSql = "TRUE"` is the plain
+    * [[duckFitSql]] chain. Assumes `feat`/`lab` are already defined. */
+  private def duckChain(p: String, trainPredSql: String, rounds: Int,
+                        bins: Int): String = {
     val sb = new StringBuilder
-    sb.append("WITH feat AS MATERIALIZED (\n")
-    sb.append(duckFeaturesSql(seqsSql)).append("),\n")
     sb.append(
-      s"""lab AS (
-         |  SELECT *,
-         |    CASE WHEN f1 > 560 THEN 600000 ELSE 0 END
-         |    + CASE WHEN (f3 > 79) != (f0 > 4800) THEN 400000 ELSE 0 END
-         |    + (CAST(substring(doc_id, 2) AS BIGINT) * 2654435761) % 100000
-         |      AS y
-         |  FROM feat),
-         |mm AS (
+      s"""${p}mm AS (
          |  SELECT min(f0) mn0, max(f0) mx0, min(f1) mn1, max(f1) mx1,
          |         min(f2) mn2, max(f2) mx2, min(f3) mn3, max(f3) mx3
-         |  FROM lab),
-         |binned AS MATERIALIZED (
-         |  SELECT y,
+         |  FROM lab WHERE $trainPredSql),
+         |${p}binned AS MATERIALIZED (
+         |  SELECT doc_id, ($trainPredSql) AS is_train, y,
          |    CAST((f0 - mn0) * $bins // (mx0 - mn0 + 1) AS INT) AS b0,
          |    CAST((f1 - mn1) * $bins // (mx1 - mn1 + 1) AS INT) AS b1,
          |    CAST((f2 - mn2) * $bins // (mx2 - mn2 + 1) AS INT) AS b2,
          |    CAST((f3 - mn3) * $bins // (mx3 - mn3 + 1) AS INT) AS b3
-         |  FROM lab CROSS JOIN mm),
-         |docs_0 AS (
-         |  SELECT *, (SELECT sum(y) // count(*) FROM binned) AS pred
-         |  FROM binned),
+         |  FROM lab CROSS JOIN ${p}mm),
+         |${p}docs_0 AS (
+         |  SELECT *, (SELECT sum(y) // count(*) FROM ${p}binned
+         |             WHERE is_train) AS pred
+         |  FROM ${p}binned),
          |""".stripMargin)
     for (r <- 1 to rounds) {
-      val p = r - 1
+      val q = r - 1
       sb.append(
-        s"""res_$r AS MATERIALIZED (
-           |  SELECT *, y - pred AS resid FROM docs_$p),
-           |long_$r AS (
-           |  SELECT resid, 0 AS f, b0 AS bin FROM res_$r UNION ALL
-           |  SELECT resid, 1, b1 FROM res_$r UNION ALL
-           |  SELECT resid, 2, b2 FROM res_$r UNION ALL
-           |  SELECT resid, 3, b3 FROM res_$r),
-           |hist_$r AS MATERIALIZED (
+        s"""${p}res_$r AS MATERIALIZED (
+           |  SELECT *, y - pred AS resid FROM ${p}docs_$q),
+           |${p}long_$r AS (
+           |  SELECT resid, 0 AS f, b0 AS bin FROM ${p}res_$r WHERE is_train
+           |  UNION ALL
+           |  SELECT resid, 1, b1 FROM ${p}res_$r WHERE is_train UNION ALL
+           |  SELECT resid, 2, b2 FROM ${p}res_$r WHERE is_train UNION ALL
+           |  SELECT resid, 3, b3 FROM ${p}res_$r WHERE is_train),
+           |${p}hist_$r AS MATERIALIZED (
            |  SELECT f, bin, CAST(sum(resid) AS BIGINT) AS g,
            |    CAST(count(*) AS BIGINT) AS n
-           |  FROM long_$r GROUP BY 1, 2),
-           |tot_$r AS (
+           |  FROM ${p}long_$r GROUP BY 1, 2),
+           |${p}tot_$r AS (
            |  SELECT CAST(sum(g) AS BIGINT) gt, CAST(sum(n) AS BIGINT) nt
-           |  FROM hist_$r WHERE f = 0),
-           |cum_$r AS (
+           |  FROM ${p}hist_$r WHERE f = 0),
+           |${p}cum_$r AS (
            |  SELECT f, bin AS t,
            |    CAST(sum(g) OVER w AS BIGINT) AS gl,
            |    CAST(sum(n) OVER w AS BIGINT) AS nl,
            |    row_number() OVER (PARTITION BY f ORDER BY bin DESC) AS rn
-           |  FROM hist_$r
+           |  FROM ${p}hist_$r
            |  WINDOW w AS (PARTITION BY f ORDER BY bin)),
-           |cand_$r AS (
+           |${p}cand_$r AS (
            |  SELECT f, t,
            |    CAST(gl AS DOUBLE) * CAST(gl AS DOUBLE) / CAST(nl AS DOUBLE)
            |    + CAST(gt - gl AS DOUBLE) * CAST(gt - gl AS DOUBLE)
            |      / CAST(nt - nl AS DOUBLE)
            |    - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE)
            |      AS gain
-           |  FROM cum_$r CROSS JOIN tot_$r
+           |  FROM ${p}cum_$r CROSS JOIN ${p}tot_$r
            |  WHERE rn > 1 AND nl > 0 AND nt - nl > 0
            |  UNION ALL SELECT -1, ${bins - 1}, -1e300),
-           |best_$r AS (
-           |  SELECT f, t FROM cand_$r
+           |${p}best_$r AS (
+           |  SELECT f, t FROM ${p}cand_$r
            |  ORDER BY gain DESC, f ASC, t ASC LIMIT 1),
-           |side_$r AS MATERIALIZED (
+           |${p}side_$r AS MATERIALIZED (
            |  SELECT d.*, CASE WHEN b.f = -1 OR
            |      (CASE b.f WHEN 0 THEN b0 WHEN 1 THEN b1
            |                WHEN 2 THEN b2 ELSE b3 END) <= b.t
            |    THEN 0 ELSE 1 END AS side
-           |  FROM res_$r d CROSS JOIN best_$r b),
-           |long2_$r AS (
-           |  SELECT side, resid, 0 AS f, b0 AS bin FROM side_$r UNION ALL
-           |  SELECT side, resid, 1, b1 FROM side_$r UNION ALL
-           |  SELECT side, resid, 2, b2 FROM side_$r UNION ALL
-           |  SELECT side, resid, 3, b3 FROM side_$r),
-           |hist2_$r AS MATERIALIZED (
+           |  FROM ${p}res_$r d CROSS JOIN ${p}best_$r b),
+           |${p}long2_$r AS (
+           |  SELECT side, resid, 0 AS f, b0 AS bin FROM ${p}side_$r
+           |    WHERE is_train
+           |  UNION ALL
+           |  SELECT side, resid, 1, b1 FROM ${p}side_$r WHERE is_train
+           |  UNION ALL
+           |  SELECT side, resid, 2, b2 FROM ${p}side_$r WHERE is_train
+           |  UNION ALL
+           |  SELECT side, resid, 3, b3 FROM ${p}side_$r WHERE is_train),
+           |${p}hist2_$r AS MATERIALIZED (
            |  SELECT side, f, bin, CAST(sum(resid) AS BIGINT) AS g,
            |    CAST(count(*) AS BIGINT) AS n
-           |  FROM long2_$r GROUP BY 1, 2, 3),
-           |tot2_$r AS (
+           |  FROM ${p}long2_$r GROUP BY 1, 2, 3),
+           |${p}tot2_$r AS (
            |  SELECT side, CAST(sum(g) AS BIGINT) gt, CAST(sum(n) AS BIGINT) nt
-           |  FROM hist2_$r WHERE f = 0 GROUP BY 1),
-           |cum2_$r AS (
+           |  FROM ${p}hist2_$r WHERE f = 0 GROUP BY 1),
+           |${p}cum2_$r AS (
            |  SELECT side, f, bin AS t,
            |    CAST(sum(g) OVER w AS BIGINT) AS gl,
            |    CAST(sum(n) OVER w AS BIGINT) AS nl,
            |    row_number() OVER (PARTITION BY side, f ORDER BY bin DESC) AS rn
-           |  FROM hist2_$r
+           |  FROM ${p}hist2_$r
            |  WINDOW w AS (PARTITION BY side, f ORDER BY bin)),
-           |cand2_$r AS (
+           |${p}cand2_$r AS (
            |  SELECT c.side, f, t,
            |    CAST(gl AS DOUBLE) * CAST(gl AS DOUBLE) / CAST(nl AS DOUBLE)
            |    + CAST(tt.gt - gl AS DOUBLE) * CAST(tt.gt - gl AS DOUBLE)
            |      / CAST(tt.nt - nl AS DOUBLE)
            |    - CAST(tt.gt AS DOUBLE) * CAST(tt.gt AS DOUBLE)
            |      / CAST(tt.nt AS DOUBLE) AS gain
-           |  FROM cum2_$r c JOIN tot2_$r tt ON c.side = tt.side
+           |  FROM ${p}cum2_$r c JOIN ${p}tot2_$r tt ON c.side = tt.side
            |  WHERE rn > 1 AND nl > 0 AND tt.nt - nl > 0
            |  UNION ALL SELECT 0, -1, ${bins - 1}, -1e300
            |  UNION ALL SELECT 1, -1, ${bins - 1}, -1e300),
-           |cbest_$r AS (
+           |${p}cbest_$r AS (
            |  SELECT side, f, t FROM (
            |    SELECT side, f, t, row_number() OVER (PARTITION BY side
            |      ORDER BY gain DESC, f ASC, t ASC) AS rk
-           |    FROM cand2_$r) WHERE rk = 1),
-           |sub_$r AS MATERIALIZED (
+           |    FROM ${p}cand2_$r) WHERE rk = 1),
+           |${p}sub_$r AS MATERIALIZED (
            |  SELECT d.*, CASE WHEN c.f = -1 OR
            |      (CASE c.f WHEN 0 THEN b0 WHEN 1 THEN b1
            |                WHEN 2 THEN b2 ELSE b3 END) <= c.t
            |    THEN 0 ELSE 1 END AS subside
-           |  FROM side_$r d JOIN cbest_$r c ON d.side = c.side),
-           |leaf_$r AS (
+           |  FROM ${p}side_$r d JOIN ${p}cbest_$r c ON d.side = c.side),
+           |${p}leaf_$r AS (
            |  SELECT side, subside,
            |    CAST(floor(CAST(sum(resid) AS DOUBLE)
            |      / (2.0 * CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS v
-           |  FROM sub_$r GROUP BY 1, 2),
-           |docs_$r AS MATERIALIZED (
-           |  SELECT y, b0, b1, b2, b3, pred + l.v AS pred
-           |  FROM sub_$r s JOIN leaf_$r l
+           |  FROM ${p}sub_$r WHERE is_train GROUP BY 1, 2),
+           |${p}docs_$r AS MATERIALIZED (
+           |  SELECT doc_id, is_train, y, b0, b1, b2, b3,
+           |    pred + COALESCE(l.v, 0) AS pred
+           |  FROM ${p}sub_$r s LEFT JOIN ${p}leaf_$r l
            |    ON s.side = l.side AND s.subside = l.subside),
-           |row_$r AS (
+           |${p}row_$r AS (
            |  SELECT $r AS round,
-           |    (SELECT CAST(sum(resid * resid) AS BIGINT) FROM res_$r)
-           |      AS loss_pre,
-           |    (SELECT CAST(f AS INT) FROM best_$r) AS root_f,
-           |    (SELECT CAST(t AS INT) FROM best_$r) AS root_bin,
-           |    (SELECT CAST(f AS INT) FROM cbest_$r WHERE side = 0) AS l_f,
-           |    (SELECT CAST(t AS INT) FROM cbest_$r WHERE side = 0) AS l_bin,
-           |    (SELECT CAST(f AS INT) FROM cbest_$r WHERE side = 1) AS r_f,
-           |    (SELECT CAST(t AS INT) FROM cbest_$r WHERE side = 1) AS r_bin,
-           |    COALESCE((SELECT v FROM leaf_$r WHERE side = 0 AND subside = 0), 0) AS v_ll,
-           |    COALESCE((SELECT v FROM leaf_$r WHERE side = 0 AND subside = 1), 0) AS v_lr,
-           |    COALESCE((SELECT v FROM leaf_$r WHERE side = 1 AND subside = 0), 0) AS v_rl,
-           |    COALESCE((SELECT v FROM leaf_$r WHERE side = 1 AND subside = 1), 0) AS v_rr),
+           |    (SELECT CAST(sum(resid * resid) AS BIGINT) FROM ${p}res_$r
+           |     WHERE is_train) AS loss_pre,
+           |    (SELECT CAST(f AS INT) FROM ${p}best_$r) AS root_f,
+           |    (SELECT CAST(t AS INT) FROM ${p}best_$r) AS root_bin,
+           |    (SELECT CAST(f AS INT) FROM ${p}cbest_$r WHERE side = 0) AS l_f,
+           |    (SELECT CAST(t AS INT) FROM ${p}cbest_$r WHERE side = 0) AS l_bin,
+           |    (SELECT CAST(f AS INT) FROM ${p}cbest_$r WHERE side = 1) AS r_f,
+           |    (SELECT CAST(t AS INT) FROM ${p}cbest_$r WHERE side = 1) AS r_bin,
+           |    COALESCE((SELECT v FROM ${p}leaf_$r WHERE side = 0 AND subside = 0), 0) AS v_ll,
+           |    COALESCE((SELECT v FROM ${p}leaf_$r WHERE side = 0 AND subside = 1), 0) AS v_lr,
+           |    COALESCE((SELECT v FROM ${p}leaf_$r WHERE side = 1 AND subside = 0), 0) AS v_rl,
+           |    COALESCE((SELECT v FROM ${p}leaf_$r WHERE side = 1 AND subside = 1), 0) AS v_rr),
            |""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[fitReport]] — the same rounds unrolled as a CTE
+    * chain ([[duckChain]] with the everything-is-train predicate). All
+    * aggregations integer; gains/leaf means the identical double
+    * expressions; ties the identical (gain DESC, f, t) order. */
+  def duckFitSql(seqsSql: String, rounds: Int = DefaultRounds,
+                 bins: Int = DefaultBins): String = {
+    val sb = new StringBuilder
+    sb.append(duckHeader(seqsSql))
+    sb.append(duckChain("", "TRUE", rounds, bins))
     sb.append(
       s"""fin AS (
          |  SELECT ${rounds + 1} AS round,
          |    (SELECT CAST(sum((y - pred) * (y - pred)) AS BIGINT)
-         |     FROM docs_$rounds) AS loss_pre,
+         |     FROM docs_$rounds WHERE is_train) AS loss_pre,
          |    -2 AS root_f, 0 AS root_bin, -2 AS l_f, 0 AS l_bin,
          |    -2 AS r_f, 0 AS r_bin,
          |    CAST(0 AS BIGINT) AS v_ll, CAST(0 AS BIGINT) AS v_lr,
@@ -402,6 +486,47 @@ object GbdtTrain {
     sb.append((1 to rounds).map(r => s"SELECT * FROM row_$r")
       .mkString(" UNION ALL "))
     sb.append(" UNION ALL SELECT * FROM fin)")
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[fitBagged]] — one [[duckChain]] per fold (prefix
+    * `f<k>_`, train predicate `doc_num % folds ≠ k`), then the per-fold
+    * train/out-of-bag losses and the integer-floored-mean bagged
+    * predictor's full-corpus loss. */
+  def duckBaggedSql(seqsSql: String, folds: Int = 3, rounds: Int = 2,
+                    bins: Int = DefaultBins): String = {
+    val sb = new StringBuilder
+    sb.append(duckHeader(seqsSql))
+    for (f <- 0 until folds)
+      sb.append(duckChain(s"f${f}_",
+        s"(CAST(substring(doc_id, 2) AS BIGINT) % $folds) != $f",
+        rounds, bins))
+    val joins = (1 until folds).map(f =>
+      s"JOIN f${f}_docs_$rounds t$f ON t0.doc_id = t$f.doc_id")
+      .mkString("\n  ")
+    val sumP = (0 until folds).map(f => s"t$f.pred").mkString(" + ")
+    sb.append(
+      s"""bag AS (
+         |  SELECT t0.doc_id, t0.y,
+         |    CAST(floor(CAST($sumP AS DOUBLE) / $folds) AS BIGINT) AS bp
+         |  FROM f0_docs_$rounds t0
+         |  $joins)
+         |SELECT * FROM (
+         |""".stripMargin)
+    val parts = (0 until folds).flatMap { f =>
+      Seq(
+        s"""SELECT 'fold${f}_train' AS part,
+           |  (SELECT CAST(sum((y - pred) * (y - pred)) AS BIGINT)
+           |   FROM f${f}_docs_$rounds WHERE is_train) AS loss""".stripMargin,
+        s"""SELECT 'fold${f}_oob',
+           |  (SELECT CAST(sum((y - pred) * (y - pred)) AS BIGINT)
+           |   FROM f${f}_docs_$rounds WHERE NOT is_train)""".stripMargin)
+    } :+
+      s"""SELECT 'bagged_full',
+         |  (SELECT CAST(sum((y - bp) * (y - bp)) AS BIGINT) FROM bag)"""
+        .stripMargin
+    sb.append(parts.mkString("\nUNION ALL\n"))
+    sb.append(")")
     sb.toString
   }
 }

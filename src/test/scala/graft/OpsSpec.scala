@@ -2273,6 +2273,36 @@ class OpsSpec extends AnyFunSuite {
       "applied-tree loss must equal the report's final loss")
   }
 
+  test("gbdt bagging: leak-free folds, positive oob loss, Jensen bound") {
+    val docs = (0 until 150).map { d =>
+      val toks = Seq.tabulate(80) { i =>
+        val v = ((d * 53 + i * i * 19 + 11 * i) % 1999) - 999
+        if ((d + i) % 9 == 0) 0 else v
+      }
+      (s"d$d", toks, toks.length, s"s${d % 3}")
+    }
+    val seqs = docs.toDF("doc_id", "tokens", "n_tok", "source")
+    val folds = 3
+    val out = graft.ops.GbdtTrain.fitBagged(seqs, folds = folds, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size == 2 * folds + 1)
+    for (f <- 0 until folds) {
+      assert(out(s"fold${f}_train") > 0 && out(s"fold${f}_oob") > 0)
+    }
+    // Jensen: loss of the averaged predictor <= mean of the fold
+    // predictors' full-corpus losses (slack covers the per-doc +-1-micro
+    // flooring of the average)
+    val meanFull = (0 until folds)
+      .map(f => out(s"fold${f}_train") + out(s"fold${f}_oob")).sum / folds
+    assert(out("bagged_full") <= meanFull + 1000000000L,
+      s"bagged ${out("bagged_full")} vs mean-of-folds $meanFull")
+    // bitwise partition invariance holds through the fold loop too
+    val out2 = graft.ops.GbdtTrain
+      .fitBagged(seqs.repartition(11), folds = folds, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
   test("semdedup: in-cell pruning, centroid-rank precedence, cross-cell blind spot") {
     val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
       .toDF("cell", "cv")
