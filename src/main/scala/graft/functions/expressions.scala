@@ -87,6 +87,8 @@ object expressions {
       es => KMinAgg(es(0), es(1), dedup = true), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_tokens",
       es => KmvTokensAgg(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_token_feats",
+      es => TokenFeats(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_counts",
       es => UnigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
@@ -401,6 +403,40 @@ object expressions {
       copy(inputAggBufferOffset = o)
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(child = c(0), kE = c(1))
+  }
+
+  /** graft_token_feats(tokens ARRAY<INT>) → ARRAY<BIGINT> [Σ|t|, max t, #zeros]
+    *
+    * One-pass integer token summary feeding [[graft.ops.GbdtTrain]]'s
+    * quantized features — replaces three interpreted HOF lambdas
+    * (`aggregate`/`array_max`/`filter`) with a single primitive sweep
+    * (the HOF trio re-walked every token array three times in
+    * interpreted dispatch; measured ~2× the whole fit's dump cost). */
+  case class TokenFeats(tokens: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      var sumAbs = 0L
+      var mx = Int.MinValue
+      var zeros = 0L
+      var i = 0
+      while (i < arr.length) {
+        val v = arr(i)
+        sumAbs += math.abs(v.toLong)
+        if (v > mx) mx = v
+        if (v == 0) zeros += 1
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        Array(sumAbs, if (arr.isEmpty) 0L else mx.toLong, zeros))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0))
   }
 
   /** Murmur3 64-bit finalizer constants + the golden-ratio gram multiplier

@@ -55,21 +55,26 @@ object GbdtTrain {
     * f0 = n_tok, f1 = mean |token| (floor), f2 = max token, f3 = zero-token
     * count; y_micro = 600k·[f1 > 560] + 400k·[(f3 > 79) XOR (f0 > 4800)]
     * + doc-hash noise — the XOR term is exactly what a depth-2 tree can
-    * express and a stump cannot. HOF lambdas are fine here: this runs once
-    * per doc at train time, not per token per round. */
-  def features(seqs: DataFrame): DataFrame =
-    seqs.filter(col("n_tok") > 0).select(
-      col("doc_id"),
-      col("n_tok").cast("long").as("f0"),
-      expr("""aggregate(tokens, 0L, (a, x) -> a + abs(CAST(x AS BIGINT)))
-             | DIV CAST(n_tok AS BIGINT)""".stripMargin).as("f1"),
-      expr("CAST(array_max(tokens) AS BIGINT)").as("f2"),
-      expr("CAST(size(filter(tokens, x -> x = 0)) AS BIGINT)").as("f3"))
+    * express and a stump cannot. The token sweep runs in the native
+    * [[graft.functions.expressions.TokenFeats]] kernel — the interpreted
+    * HOF trio (`aggregate`/`array_max`/`filter`) it replaced walked every
+    * token array three times and dominated the fit's dump cost. */
+  def features(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    seqs.filter(col("n_tok") > 0)
+      .withColumn("__tf", expr("graft_token_feats(tokens)"))
+      .select(
+        col("doc_id"),
+        col("n_tok").cast("long").as("f0"),
+        expr("__tf[0] DIV CAST(n_tok AS BIGINT)").as("f1"),
+        col("__tf")(1).as("f2"),
+        col("__tf")(2).as("f3"))
       .withColumn("y",
         expr("""CASE WHEN f1 > 560 THEN 600000 ELSE 0 END
                | + CASE WHEN (f3 > 79) != (f0 > 4800) THEN 400000 ELSE 0 END
                | + (CAST(substring(doc_id, 2) AS BIGINT) * 2654435761)
                |   % 100000""".stripMargin))
+  }
 
   private val NF = 4
 
@@ -152,7 +157,7 @@ object GbdtTrain {
     * closing-row loss exactly (pinned in OpsSpec). */
   def fitPredict(seqs: DataFrame, rounds: Int = DefaultRounds,
                  bins: Int = DefaultBins): DataFrame = {
-    val (_, binned, predC) = fit(seqs, rounds, bins)
+    val (_, binned, predC, _, _) = fit(seqs, rounds, bins)
     binned.select(col("doc_id"), col("y"), predC.as("pred_micro"))
   }
 
@@ -164,7 +169,7 @@ object GbdtTrain {
     * (identical to the pre-predicate form, bit for bit). */
   private def fit(seqs: DataFrame, rounds: Int, bins: Int,
                   trainPred: Column = lit(true))
-      : (DataFrame, DataFrame, Column) = {
+      : (DataFrame, DataFrame, Column, Array[(Long, Long)], Long) = {
     val spark = seqs.sparkSession
     val fm = features(seqs)
     // quantization constants from the TRAIN subset only: one tiny agg
@@ -241,7 +246,65 @@ object GbdtTrain {
       .agg(sum(col("resid") * col("resid"))).collect()(0).getLong(0)
     out += Row(rounds + 1, fin, -2, 0, -2, 0, -2, 0, 0L, 0L, 0L, 0L)
     (spark.createDataFrame(new java.util.ArrayList[Row](out.asJava), OutSchema),
-      binned, predC)
+      binned, predC, mm, base)
+  }
+
+  /** Model-artifact export — the `ModelCreator.cpp:284-320` save analog:
+    * the fitted ensemble as two MODEL-SIZED tables ready for
+    * [[graft.sink.KeyedSink]] persistence: the per-round tree table
+    * ([[fitReport]]'s exact output — splits + leaf values ARE the model)
+    * and the quantization/bias table `(f, mn, mx, base)` (bin bounds per
+    * feature + the base prediction, without which the trees cannot be
+    * applied to new data). [[applyArtifacts]] inverts it; KeyedSinkSpec
+    * pins persist → reload → apply bitwise-equal to [[fitPredict]]. */
+  def fitArtifacts(seqs: DataFrame, rounds: Int = DefaultRounds,
+                   bins: Int = DefaultBins): (DataFrame, DataFrame) = {
+    val (report, _, _, mm, base) = fit(seqs, rounds, bins)
+    val spark = seqs.sparkSession
+    val bSchema = StructType(Seq(
+      StructField("f", IntegerType, nullable = false),
+      StructField("mn", LongType, nullable = false),
+      StructField("mx", LongType, nullable = false),
+      StructField("base", LongType, nullable = false)))
+    val bRows: Seq[Row] =
+      (0 until NF).map(f => Row(f, mm(f)._1, mm(f)._2, base))
+    (report, spark.createDataFrame(
+      new java.util.ArrayList[Row](bRows.asJava), bSchema))
+  }
+
+  /** Apply a persisted ensemble (the two [[fitArtifacts]] tables, e.g.
+    * re-read through KeyedSink) to `seqs`: rebuild the bin columns from
+    * the stored bounds and replay each round's CASE chain. The tables are
+    * model-sized, so the collects are planning metadata (the
+    * [[TreeEnsemble]] literal-model convention); scoring is one narrow
+    * projection, zero shuffle. */
+  def applyArtifacts(seqs: DataFrame, report: DataFrame, bounds: DataFrame,
+                     bins: Int = DefaultBins): DataFrame = {
+    val bRows = bounds.orderBy("f").collect()
+    require(bRows.length == NF, s"bounds table must carry $NF features")
+    val mm = bRows.map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+    val base = bRows.head.getAs[Long]("base")
+    val trees = report.filter(col("root_f") =!= -2).orderBy("round").collect()
+    val fm = features(seqs)
+    val binned = fm.select(
+      (col("doc_id") +: col("y") +: Seq.tabulate(NF)(f =>
+        binCol(f, mm(f)._1, mm(f)._2, bins).as(s"b$f"))): _*)
+    var predC: Column = lit(base)
+    for (t <- trees) {
+      def splitC(fI: Int, tI: Int): Column =
+        if (fI < 0) lit(0)
+        else when(col(s"b$fI") <= tI, lit(0)).otherwise(lit(1))
+      val sideC = splitC(t.getAs[Int]("root_f"), t.getAs[Int]("root_bin"))
+      val leafC =
+        when(sideC === 0,
+          when(splitC(t.getAs[Int]("l_f"), t.getAs[Int]("l_bin")) === 0,
+            lit(t.getAs[Long]("v_ll"))).otherwise(lit(t.getAs[Long]("v_lr"))))
+        .otherwise(
+          when(splitC(t.getAs[Int]("r_f"), t.getAs[Int]("r_bin")) === 0,
+            lit(t.getAs[Long]("v_rl"))).otherwise(lit(t.getAs[Long]("v_rr"))))
+      predC = predC + leafC
+    }
+    binned.select(col("doc_id"), col("y"), predC.as("pred_micro"))
   }
 
   /** k-FOLD BAGGED fit — the reference's actual model-creation shape
@@ -263,7 +326,7 @@ object GbdtTrain {
     val fits = (0 until folds).map { f =>
       val pred = expr(
         s"CAST(substring(doc_id, 2) AS BIGINT) % $folds != $f")
-      val (rep, binned, predC) = fit(seqs, rounds, bins, pred)
+      val (rep, binned, predC, _, _) = fit(seqs, rounds, bins, pred)
       val trainLoss = rep.orderBy(col("round").desc).collect()(0)
         .getAs[Long]("loss_pre")
       val oob = binned.filter(!col("is_train"))

@@ -90,6 +90,33 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(scored.forall(_.getAs[Long]("margin_micro") >= 0L))
   }
 
+  test("GBDT model artifact lifecycle: fit -> persist -> reload -> apply bitwise") {
+    // the ModelCreator save/reload analog: the tree table + bounds table
+    // round-trip through the sink and the reapplied ensemble reproduces
+    // the direct predictions exactly
+    val docs = (0 until 120).map { d =>
+      val toks = Seq.tabulate(64) { i =>
+        val v = ((d * 41 + i * i * 23 + 5 * i) % 1799) - 899
+        if ((d + 2 * i) % 13 == 0) 0 else v
+      }
+      (s"d$d", toks, toks.length, s"s${d % 2}")
+    }
+    val seqs = docs.toDF("doc_id", "tokens", "n_tok", "source")
+    val (report, bounds) = graft.ops.GbdtTrain.fitArtifacts(seqs, rounds = 3)
+    val dir = freshPath()
+    KeyedSink.upsert(spark, s"$dir/trees",
+      report.withColumn("rk", col("round")), "rk")
+    KeyedSink.upsert(spark, s"$dir/bounds", bounds, "f")
+    val trees2 = KeyedSink.read(spark, s"$dir/trees", "rk").get.drop("rk")
+    val bounds2 = KeyedSink.read(spark, s"$dir/bounds", "f").get
+    val direct = graft.ops.GbdtTrain.fitPredict(seqs, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val replayed = graft.ops.GbdtTrain.applyArtifacts(seqs, trees2, bounds2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(replayed == direct,
+      "persisted-model predictions must equal the direct fit's")
+  }
+
   test("SnapshotStore conformance: the contract holds through the seam type") {
     // Runs against the INTERFACE, not the object: an Iceberg-backed
     // implementation drops in here unchanged and inherits the contract

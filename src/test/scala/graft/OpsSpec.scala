@@ -2273,6 +2273,32 @@ class OpsSpec extends AnyFunSuite {
       "applied-tree loss must equal the report's final loss")
   }
 
+  test("gbdt fallback: a child with one occupied bin keeps the marker split") {
+    // constant tokens per doc: f1/f2/f3 collapse to single bins; only f0
+    // (two lengths) can split. After the root split on f0, each child is
+    // single-bin on every feature -> no valid candidate -> marker f = -1,
+    // all rows left, right sub-leaf value 0 by the empty-leaf convention
+    val docs = (0 until 40).map { d =>
+      val len = if (d % 2 == 0) 40 else 80
+      (s"d$d", Seq.fill(len)(100), len, "s")
+    }
+    val seqs = docs.toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = graft.ops.GbdtTrain.fitReport(seqs, rounds = 1)
+      .orderBy("round").collect()
+    val r1 = rep.head
+    assert(r1.getAs[Int]("root_f") == 0, "only n_tok can split")
+    assert(r1.getAs[Int]("l_f") == -1 && r1.getAs[Int]("r_f") == -1,
+      "single-bin children must keep the marker split")
+    assert(r1.getAs[Long]("v_lr") == 0L && r1.getAs[Long]("v_rr") == 0L,
+      "empty right sub-leaves carry the 0 convention")
+    // and the applied predictor still reconciles with the closing loss
+    val preds = graft.ops.GbdtTrain.fitPredict(seqs, rounds = 1).collect()
+    val applied = preds.map { p =>
+      val d = p.getAs[Long]("y") - p.getAs[Long]("pred_micro"); d * d
+    }.sum
+    assert(applied == rep.last.getAs[Long]("loss_pre"))
+  }
+
   test("gbdt bagging: leak-free folds, positive oob loss, Jensen bound") {
     val docs = (0 until 150).map { d =>
       val toks = Seq.tabulate(80) { i =>
