@@ -58,7 +58,16 @@ object Dedup {
       .distinct()
   }
 
-  /** DuckDB mirror of [[minhash]] (expects a `seqs` CTE in `prelude`). */
+  /** DuckDB mirror of [[minhash]] (expects a `seqs` CTE in `prelude`).
+    *
+    * The per-permutation minimum runs VECTORIZED — shingle hashes unnested
+    * to rows, cross-joined with the 16 permutation ids, one grouped `min`
+    * — instead of the original `list_transform(range(k), k ->
+    * list_min(list_transform(hs, …)))` nested-lambda form, whose
+    * interpreted dispatch made every oracle sharing this CTE pay ~20-30 s
+    * at the gate scale (the whole dedup-family replay cost; measured
+    * round 5). Same exact int64 arithmetic, same `HashMod` fill for docs
+    * shorter than one shingle — bitwise-identical output, ~10× cheaper. */
   def duckMinhashSql(prelude: String): String = {
     import MinHashParams._
     val aList = (0 until NumHashes).map(a).mkString(", ")
@@ -73,14 +82,20 @@ object Dedup {
        |             + (tokens[i + 4] + 2048)) % $ShingleMod * 31
        |             + (tokens[i + 5] + 2048)) % $ShingleMod)) AS hs
        |  FROM seqs),
+       |shr AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |perm AS (SELECT unnest(range($NumHashes)) AS k),
+       |sigk AS (
+       |  SELECT doc_id, k,
+       |    min((CAST([$aList][k + 1] AS BIGINT) * h
+       |         + CAST([$bList][k + 1] AS BIGINT)) % $HashMod) AS m
+       |  FROM shr CROSS JOIN perm GROUP BY 1, 2),
+       |sig0 AS (
+       |  SELECT doc_id, list(m ORDER BY k) AS sig FROM sigk GROUP BY 1),
        |sig AS (
-       |  SELECT doc_id,
-       |    list_transform(range($NumHashes), k ->
-       |      coalesce(list_min(list_transform(hs,
-       |        h -> (CAST([$aList][k + 1] AS BIGINT) * h
-       |              + CAST([$bList][k + 1] AS BIGINT)) % $HashMod)),
-       |        $HashMod)) AS sig
-       |  FROM sh)
+       |  SELECT sh.doc_id,
+       |    coalesce(sig0.sig, list_transform(range($NumHashes),
+       |      x -> CAST($HashMod AS BIGINT))) AS sig
+       |  FROM sh LEFT JOIN sig0 ON sh.doc_id = sig0.doc_id)
        |SELECT doc_id, sig,
        |  list_transform(range(${NumHashes / BandSize}), bj ->
        |    ((((sig[bj * $BandSize + 1] * 31

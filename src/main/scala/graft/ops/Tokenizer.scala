@@ -257,7 +257,7 @@ object Tokenizer {
     for (r <- 1 to k) {
       val newId = NewIdBase + r - 1
       sb.append(
-        s"""pt$r AS (
+        s"""pt$r AS MATERIALIZED (
            |  SELECT doc_id, i, v,
            |    lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS vn
            |  FROM s${r - 1}),
@@ -268,7 +268,7 @@ object Tokenizer {
            |cand$r AS (
            |  SELECT pt.doc_id, pt.i FROM pt$r pt, t$r t
            |  WHERE pt.v = t.a AND pt.vn = t.b),
-           |st$r AS (
+           |st$r AS MATERIALIZED (
            |  SELECT doc_id, i FROM (
            |    SELECT doc_id, i,
            |      row_number() OVER (PARTITION BY doc_id, g ORDER BY i) AS rr
@@ -277,7 +277,7 @@ object Tokenizer {
            |              AS g
            |          FROM cand$r))
            |  WHERE (rr - 1) % 2 = 0),
-           |s$r AS (
+           |s$r AS MATERIALIZED (
            |  SELECT pt.doc_id,
            |    row_number() OVER (PARTITION BY pt.doc_id ORDER BY pt.i) AS i,
            |    CASE WHEN s.i IS NOT NULL THEN $newId ELSE pt.v END AS v

@@ -21,6 +21,34 @@ class AppSpec extends AnyFunSuite {
     assert(KeyedSink.read(spark, out).get.count() == seqs.count())
   }
 
+  test("incremental re-run after corpus change: only changed docs recompute, result equals from-scratch") {
+    // the Crawler.cpp:934-998 modtime-diff re-run, end to end: v2 changes
+    // 1-in-10 docs; the incremental pass must (a) select exactly those,
+    // (b) after upserting just their recomputed features, leave the sink
+    // bitwise-equal to a from-scratch v2 run
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-app-incr").toString
+    val v1 = Seqs.fromDocuments(spark, "/root/testdata/sf0.001")
+    KeyedSink.upsert(spark, out, Pipeline.featuresLl(v1), "doc_id")
+    val changed = expr("CAST(substring(doc_id, 2) AS INT) % 10 = 0")
+    val v2 = v1
+      .withColumn("tokens",
+        when(changed, expr("slice(tokens, 1, GREATEST(n_tok DIV 2, 1))"))
+          .otherwise(col("tokens")))
+      .withColumn("n_tok",
+        when(changed, expr("GREATEST(n_tok DIV 2, 1)")).otherwise(col("n_tok")))
+    val nChanged = v2.filter(changed).count()
+    val pending = KeyedSink.pending(spark, out, v2, "doc_id", "n_tok")
+    assert(pending.count() == nChanged,
+      "version diff must select exactly the changed docs")
+    KeyedSink.upsert(spark, out, Pipeline.featuresLl(pending), "doc_id")
+    val incremental = KeyedSink.read(spark, out).get
+      .collect().map(_.toSeq).toSet
+    val scratch = Pipeline.featuresLl(v2).collect().map(_.toSeq).toSet
+    assert(incremental == scratch,
+      "incremental sink state must equal the from-scratch v2 run")
+  }
+
   test("csv export/import round-trip (ModelTester CSV export analog)") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft-csv").toString + "/csv"
