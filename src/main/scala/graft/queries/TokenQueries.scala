@@ -445,7 +445,7 @@ object TokenQueries {
 
     "onsets" ->
       s"""WITH RECURSIVE $duckRFrames,
-         |odf AS (
+         |odf AS MATERIALIZED (
          |  SELECT doc_id, frame_id, rms,
          |    (list_sort(list(rms) OVER (PARTITION BY doc_id ORDER BY frame_id
          |       ROWS BETWEEN ${MedianSpan - 1} PRECEDING AND CURRENT ROW)))[
@@ -453,11 +453,11 @@ object TokenQueries {
          |       ROWS BETWEEN ${MedianSpan - 1} PRECEDING AND CURRENT ROW)) - 1) // 2) + 1]
          |      AS base
          |  FROM rframes),
-         |post AS (
+         |post AS MATERIALIZED (
          |  SELECT doc_id, frame_id, rms - base AS post,
          |    lag(rms - base) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_post
          |  FROM odf),
-         |raw AS (
+         |raw AS MATERIALIZED (
          |  SELECT doc_id, frame_id FROM post
          |  WHERE post > $OnsetThreshold
          |    AND (prev_post IS NULL OR prev_post <= $OnsetThreshold)),
