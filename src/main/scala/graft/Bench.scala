@@ -58,7 +58,13 @@ object Bench {
     "dedup_editdist",     // banded/full DP verify over LSH candidates
     "bm25_top",           // broadcast inverted-index retrieval
     "pca_top",            // one-pass sufficient stats + integer iteration
-    "q3_join")            // relational join/agg
+    "q3_join",            // relational join/agg
+    "hard_negatives_lsh", // full-corpus batch-hard mining (banded sign-LSH)
+    "coreset_cells")      // per-cell greedy coreset (round-4 scale fix)
+  // gbdt_train/gbdt_bagged are multi-job TRAINING loops, not queries —
+  // their cost is reported in BENCH.md prose (13.2 s cold at sf0.1 incl.
+  // session setup for the 4-round fit over 5 000 docs × 8 k tokens),
+  // keeping the battery a query-latency metric.
 
   def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     SparkEntry.queries +
