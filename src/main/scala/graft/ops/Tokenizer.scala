@@ -364,63 +364,85 @@ object Tokenizer {
       "element_at(st, 5) AS input_checksum",
       "element_at(st, 6) AS target_checksum")
 
-  /** DuckDB mirror of [[t5Report]] — the same slot draw inlined into
-    * per-doc list lambdas (no slot explode: the token arrays never leave
-    * their row), fragments flattened in slot order, checksums over the
-    * rebuilt sequences. */
+  /** DuckDB mirror of [[t5Report]] — the slot draw and span fragments
+    * derived POSITIONALLY: spans and tokens unnest to rows, per-span
+    * input/target fragment lengths cumulate into window offsets, and the
+    * position-weighted checksums sum each contribution (sentinel rows,
+    * kept span tokens at their shifted local offsets, the sub-span tail)
+    * directly — no per-span interpreted `list_slice`/concat lambdas,
+    * which cost ~25 s of the gate replay (measured round 5; this form is
+    * bitwise-equal at ~1.6 s). */
   def duckT5ReportSql(prelude: String): String = {
     val P = "1000000007"
     val xs = s"((did * 65536 + s + 31) % $P)"
     val h = s"((($xs * $xs + 747796405 * $xs + 12345) % $P" +
       s" * 48271 + 11) % $P)"
-    val fired = s"($h % 100 < 35)"
-    val el = s"(2 + ($h // 100) % 3)"
-    val sent = "CAST(4200 + s % 64 AS INTEGER)"
-    val inpFrag =
-      s"""CASE WHEN $fired
-         |  THEN [$sent] || list_slice(tokens,
-         |         CAST(8 * s + $el + 1 AS INTEGER),
-         |         CAST(8 * s + 8 AS INTEGER))
-         |  ELSE list_slice(tokens, CAST(8 * s + 1 AS INTEGER),
-         |         CAST(8 * s + 8 AS INTEGER)) END""".stripMargin
-    val tgtFrag =
-      s"""CASE WHEN $fired
-         |  THEN [$sent] || list_slice(tokens, CAST(8 * s + 1 AS INTEGER),
-         |         CAST(8 * s + $el AS INTEGER))
-         |  ELSE CAST([] AS INTEGER[]) END""".stripMargin
-    def ck(l: String) =
-      s"""CAST(coalesce(list_sum(list_transform(
-         |  range(1, CAST(len($l) + 1 AS BIGINT)),
-         |  i -> i * $l[CAST(i AS INTEGER)])), 0) AS BIGINT)""".stripMargin
     s"""WITH $prelude,
-       |base AS (
+       |base AS MATERIALIZED (
        |  SELECT doc_id, n_tok, tokens,
        |    CAST(substring(doc_id, 2) AS BIGINT) AS did
        |  FROM seqs),
-       |built AS (
-       |  SELECT doc_id, n_tok,
-       |    flatten(list_transform(range(0, len(tokens) // 8),
-       |      s -> $inpFrag))
-       |      || list_slice(tokens,
-       |           CAST((len(tokens) // 8) * 8 + 1 AS INTEGER),
-       |           CAST(len(tokens) AS INTEGER)) AS inp,
-       |    flatten(list_transform(range(0, len(tokens) // 8),
-       |      s -> $tgtFrag)) AS tgt,
-       |    CAST(coalesce(list_sum(list_transform(
-       |      range(0, len(tokens) // 8),
-       |      s -> CASE WHEN $fired THEN 1 ELSE 0 END)), 0) AS BIGINT)
-       |      AS n_spans,
-       |    CAST(coalesce(list_sum(list_transform(
-       |      range(0, len(tokens) // 8),
-       |      s -> CASE WHEN $fired THEN $el ELSE 0 END)), 0) AS BIGINT)
-       |      AS n_corrupted
-       |  FROM base)
-       |SELECT doc_id, n_tok, n_spans, n_corrupted,
-       |  CAST(len(inp) AS BIGINT) AS input_len,
-       |  CAST(len(tgt) AS BIGINT) AS target_len,
-       |  ${ck("inp")} AS input_checksum,
-       |  ${ck("tgt")} AS target_checksum
-       |FROM built""".stripMargin
+       |spans AS (
+       |  SELECT doc_id, did, unnest(range(CAST(len(tokens) // 8 AS BIGINT))) AS s
+       |  FROM base),
+       |sp AS MATERIALIZED (
+       |  SELECT doc_id, s, (h % 100 < 35) AS fired,
+       |    (2 + (h // 100) % 3) AS el,
+       |    CAST(4200 + s % 64 AS BIGINT) AS sent
+       |  FROM (SELECT doc_id, s, $h AS h FROM spans)),
+       |splen AS (
+       |  SELECT *, CASE WHEN fired THEN 9 - el ELSE 8 END AS ilen,
+       |    CASE WHEN fired THEN el + 1 ELSE 0 END AS tlen
+       |  FROM sp),
+       |soff AS MATERIALIZED (
+       |  SELECT *, sum(ilen) OVER w - ilen AS ioff, sum(tlen) OVER w - tlen AS toff
+       |  FROM splen WINDOW w AS (PARTITION BY doc_id ORDER BY s)),
+       |tot AS MATERIALIZED (
+       |  SELECT b.doc_id,
+       |    coalesce(t.ilen_tot, 0) AS ilen_tot, coalesce(t.tlen_tot, 0) AS tlen_tot,
+       |    coalesce(t.n_spans, 0) AS n_spans,
+       |    coalesce(t.n_corrupted, 0) AS n_corrupted,
+       |    coalesce(t.sent_i, 0) AS sent_i, coalesce(t.sent_t, 0) AS sent_t
+       |  FROM base b LEFT JOIN (
+       |    SELECT doc_id, sum(ilen) AS ilen_tot, sum(tlen) AS tlen_tot,
+       |      sum(CASE WHEN fired THEN 1 ELSE 0 END) AS n_spans,
+       |      sum(CASE WHEN fired THEN el ELSE 0 END) AS n_corrupted,
+       |      sum(CASE WHEN fired THEN (ioff + 1) * sent ELSE 0 END) AS sent_i,
+       |      sum(CASE WHEN fired THEN (toff + 1) * sent ELSE 0 END) AS sent_t
+       |    FROM soff GROUP BY 1) t USING (doc_id)),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(tokens, 1) AS i, unnest(tokens) AS t,
+       |    n_tok FROM base),
+       |spantok AS (
+       |  SELECT k.doc_id,
+       |    sum(CASE WHEN o.fired AND (k.i - 1) % 8 + 1 > o.el
+       |          THEN (o.ioff + (k.i - 1) % 8 + 1 - o.el + 1) * k.t
+       |        WHEN NOT o.fired THEN (o.ioff + (k.i - 1) % 8 + 1) * k.t
+       |        ELSE 0 END) AS ck_i,
+       |    sum(CASE WHEN o.fired AND (k.i - 1) % 8 + 1 <= o.el
+       |          THEN (o.toff + 1 + (k.i - 1) % 8 + 1) * k.t
+       |        ELSE 0 END) AS ck_t
+       |  FROM tok k JOIN soff o ON o.doc_id = k.doc_id AND o.s = (k.i - 1) // 8
+       |  GROUP BY 1),
+       |tailtok AS (
+       |  SELECT k.doc_id,
+       |    sum((tt.ilen_tot + (k.i - (k.n_tok // 8) * 8)) * k.t) AS ck_tail,
+       |    count(*) AS tail_len
+       |  FROM tok k JOIN tot tt USING (doc_id)
+       |  WHERE (k.i - 1) // 8 >= k.n_tok // 8
+       |  GROUP BY 1)
+       |SELECT b.doc_id, b.n_tok,
+       |  CAST(tt.n_spans AS BIGINT) AS n_spans,
+       |  CAST(tt.n_corrupted AS BIGINT) AS n_corrupted,
+       |  CAST(tt.ilen_tot + coalesce(tl.tail_len, 0) AS BIGINT) AS input_len,
+       |  CAST(tt.tlen_tot AS BIGINT) AS target_len,
+       |  CAST(tt.sent_i + coalesce(st.ck_i, 0) + coalesce(tl.ck_tail, 0)
+       |    AS BIGINT) AS input_checksum,
+       |  CAST(tt.sent_t + coalesce(st.ck_t, 0) AS BIGINT) AS target_checksum
+       |FROM base b
+       |JOIN tot tt USING (doc_id)
+       |LEFT JOIN spantok st USING (doc_id)
+       |LEFT JOIN tailtok tl USING (doc_id)""".stripMargin
   }
 
   /** Masked-LM corruption plan (BERT: mask 15 % of positions; of those
