@@ -500,12 +500,16 @@ object RhythmQueries {
 
     "whiten" -> {
       val (decay, floor) = (rhythm.WhitenDecay, rhythm.WhitenFloor)
+      // msp AS MATERIALIZED: pin the spectrum chain once — the recursive
+      // step otherwise re-inlines it per iteration (6.6 s → 0.9 s at the
+      // gate scale, bitwise-identical)
       s"""WITH RECURSIVE $duckBlocks,
          |$duckSpectrum,
+         |msp AS MATERIALIZED (SELECT doc_id, f, m FROM mspec),
          |rec AS (
          |  SELECT doc_id, f, m,
          |    list_transform(m, x -> greatest(x, CAST($floor AS DOUBLE))) AS peaks
-         |  FROM mspec WHERE f = 0
+         |  FROM msp WHERE f = 0
          |  UNION ALL
          |  SELECT s.doc_id, s.f, s.m,
          |    list_transform(range(CAST(len(s.m) AS BIGINT)), i ->
@@ -513,7 +517,7 @@ object RhythmQueries {
          |        greatest(CAST($decay AS DOUBLE)
          |                   * coalesce(r.peaks[i + 1], CAST(0.0 AS DOUBLE)),
          |                 CAST($floor AS DOUBLE)))) AS peaks
-         |  FROM mspec s JOIN rec r ON s.doc_id = r.doc_id AND s.f = r.f + 1)
+         |  FROM msp s JOIN rec r ON s.doc_id = r.doc_id AND s.f = r.f + 1)
          |SELECT doc_id, f AS frame_id,
          |  CAST(gs - 1 AS INTEGER) AS bin,
          |  u / p AS white
