@@ -89,6 +89,8 @@ object expressions {
       es => KmvTokensAgg(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_token_feats",
       es => TokenFeats(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_tokens",
+      es => HllTokensAgg(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_counts",
       es => UnigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
@@ -459,6 +461,76 @@ object expressions {
       x ^= (x >>> 33)
       x & Mask60
     }
+  }
+
+  /** graft_hll_tokens(tokens ARRAY<INT>, p INT) → ARRAY<INT> (2^p registers)
+    *
+    * Fused HyperLogLog register build over per-row token bigrams: each
+    * adjacent pair packs to its exact 24-bit gram identity, mixes through
+    * the UNSALTED Murmur3 finalizer ([[KmvMix]] with the fixed
+    * [[HllTokensAgg.HllSalt]] — unsalted across groups so register tables
+    * from different sources max-merge into true union cardinality), masks
+    * to 60 bits, and updates `reg[h mod 2^p] = max(reg, rho)` in place.
+    * Aggregation state is the 2^p-byte register table at every stage —
+    * the canonical mergeable-HLL shape (max is idempotent AND
+    * duplicate-insensitive, so the raw duplicated gram stream needs no
+    * distinct). Production counterpart of [[graft.ops.Sketches]]'
+    * `hllReport` error-report form, exactly as [[KmvTokensAgg]] is of
+    * `kmvReport`. */
+  case class HllTokensAgg(tokens: Expression, pE: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.aggregate
+        .TypedImperativeAggregate[Array[Byte]] {
+    private lazy val p = {
+      val v = litInt(pE)
+      require(v >= 4 && v <= 14, s"hll p must be 4..14, got $v")
+      v
+    }
+    private def m = 1 << p
+    override def children: Seq[Expression] = Seq(tokens, pE)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+    override def update(b: Array[Byte], row: InternalRow): Array[Byte] = {
+      val tAny = tokens.eval(row)
+      if (tAny == null) return b
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val maxRho = 61 - p
+      var i = 0
+      while (i < arr.length - 1) {
+        val gram = (arr(i) + 2048L) * 4096L + (arr(i + 1) + 2048L)
+        val h = KmvMix.hash(HllTokensAgg.HllSalt, gram)
+        val bucket = (h % m).toInt
+        val w = h / m
+        val rho =
+          if (w == 0) maxRho
+          else java.lang.Long.numberOfTrailingZeros(w) + 1
+        if (rho > b(bucket)) b(bucket) = rho.toByte
+        i += 1
+      }
+      b
+    }
+    override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < b.length) { if (o(i) > b(i)) b(i) = o(i); i += 1 }
+      b
+    }
+    override def eval(b: Array[Byte]): Any =
+      UnsafeArrayData.fromPrimitiveArray(b.map(_.toInt))
+    override def serialize(b: Array[Byte]): Array[Byte] = b
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def withNewMutableAggBufferOffset(o: Int): HllTokensAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllTokensAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), pE = c(1))
+  }
+
+  object HllTokensAgg {
+    /** Fixed unsalted-mixer seed — any constant works as long as both
+      * engines share it; this one spells "hll" in the low bytes. */
+    val HllSalt: Long = 0x686c6c5f73656564L & ((1L << 60) - 1)
   }
 
   /** graft_kmv_tokens(tokens ARRAY<INT>, salt BIGINT, k INT) → ARRAY<BIGINT>

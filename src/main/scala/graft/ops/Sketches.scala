@@ -490,6 +490,122 @@ object Sketches {
         col("raw_est"), col("est_micro"), col("n_exact"))
   }
 
+  /** Production HLL: fused token-array registers, sketch-only. ONE pass —
+    * [[graft.functions.expressions.HllTokensAgg]] packs each bigram,
+    * mixes it UNSALTED (fixed seed) through the integer Murmur3 finalizer
+    * and max-updates the 2^p-byte register table in-state (max is
+    * duplicate-insensitive, so the raw gram stream needs no distinct and
+    * no per-occurrence hash strings — the [[kmvTokens]] fix applied to
+    * HLL). The `__all__` row is the element-wise max of the collected
+    * per-source register tables (sources × 2^p bytes — model-sized), and
+    * the estimator math runs on the driver over exact integer inputs with
+    * the identical formulas as [[hllReport]] (whose error-report form,
+    * with its exact-distinct side, stays the accuracy oracle). */
+  def hllSketch(seqs: DataFrame, p: Int): DataFrame = {
+    val spark = seqs.sparkSession
+    graft.functions.expressions.register(spark)
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, 54)
+    val per = seqs.groupBy(col("source"))
+      .agg(expr(s"graft_hll_tokens(tokens, $p)").as("regs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toArray)
+    val union = new Array[Int](m)
+    for ((_, regs) <- per; i <- 0 until m)
+      if (regs(i) > union(i)) union(i) = regs(i)
+    def estRow(source: String, regs: Array[Int]): org.apache.spark.sql.Row = {
+      val nZero = regs.count(_ == 0).toLong
+      var sumScaled = 0L
+      for (r <- regs) sumScaled += (if (r <= 54) 1L << (54 - r) else 0L)
+      val rawEst = numer / sumScaled.toDouble
+      val estMicro =
+        if (nZero > 0 && rawEst <= 5L * m / 2)
+          math.floor(m.toDouble * math.log(m.toDouble / nZero.toDouble)
+            * 1000000.0 + 0.5).toLong
+        else math.floor(rawEst * 1000000.0 + 0.5).toLong
+      org.apache.spark.sql.Row(source, nZero, sumScaled, rawEst, estMicro)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_zero",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sum_scaled",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raw_est",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("est_micro",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = per.toSeq.map { case (s, r) => estRow(s, r) } :+
+      estRow("__all__", union)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** DuckDB mirror of [[hllSketch]] — distinct grams (dedup-insensitive
+    * max makes the slow road exact), the hugeint rendering of the same
+    * unsalted mixer, identical register/fixed-point/correction rules. */
+  def duckHllSketchSql(seqsSql: String, p: Int): String = {
+    import graft.functions.expressions.{KmvMix, HllTokensAgg}
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, 54)
+    val k3 = java.lang.Long.toUnsignedString(KmvMix.K3)
+    val shift33 = "8589934592"
+    val mask60 = "1152921504606846976"
+    def xs(x: String) = duckXor64(x, s"(($x) // $shift33)")
+    s"""WITH seqs AS ($seqsSql),
+       |bi AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
+       |  FROM (SELECT source, unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
+       |        FROM seqs)),
+       |m0 AS (
+       |  SELECT source,
+       |    (CAST(${HllTokensAgg.HllSalt} AS HUGEINT)
+       |     + CAST(gram AS HUGEINT) * $k3) % $U64 AS x
+       |  FROM bi),
+       |m1 AS (SELECT source, ${xs("x")} AS x FROM m0),
+       |m2 AS (SELECT source, ${duckMul64("x", KmvMix.C1)} AS x FROM m1),
+       |m3 AS (SELECT source, ${xs("x")} AS x FROM m2),
+       |m4 AS (SELECT source, ${duckMul64("x", KmvMix.C2)} AS x FROM m3),
+       |m5 AS (SELECT source, ${xs("x")} AS x FROM m4),
+       |h AS (SELECT source, CAST(x % $mask60 AS BIGINT) AS h FROM m5),
+       |regs_src AS MATERIALIZED (
+       |  SELECT source, CAST(h % $m AS INTEGER) AS bucket,
+       |    max(CASE WHEN h // $m = 0 THEN ${hllMaxRho(p)}
+       |        ELSE CAST(bit_count(((h // $m) & -(h // $m)) - 1) AS INTEGER)
+       |             + 1 END) AS reg
+       |  FROM h GROUP BY 1, 2),
+       |regs AS (
+       |  SELECT * FROM regs_src
+       |  UNION ALL
+       |  SELECT '__all__' AS source, bucket, max(reg) AS reg
+       |  FROM regs_src GROUP BY bucket),
+       |est AS (
+       |  SELECT source,
+       |    CAST($m - count(*) AS BIGINT) AS n_zero,
+       |    CAST(CAST(sum(CASE WHEN reg <= 54
+       |            THEN (CAST(1 AS BIGINT) << (54 - reg))
+       |            ELSE 0 END) AS BIGINT)
+       |      + ($m - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT)
+       |      AS sum_scaled
+       |  FROM regs GROUP BY 1),
+       |est2 AS (
+       |  SELECT source, n_zero, sum_scaled,
+       |    CAST($numer AS DOUBLE) / CAST(sum_scaled AS DOUBLE) AS raw_est
+       |  FROM est)
+       |SELECT source, n_zero, sum_scaled, raw_est,
+       |  CASE WHEN n_zero > 0 AND raw_est <= CAST(${5L * m / 2} AS DOUBLE)
+       |    THEN CAST(floor(CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE)
+       |      / CAST(n_zero AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |    ELSE CAST(floor(raw_est * 1000000.0 + 0.5) AS BIGINT)
+       |  END AS est_micro
+       |FROM est2""".stripMargin
+  }
+
   /** DuckDB mirror of [[hllReport]] — same hash, register, fixed-point
     * and correction rules (sums cast back to BIGINT against HUGEINT
     * widening). */

@@ -60,8 +60,15 @@ object SketchQueries {
     "sketch_kmv_exact" -> ((s, dir) =>
       Sketches.kmvReport(Seqs.fromDocuments(s, dir), KmvK)),
 
-    // HLL register sketch per source + element-wise-max-merged union row
+    // HLL register sketch per source + element-wise-max-merged union row —
+    // production sketch-only path: fused token-array register aggregate
+    // (integer mixer, no explode, no distinct, no exact side)
     "sketch_hll" -> ((s, dir) =>
+      Sketches.hllSketch(Seqs.fromDocuments(s, dir), HllP)),
+
+    // HLL error-REPORT form (registers + exact distinct side by side) —
+    // the accuracy oracle at gate scale, kept out of the bench battery
+    "sketch_hll_exact" -> ((s, dir) =>
       Sketches.hllReport(Seqs.fromDocuments(s, dir), HllP)),
 
     // Bloom-filter semi-join pruning report (single row)
@@ -96,6 +103,9 @@ object SketchQueries {
       Sketches.duckKmvSql(Seqs.duckSql, KmvK),
 
     "sketch_hll" ->
+      Sketches.duckHllSketchSql(Seqs.duckSql, HllP),
+
+    "sketch_hll_exact" ->
       Sketches.duckHllSql(Seqs.duckSql, HllP),
 
     "bloom_prune" ->

@@ -213,6 +213,50 @@ class SketchSpec extends AnyFunSuite {
     assert(got("__all__") == allHs(k - 1))
   }
 
+  test("HLL fused token aggregate: registers equal brute force; union = max-merge") {
+    import graft.functions.expressions.{KmvMix, HllTokensAgg}
+    val p = 6; val m = 1 << p
+    val docs = (0 until 10).map { d =>
+      (s"d$d",
+        Seq.tabulate(400)(i => (d * 211 + i * i * 37 + 5 * i) % 1700 - 850),
+        400, s"src${d % 2}")
+    }
+    val seqs = docs.toDF("doc_id", "tokens", "n_tok", "source")
+      .repartition(8)
+    graft.functions.expressions.register(spark)
+    val got = seqs.groupBy(col("source"))
+      .agg(expr(s"graft_hll_tokens(tokens, $p)").as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    def brute(src: String): Array[Int] = {
+      val regs = new Array[Int](m)
+      for ((_, toks, _, s0) <- docs if s0 == src;
+           pr <- toks.sliding(2)) {
+        val h = KmvMix.hash(HllTokensAgg.HllSalt,
+          (pr(0) + 2048L) * 4096L + (pr(1) + 2048L))
+        val b = (h % m).toInt; val w = h / m
+        val rho = if (w == 0) 61 - p
+          else java.lang.Long.numberOfTrailingZeros(w) + 1
+        if (rho > regs(b)) regs(b) = rho
+      }
+      regs
+    }
+    for (src <- Seq("src0", "src1"))
+      assert(got(src).toSeq == brute(src).toSeq, s"registers diverge at $src")
+    // union row in hllSketch = element-wise max of the per-source tables
+    val sk = graft.ops.Sketches.hllSketch(seqs, p).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("sum_scaled")).toMap
+    val union = brute("src0").zip(brute("src1")).map { case (a, b) => math.max(a, b) }
+    val expScaled = union.map(r => if (r <= 54) 1L << (54 - r) else 0L).sum
+    assert(sk("__all__") == expScaled)
+    // estimate sanity at this scale: within 3 sigma of the true distinct
+    val exact = docs.flatMap { case (_, t, _, _) => t.sliding(2).map(x => (x(0), x(1))) }
+      .distinct.size
+    val est = graft.ops.Sketches.hllSketch(seqs, p).collect()
+      .find(_.getString(0) == "__all__").get.getAs[Long]("est_micro") / 1e6
+    assert(math.abs(est - exact) < 3 * 1.04 / math.sqrt(m) * exact,
+      s"union estimate $est vs exact $exact")
+  }
+
   test("bloom pruning: zero false negatives, nontrivial pruning, fp accounting") {
     val universe = (0L until 400L).map(i => (i, i % 11 == 0))
       .toDF("id", "member")
