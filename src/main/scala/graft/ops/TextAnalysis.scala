@@ -417,6 +417,75 @@ object TextAnalysis {
 
   /** DuckDB mirror of [[vocabGrowth]] over a `seqs` CTE body bound by
     * `prelude` (no leading WITH). */
+  /** Vocabulary-richness estimators per source + `__all__` — the
+    * unseen-species toolkit of corpus curation (how much vocabulary has
+    * the crawl NOT seen yet): bias-corrected Chao1 richness
+    * `V + f1(f1−1)/(2(f2+1))` (Chao 1984; the f2+1 form is defined at
+    * f2 = 0) and the Good-Turing unseen-probability mass `p0 = f1/N` —
+    * both driven purely by the frequency-of-frequencies of the unigram
+    * count table. Complements [[vocabGrowth]]'s empirical Heaps curve
+    * with the asymptote estimate.
+    *
+    * Plan: one (source, gram) counting aggregation (map-side partials,
+    * vocab-bounded output), the global row re-aggregates that VOCAB-SIZED
+    * table by gram (never the corpus), then a sources+1-row summary. All
+    * counts exact int64; each estimator is one double expression over
+    * exact ints, micro-quantized — bitwise across engines. */
+  def vocabRichness(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val counts = seqs.select(col("source"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("source"),
+        graft.functions.expressions.gramOf(col("gc")).as("g"),
+        graft.functions.expressions.cntOf(col("gc")).as("c"))
+      .groupBy(col("source"), col("g")).agg(sum(col("c")).as("c"))
+    val global = counts.groupBy(col("g")).agg(sum(col("c")).as("c"))
+      .select(lit("__all__").as("source"), col("g"), col("c"))
+    counts.unionByName(global)
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        expr("""CAST(floor((CAST(vocab AS DOUBLE)
+               |  + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+               |    / (2.0 * CAST(f2 + 1 AS DOUBLE))) * 1000000.0 + 0.5)
+               |  AS BIGINT)""".stripMargin).as("chao1_micro"),
+        expr("""CAST(floor(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+               |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin)
+          .as("gt_p0_micro"))
+  }
+
+  /** DuckDB mirror of [[vocabRichness]] (raw token values key the count
+    * table — the aggregates are invariant to the gram-id encoding). */
+  def duckVocabRichnessSql(prelude: String): String =
+    s"""WITH $prelude,
+       |cnts AS MATERIALIZED (
+       |  SELECT source, t AS g, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(tokens) AS t FROM seqs) GROUP BY 1, 2),
+       |allc AS (
+       |  SELECT source, g, c FROM cnts
+       |  UNION ALL
+       |  SELECT '__all__' AS source, g, CAST(sum(c) AS BIGINT) AS c
+       |  FROM cnts GROUP BY 2),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM allc GROUP BY 1)
+       |SELECT source, n_tokens, vocab, f1, f2,
+       |  CAST(floor((CAST(vocab AS DOUBLE)
+       |    + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+       |      / (2.0 * CAST(f2 + 1 AS DOUBLE))) * 1000000.0 + 0.5)
+       |    AS BIGINT) AS chao1_micro,
+       |  CAST(floor(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS gt_p0_micro
+       |FROM agg""".stripMargin
+
   def duckVocabGrowthSql(prelude: String, nCkpts: Int = 5): String =
     s"""WITH $prelude,
        |b AS (

@@ -89,7 +89,13 @@ object SketchQueries {
 
     // Heaps'-law vocabulary growth at doc-id checkpoints
     "vocab_growth" -> ((s, dir) =>
-      TextAnalysis.vocabGrowth(Seqs.fromDocuments(s, dir), VocabCkpts))
+      TextAnalysis.vocabGrowth(Seqs.fromDocuments(s, dir), VocabCkpts)),
+
+    // Chao1 richness + Good-Turing unseen mass per source + __all__ —
+    // the "how much vocabulary has the crawl NOT seen" asymptote next to
+    // vocab_growth's empirical curve
+    "vocab_richness" -> ((s, dir) =>
+      TextAnalysis.vocabRichness(Seqs.fromDocuments(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -121,6 +127,9 @@ object SketchQueries {
       Sampling.duckWeightedSampleSql(s"seqs AS (${Seqs.duckSql})", WsK),
 
     "vocab_growth" ->
-      TextAnalysis.duckVocabGrowthSql(s"seqs AS (${Seqs.duckSql})", VocabCkpts)
+      TextAnalysis.duckVocabGrowthSql(s"seqs AS (${Seqs.duckSql})", VocabCkpts),
+
+    "vocab_richness" ->
+      TextAnalysis.duckVocabRichnessSql(s"seqs AS (${Seqs.duckSql})")
   )
 }

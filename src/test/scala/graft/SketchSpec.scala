@@ -257,6 +257,27 @@ class SketchSpec extends AnyFunSuite {
       s"union estimate $est vs exact $exact")
   }
 
+  test("vocab richness: hand-computed Chao1 + Good-Turing on a tiny corpus") {
+    val seqs = Seq(
+      ("a", Seq(1, 1, 2, 3), 4, "sA"),   // sA: c = {1:2, 2:1, 3:1}
+      ("b", Seq(3, 4), 2, "sB"))         // sB: c = {3:1, 4:1}
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val out = graft.ops.TextAnalysis.vocabRichness(seqs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("sA")
+    assert(a.getAs[Long]("n_tokens") == 4 && a.getAs[Long]("vocab") == 3)
+    assert(a.getAs[Long]("f1") == 2 && a.getAs[Long]("f2") == 1)
+    // chao1 = 3 + 2*1/(2*(1+1)) = 3.5; p0 = 2/4
+    assert(a.getAs[Long]("chao1_micro") == 3500000L)
+    assert(a.getAs[Long]("gt_p0_micro") == 500000L)
+    val g = out("__all__")                // global: {1:2, 2:1, 3:2, 4:1}
+    assert(g.getAs[Long]("n_tokens") == 6 && g.getAs[Long]("vocab") == 4)
+    assert(g.getAs[Long]("f1") == 2 && g.getAs[Long]("f2") == 2)
+    // chao1 = 4 + 2*1/(2*3) = 4.333...; p0 = 2/6
+    assert(g.getAs[Long]("chao1_micro") == 4333333L)
+    assert(g.getAs[Long]("gt_p0_micro") == 333333L)
+  }
+
   test("bloom pruning: zero false negatives, nontrivial pruning, fp accounting") {
     val universe = (0L until 400L).map(i => (i, i % 11 == 0))
       .toDF("id", "member")
