@@ -562,17 +562,20 @@ object Sketches {
        |    (z[1] + 2048)::BIGINT * 4096 + (z[2] + 2048) AS gram
        |  FROM (SELECT source, unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS z
        |        FROM seqs)),
+       |gr AS MATERIALIZED (SELECT DISTINCT gram FROM bi),
        |m0 AS (
-       |  SELECT source,
+       |  SELECT gram,
        |    (CAST(${HllTokensAgg.HllSalt} AS HUGEINT)
        |     + CAST(gram AS HUGEINT) * $k3) % $U64 AS x
-       |  FROM bi),
-       |m1 AS (SELECT source, ${xs("x")} AS x FROM m0),
-       |m2 AS (SELECT source, ${duckMul64("x", KmvMix.C1)} AS x FROM m1),
-       |m3 AS (SELECT source, ${xs("x")} AS x FROM m2),
-       |m4 AS (SELECT source, ${duckMul64("x", KmvMix.C2)} AS x FROM m3),
-       |m5 AS (SELECT source, ${xs("x")} AS x FROM m4),
-       |h AS (SELECT source, CAST(x % $mask60 AS BIGINT) AS h FROM m5),
+       |  FROM gr),
+       |m1 AS (SELECT gram, ${xs("x")} AS x FROM m0),
+       |m2 AS (SELECT gram, ${duckMul64("x", KmvMix.C1)} AS x FROM m1),
+       |m3 AS (SELECT gram, ${xs("x")} AS x FROM m2),
+       |m4 AS (SELECT gram, ${duckMul64("x", KmvMix.C2)} AS x FROM m3),
+       |m5 AS (SELECT gram, ${xs("x")} AS x FROM m4),
+       |gh AS MATERIALIZED (
+       |  SELECT gram, CAST(x % $mask60 AS BIGINT) AS h FROM m5),
+       |h AS (SELECT bi.source, gh.h FROM bi JOIN gh USING (gram)),
        |regs_src AS MATERIALIZED (
        |  SELECT source, CAST(h % $m AS INTEGER) AS bucket,
        |    max(CASE WHEN h // $m = 0 THEN ${hllMaxRho(p)}
