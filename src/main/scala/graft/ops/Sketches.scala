@@ -501,12 +501,30 @@ object Sketches {
     * the estimator math runs on the driver over exact integer inputs with
     * the identical formulas as [[hllReport]] (whose error-report form,
     * with its exact-distinct side, stays the accuracy oracle). */
+  /** HLL estimator over a register table: `(n_zero, sum_scaled, raw_est,
+    * est_micro)` — the identical fixed-point + linear-counting rules as
+    * [[hllReport]], shared by [[hllSketch]] and the streaming form
+    * ([[graft.streaming.StreamOps.hllStream]]). */
+  def hllEstimate(regs: Array[Int], p: Int): (Long, Long, Double, Long) = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val numer = alpha * m * m * math.pow(2.0, 54)
+    val nZero = regs.count(_ == 0).toLong
+    var sumScaled = 0L
+    for (r <- regs) sumScaled += (if (r <= 54) 1L << (54 - r) else 0L)
+    val rawEst = numer / sumScaled.toDouble
+    val estMicro =
+      if (nZero > 0 && rawEst <= 5L * m / 2)
+        math.floor(m.toDouble * math.log(m.toDouble / nZero.toDouble)
+          * 1000000.0 + 0.5).toLong
+      else math.floor(rawEst * 1000000.0 + 0.5).toLong
+    (nZero, sumScaled, rawEst, estMicro)
+  }
+
   def hllSketch(seqs: DataFrame, p: Int): DataFrame = {
     val spark = seqs.sparkSession
     graft.functions.expressions.register(spark)
     val m = 1 << p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val numer = alpha * m * m * math.pow(2.0, 54)
     val per = seqs.groupBy(col("source"))
       .agg(expr(s"graft_hll_tokens(tokens, $p)").as("regs"))
       .collect()
@@ -515,15 +533,7 @@ object Sketches {
     for ((_, regs) <- per; i <- 0 until m)
       if (regs(i) > union(i)) union(i) = regs(i)
     def estRow(source: String, regs: Array[Int]): org.apache.spark.sql.Row = {
-      val nZero = regs.count(_ == 0).toLong
-      var sumScaled = 0L
-      for (r <- regs) sumScaled += (if (r <= 54) 1L << (54 - r) else 0L)
-      val rawEst = numer / sumScaled.toDouble
-      val estMicro =
-        if (nZero > 0 && rawEst <= 5L * m / 2)
-          math.floor(m.toDouble * math.log(m.toDouble / nZero.toDouble)
-            * 1000000.0 + 0.5).toLong
-        else math.floor(rawEst * 1000000.0 + 0.5).toLong
+      val (nZero, sumScaled, rawEst, estMicro) = hllEstimate(regs, p)
       org.apache.spark.sql.Row(source, nZero, sumScaled, rawEst, estMicro)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -645,4 +645,75 @@ object StreamOps {
              coalesce(col("c.best_jaccard"), lit(Double.NegativeInfinity)),
           col("s.best_jaccard")).otherwise(col("c.best_jaccard"))
           .as("best_jaccard"))
+
+  // ------------------------------------------------------------------
+  // Streaming HLL distinct-count sketch
+  // ------------------------------------------------------------------
+
+  final case class HllIn(stream_id: String, ts: java.sql.Timestamp,
+                         tokens: Seq[Int])
+  final case class HllSkState(regs: Array[Byte])
+  final case class HllSkOut(stream_id: String, as_of: Long, n_zero: Long,
+                            sum_scaled: Long, est_micro: Long)
+
+  /** Streaming HLL: per stream key, the 2^p register table lives in
+    * `flatMapGroupsWithState` state and max-updates from each micro-batch's
+    * token rows with the IDENTICAL gram-pack + integer-mixer + rho rule as
+    * the batch [[graft.functions.expressions.HllTokensAgg]]; after each
+    * batch the current estimate snapshot is emitted (Append mode, readers
+    * take the latest `as_of` — the [[heavyHittersStream]] convention).
+    * Registers are order- AND duplicate-insensitive (max-merge), so ANY
+    * micro-batch split of the same rows yields bitwise-identical final
+    * registers — the strongest batch==stream guarantee in the family,
+    * pinned against [[graft.ops.Sketches.hllSketch]] in StreamingSpec.
+    * State is exactly 2^p bytes per key, watermark-expired. */
+  def hllStream(rows: Dataset[HllIn], p: Int, watermark: String,
+                stateTtl: String = "1 hour"): Dataset[HllSkOut] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.expressions.{KmvMix, HllTokensAgg}
+    val m = 1 << p
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[HllIn], state: GroupState[HllSkState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val regs = state.getOption.map(_.regs.clone())
+              .getOrElse(new Array[Byte](m))
+            var maxTs = Long.MinValue
+            var any = false
+            val maxRho = 61 - p
+            for (r <- it) {
+              any = true
+              maxTs = math.max(maxTs, r.ts.getTime)
+              val arr = r.tokens
+              var i = 0
+              while (i < arr.length - 1) {
+                val gram = (arr(i) + 2048L) * 4096L + (arr(i + 1) + 2048L)
+                val h = KmvMix.hash(HllTokensAgg.HllSalt, gram)
+                val bucket = (h % m).toInt
+                val w = h / m
+                val rho =
+                  if (w == 0) maxRho
+                  else java.lang.Long.numberOfTrailingZeros(w) + 1
+                if (rho > regs(bucket)) regs(bucket) = rho.toByte
+                i += 1
+              }
+            }
+            state.update(HllSkState(regs))
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, stateTtl)
+            if (!any) Iterator.empty
+            else {
+              val (nz, ss, _, em) =
+                graft.ops.Sketches.hllEstimate(regs.map(_.toInt), p)
+              Iterator.single(HllSkOut(key, maxTs, nz, ss, em))
+            }
+          }
+        })
+  }
 }

@@ -500,4 +500,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.forall(_ == (1024L, 1024L * 9, 3)))
     } finally q.stop()
   }
+
+  test("streaming HLL == batch fused registers across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 9).map { d =>
+      (s"s${d % 2}", d,
+        Seq.tabulate(120)(i => (d * 131 + i * i * 17 + 3 * i) % 1500 - 750))
+    }
+    // batch reference: the fused register aggregate per source
+    val batch = graft.ops.Sketches.hllSketch(
+        docs.map { case (src, d, t) => (s"d$d", t, t.length, src) }
+          .toDF("doc_id", "tokens", "n_tok", "source"), p = 6)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("sum_scaled"), r.getAs[Long]("est_micro"))).toMap
+    def run(splits: Seq[Seq[Int]], name: String): Map[String, (Long, Long)] = {
+      val mem = MemoryStream[StreamOps.HllIn]
+      def f(d: Int) = StreamOps.HllIn(docs(d)._1,
+        new Timestamp(1700000000000L + d * 1000L), docs(d)._3)
+      val q = StreamOps.hllStream(mem.toDS(), p = 6, "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        for (b <- splits) { mem.addData(b.map(f): _*); q.processAllAvailable() }
+        // latest as_of snapshot per stream
+        spark.table(name).collect()
+          .groupBy(_.getAs[String]("stream_id"))
+          .map { case (k, rs) =>
+            val last = rs.maxBy(_.getAs[Long]("as_of"))
+            k -> (last.getAs[Long]("sum_scaled"),
+              last.getAs[Long]("est_micro"))
+          }.toMap
+      } finally q.stop()
+    }
+    val a = run(Seq(0 until 9), "hll_one")
+    val b = run(Seq(Seq(0, 1), Seq(2, 3, 4, 5), Seq(6), Seq(7, 8)), "hll_four")
+    assert(a == b, "micro-batch split must not change the registers")
+    for (src <- Seq("s0", "s1"))
+      assert(a(src) == batch(src),
+        s"stream snapshot must equal the batch fused sketch at $src")
+  }
 }
