@@ -65,6 +65,10 @@ object expressions {
       es => MinHash(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      es => DotProd(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2",
+      es => L2Sq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sign_bands",
       es => SignBands(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_tree_walk",
@@ -1787,6 +1791,70 @@ object expressions {
         i += 1
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(a = c(0), b = c(1))
+  }
+
+  /** graft_dot(a ARRAY<FLOAT|DOUBLE>, b same) → DOUBLE
+    * Plain inner product as an ascending sequential fold (the
+    * [[CosineSim]] fold without the normalization) — the ADC table-build
+    * primitive of the product-quantization family. Bitwise-mirrored in
+    * DuckDB by an index-ordered list fold. */
+  case class DotProd(a: Expression, b: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(a, b)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = a.nullable || b.nullable
+    private def toDoubles(any: Any, dt: DataType): Array[Double] = {
+      val ad = any.asInstanceOf[ArrayData]
+      dt.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => ad.toFloatArray().map(_.toDouble)
+        case DoubleType => ad.toDoubleArray()
+        case other => throw new IllegalArgumentException(s"dot over $other")
+      }
+    }
+    override def eval(input: InternalRow): Any = {
+      val aAny = a.eval(input); val bAny = b.eval(input)
+      if (aAny == null || bAny == null) return null
+      val xs = toDoubles(aAny, a.dataType)
+      val ys = toDoubles(bAny, b.dataType)
+      val n = math.min(xs.length, ys.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += xs(i) * ys(i); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(a = c(0), b = c(1))
+  }
+
+  /** graft_l2(a ARRAY<FLOAT|DOUBLE>, b same) → DOUBLE
+    * Squared Euclidean distance, ascending sequential fold — the k-means
+    * assignment metric of the PQ codebook trainer (squared form: the sqrt
+    * is rank-irrelevant and omitting it keeps the fold exactly
+    * mirrorable). */
+  case class L2Sq(a: Expression, b: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(a, b)
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = a.nullable || b.nullable
+    private def toDoubles(any: Any, dt: DataType): Array[Double] = {
+      val ad = any.asInstanceOf[ArrayData]
+      dt.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => ad.toFloatArray().map(_.toDouble)
+        case DoubleType => ad.toDoubleArray()
+        case other => throw new IllegalArgumentException(s"l2 over $other")
+      }
+    }
+    override def eval(input: InternalRow): Any = {
+      val aAny = a.eval(input); val bAny = b.eval(input)
+      if (aAny == null || bAny == null) return null
+      val xs = toDoubles(aAny, a.dataType)
+      val ys = toDoubles(bAny, b.dataType)
+      val n = math.min(xs.length, ys.length)
+      var s = 0.0; var i = 0
+      while (i < n) { val d = xs(i) - ys(i); s += d * d; i += 1 }
+      s
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(a = c(0), b = c(1))

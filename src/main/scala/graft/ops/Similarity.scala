@@ -1767,4 +1767,329 @@ object Similarity {
        |       ELSE __dr / (centroid_norm * __nr) END AS cos_to_rest
        |FROM m""".stripMargin
   }
+
+  // ==================================================================
+  // Product quantization (PQ): codebook training, encoding, ADC recall
+  // ==================================================================
+  //
+  // The vector-compression half of the ANN family (FAISS IndexPQ shape;
+  // Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011): the `dim`-dimensional embedding is split into
+  // `m` contiguous subspaces of `dsub` dims; each subspace trains its own
+  // `ksub`-codeword k-means codebook; a vector is stored as its m nearest
+  // sub-codeword ids (m·log2(ksub) bits — 64 float dims → 8 bytes at
+  // m=8, ksub=256). Query scoring is ADC (asymmetric distance): the raw
+  // query precomputes one (m × ksub) partial-dot table, and each corpus
+  // vector's approximate score is m table lookups — no decompression.
+  //
+  // == Scale shape ==
+  //  - TRAIN touches only (m·ksub·dsub) aggregate state per Lloyd round:
+  //    assignment is a broadcast of the tiny codebook against the corpus
+  //    (narrow pass, corpus never shuffles), the update shuffles only
+  //    (sub, code, pos) partial sums — the [[ivfTrainedCents]] shape with
+  //    an extra `sub` key. At 10^12 rows you train on a stride sample;
+  //    the stride rule here IS that sample (the corpus at gate scale).
+  //  - ENCODE is one broadcast-join projection per vector — ids+codes
+  //    only, m bytes of payload; composes with [[ivfCellsWith]] for the
+  //    classic IVF-PQ layout (coarse cell + residual codes).
+  //  - ADC recall evaluation broadcasts the per-query distance table
+  //    (nQueries × m × ksub BIGINTs) against the codes table and reduces
+  //    with one (query, vec) grouped sum — the corpus side carries codes
+  //    only, never raw vectors.
+  //
+  // == Parity ==
+  // Assignment distance is the native [[expressions.L2Sq]] sequential
+  // fold (ties → lowest code); centroid updates use the quantized-BIGINT
+  // component-mean trick of [[ivfTrainedCents]] (order-free exact sums);
+  // ADC partial dots quantize to `floor(dot · 2^20)` BIGINTs so the
+  // grouped sums are exact and the final score is one double division —
+  // every stage bitwise across engines and partitionings.
+
+  /** Corpus subvector table: (vec_id, sub, sv DOUBLE[dsub]). */
+  private def pqSubs(embeddings0: DataFrame, m: Int, dsub: Int): DataFrame =
+    embeddings0
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+        col("embedding"))
+      .withColumn("sv", expr(
+        s"transform(slice(embedding, sub * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"), col("sub"), col("sv"))
+
+  /** Seed codebook: a deterministic stride sample (denser than [[cents]]'
+    * `% 37` — ksub=16 needs ≥ 16 candidates at the 500-vector gate scale)
+    * picks `ksub` seed vectors; code = the seed's rank by vec_id (0-based,
+    * so codes are the dense 0..ksub-1 byte range PQ storage wants), cv =
+    * the seed's subvector. */
+  private def pqSeed(embeddings0: DataFrame, m: Int, dsub: Int,
+                     ksub: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    // ksub rows — the global window is a single tiny partition by design
+    embeddings0.filter(expr("vec_id % 13 = 3"))
+      .orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
+        col("code"),
+        col("embedding"))
+      .withColumn("cv", expr(
+        s"transform(slice(embedding, sub * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"))
+      .select(col("sub"), col("code"), col("cv"))
+  }
+
+  /** Nearest-codeword assignment: broadcast the (m·ksub)-row codebook,
+    * keep each subvector's min-L2 code (ties → lowest code). */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("l2").asc, col("code").asc)
+    subs.join(broadcast(cb), Seq("sub"))
+      .withColumn("l2", expr("graft_l2(sv, cv)"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Lloyd-trained PQ codebook: seed = [[pqSeed]], then `iters` k-means
+    * rounds per subspace (assign = broadcast min-L2 pass; update =
+    * quantized-BIGINT component means, one (sub, code, pos) shuffle of
+    * aggregates). Codes that lose all members keep their previous
+    * codeword. Returns (sub, code, cv DOUBLE[dsub]). */
+  def pqTrainCodebook(embeddings0: DataFrame, m: Int, dsub: Int, ksub: Int,
+                      iters: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val subs = pqSubs(
+      graft.core.Partitioning.balance(embeddings0, "vec_id"), m, dsub)
+    var cb = pqSeed(embeddings0, m, dsub, ksub)
+    for (_ <- 1 to iters) {
+      val assigned = pqAssign(subs, cb)
+      val sums = subs.join(assigned, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(
+          sum(expr("CAST(floor(x * 1048576) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+      val means = sums.groupBy(col("sub"), col("code"))
+        .agg(expr(
+          """transform(array_sort(collect_list(struct(pos, s, n))),
+            |  t -> CAST(t.s AS DOUBLE) / CAST(t.n * 1048576 AS DOUBLE))"""
+            .stripMargin).as("cv"))
+      cb = cb.select(col("sub"), col("code"), col("cv").as("__cv_prev"))
+        .join(means, Seq("sub", "code"), "left_outer")
+        .select(col("sub"), col("code"),
+          coalesce(col("cv"), col("__cv_prev")).as("cv"))
+        .localCheckpoint(true) // m·ksub rows; truncates per-round lineage
+    }
+    cb
+  }
+
+  /** Driver-facing trained-codebook report: one scalar row per codeword
+    * component — (sub, code, pos, comp), array-free, bitwise. */
+  def pqTrainTable(embeddings0: DataFrame, m: Int, dsub: Int, ksub: Int,
+                   iters: Int): DataFrame =
+    pqTrainCodebook(embeddings0, m, dsub, ksub, iters)
+      .select(col("sub"), col("code"),
+        posexplode(col("cv")).as(Seq("pos", "comp")))
+      .select(col("sub"), col("code"), col("pos"), col("comp"))
+
+  /** PQ encoding of the corpus against the trained codebook:
+    * (vec_id, sub, code) — the m-byte compressed representation, one
+    * broadcast-join narrow pass. */
+  def pqCodes(embeddings0: DataFrame, m: Int, dsub: Int, ksub: Int,
+              iters: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    pqAssign(
+      pqSubs(graft.core.Partitioning.balance(embeddings0, "vec_id"), m, dsub),
+      pqTrainCodebook(embeddings0, m, dsub, ksub, iters))
+  }
+
+  /** Recall@k of ADC-over-PQ-codes ranking vs the exact brute-force
+    * baseline — the trust measurement for the compressed index. Approx
+    * score of (query q, vector x) = Σ_s dot(q_s, cw[s, code(x,s)]) /
+    * ‖x̂‖ (= cosine of q against x's reconstruction, up to the
+    * query-constant ‖q‖): partial dots ride a broadcast (query × m ×
+    * ksub) table of floor(dot·2^20) BIGINTs, summed exactly per
+    * (query, vec). */
+  def pqAdcRecall(embeddings0: DataFrame, nQueries: Int, k: Int, m: Int,
+                  dsub: Int, ksub: Int, iters: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val cb = pqTrainCodebook(embeddings0, m, dsub, ksub, iters)
+    val codes = pqAssign(
+      pqSubs(graft.core.Partitioning.balance(embeddings0, "vec_id"), m, dsub),
+      cb)
+    val exact = bruteTopK(embeddings0, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = embeddings0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dt = queries.crossJoin(broadcast(cb))
+      .withColumn("qsv", expr(
+        s"transform(slice(qv, sub * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"))
+      .select(col("query_id"), col("sub"), col("code"),
+        expr("CAST(floor(graft_dot(qsv, cv) * 1048576) AS BIGINT)").as("pdot"),
+        expr("CAST(floor(graft_dot(cv, cv) * 1048576) AS BIGINT)").as("cnorm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val approx = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cnorm2")).as("anorm2"))
+      .withColumn("score", expr(
+        """CASE WHEN anorm2 <= 0 THEN CAST(-1.0e18 AS DOUBLE)
+          |     ELSE CAST(adot AS DOUBLE) / sqrt(CAST(anorm2 AS DOUBLE))
+          |END""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
+  // ---- DuckDB mirrors of the PQ family ----
+
+  private def duckDotE(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform($a, (x, i) ->
+       |      CAST(x AS DOUBLE) * CAST(($b)[i] AS DOUBLE))),
+       |    (p, q) -> p + q)""".stripMargin
+
+  private def duckL2E(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform($a, (x, i) ->
+       |      (CAST(x AS DOUBLE) - CAST(($b)[i] AS DOUBLE))
+       |      * (CAST(x AS DOUBLE) - CAST(($b)[i] AS DOUBLE)))),
+       |    (p, q) -> p + q)""".stripMargin
+
+  /** WITH-clause chain (no leading WITH): `subs`, `cb0` … `cb{iters}`,
+    * mirroring [[pqSubs]] + [[pqSeed]] + the [[pqTrainCodebook]] rounds. */
+  private def duckPqChain(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""subs AS MATERIALIZED (
+       |  SELECT e.vec_id, CAST(g.sub AS INTEGER) AS sub,
+       |    list_transform(list_slice(e.embedding, g.sub * $dsub + 1,
+       |      g.sub * $dsub + $dsub), x -> CAST(x AS DOUBLE)) AS sv
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(range($m)) AS sub) g),
+       |cb0 AS (
+       |  SELECT CAST(g.sub AS INTEGER) AS sub, t.code,
+       |    list_transform(list_slice(t.embedding, g.sub * $dsub + 1,
+       |      g.sub * $dsub + $dsub), x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT embedding,
+       |          CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |            AS code
+       |        FROM (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id % 13 = 3 ORDER BY vec_id LIMIT $ksub)) t
+       |  CROSS JOIN (SELECT unnest(range($m)) AS sub) g)""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"cb${i - 1}"
+      sb ++= s""",
+         |d$i AS (
+         |  SELECT s.vec_id, s.sub, c.code,
+         |    ${duckL2E("s.sv", "c.cv")} AS l2
+         |  FROM subs s JOIN $prev c ON c.sub = s.sub),
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY l2 ASC, code ASC) AS r
+         |    FROM d$i) WHERE r = 1),
+         |u$i AS (
+         |  SELECT a.sub, a.code, generate_subscripts(s.sv, 1) - 1 AS pos,
+         |         unnest(s.sv) AS x
+         |  FROM a$i a JOIN subs s
+         |    ON s.vec_id = a.vec_id AND s.sub = a.sub),
+         |s$i AS (
+         |  SELECT sub, code, pos,
+         |    CAST(sum(CAST(floor(x * 1048576) AS BIGINT)) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM u$i GROUP BY sub, code, pos),
+         |m$i AS (
+         |  SELECT sub, code,
+         |    list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE)
+         |         ORDER BY pos) AS cv
+         |  FROM s$i GROUP BY sub, code),
+         |cb$i AS MATERIALIZED (
+         |  SELECT p.sub, p.code, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$i m
+         |    ON m.sub = p.sub AND m.code = p.code)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** DuckDB mirror of [[pqTrainTable]]. */
+  def duckPqTrainSql(m: Int, dsub: Int, ksub: Int, iters: Int): String =
+    s"""WITH ${duckPqChain(m, dsub, ksub, iters)}
+       |SELECT sub, code, CAST(generate_subscripts(cv, 1) - 1 AS INTEGER)
+       |    AS pos,
+       |  unnest(cv) AS comp
+       |FROM cb$iters""".stripMargin
+
+  /** DuckDB mirror of [[pqCodes]]. */
+  def duckPqCodesSql(m: Int, dsub: Int, ksub: Int, iters: Int): String =
+    s"""WITH ${duckPqChain(m, dsub, ksub, iters)},
+       |dd AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |    ${duckL2E("s.sv", "c.cv")} AS l2
+       |  FROM subs s JOIN cb$iters c ON c.sub = s.sub)
+       |SELECT vec_id, sub, code FROM (
+       |  SELECT vec_id, sub, code,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |                       ORDER BY l2 ASC, code ASC) AS r
+       |  FROM dd) WHERE r = 1""".stripMargin
+
+  /** DuckDB mirror of [[pqAdcRecall]]. */
+  def duckPqRecallSql(nQueries: Int, k: Int, m: Int, dsub: Int, ksub: Int,
+                      iters: Int): String =
+    s"""WITH ${duckPqChain(m, dsub, ksub, iters)},
+       |dd AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |    ${duckL2E("s.sv", "c.cv")} AS l2
+       |  FROM subs s JOIN cb$iters c ON c.sub = s.sub),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY l2 ASC, code ASC) AS r
+       |    FROM dd) WHERE r = 1),
+       |dt AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.sub, c.code,
+       |    CAST(floor(${duckDotE(
+             s"list_slice(q.embedding, c.sub * $dsub + 1, c.sub * $dsub + $dsub)",
+             "c.cv")} * 1048576) AS BIGINT) AS pdot,
+       |    CAST(floor(${duckDotE("c.cv", "c.cv")} * 1048576) AS BIGINT)
+       |      AS cnorm2
+       |  FROM embeddings q CROSS JOIN cb$iters c
+       |  WHERE q.vec_id < $nQueries),
+       |sc AS (
+       |  SELECT d.query_id, c.vec_id,
+       |    CAST(sum(d.pdot) AS BIGINT) AS adot,
+       |    CAST(sum(d.cnorm2) AS BIGINT) AS anorm2
+       |  FROM codes c JOIN dt d ON d.sub = c.sub AND d.code = c.code
+       |  WHERE c.vec_id <> d.query_id
+       |  GROUP BY d.query_id, c.vec_id),
+       |approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY
+       |        CASE WHEN anorm2 <= 0 THEN CAST(-1.0e18 AS DOUBLE)
+       |             ELSE CAST(adot AS DOUBLE) / sqrt(CAST(anorm2 AS DOUBLE))
+       |        END DESC, vec_id ASC) AS rank
+       |    FROM sc) WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${duckBruteTopKSql(nQueries, k)})),
+       |hits AS (
+       |  SELECT query_id, count(*) AS n_hits
+       |  FROM exact JOIN approx USING (query_id, neighbor_id)
+       |  GROUP BY query_id)
+       |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM (SELECT vec_id AS query_id FROM embeddings
+       |      WHERE vec_id < $nQueries) q
+       |LEFT JOIN hits h USING (query_id)""".stripMargin
 }

@@ -75,6 +75,13 @@ object CurationQueries {
   val Bm25K = 5
   // PCA power iteration rounds (quantized, deterministic)
   val PcaIters = 8
+  // product quantization: 64 dims = 8 subspaces x 8 dims, 16 codewords
+  // per subspace (4-bit codes -> 4 bytes/vector), 2 Lloyd rounds — the
+  // IvfIters dial; recall measured at the shared TopKQueries x TopK depth
+  val PqM = 8
+  val PqDsub = 8
+  val PqKsub = 16
+  val PqIters = 2
   // paired-bootstrap replicates
   val BootstrapB = 200
   // kNN label-agreement neighborhood size
@@ -384,6 +391,24 @@ object CurationQueries {
       Similarity.ivfRecallTrainedVsBoot(
         s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK, IvfCells, IvfProbe, IvfIters)),
+
+    // PQ codebook training (per-subspace quantized Lloyd) — one scalar
+    // row per codeword component, array-free, bitwise
+    "pq_train" -> ((s, dir) =>
+      Similarity.pqTrainTable(s.read.parquet(s"$dir/embeddings.parquet"),
+        PqM, PqDsub, PqKsub, PqIters)),
+
+    // PQ encoding: the m-byte compressed representation of every vector
+    // (one broadcast-join narrow pass against the trained codebook)
+    "pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(s.read.parquet(s"$dir/embeddings.parquet"),
+        PqM, PqDsub, PqKsub, PqIters)),
+
+    // recall@k of ADC ranking over PQ codes vs the exact baseline — the
+    // trust measurement for the compressed index
+    "pq_recall" -> ((s, dir) =>
+      Similarity.pqAdcRecall(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK, PqM, PqDsub, PqKsub, PqIters)),
 
     // REAL PNG decode (JDK ImageIO) -> gray featurizer; the oracle computes
     // the same features analytically from the synthetic pixel formula, so a
@@ -1034,6 +1059,10 @@ object CurationQueries {
          |JOIN (${Similarity.duckIvfRecallSql(
                TopKQueries, TopK, IvfCells, IvfProbe)}) b
          |  USING (query_id)""".stripMargin,
+    "pq_train" -> Similarity.duckPqTrainSql(PqM, PqDsub, PqKsub, PqIters),
+    "pq_codes" -> Similarity.duckPqCodesSql(PqM, PqDsub, PqKsub, PqIters),
+    "pq_recall" -> Similarity.duckPqRecallSql(
+      TopKQueries, TopK, PqM, PqDsub, PqKsub, PqIters),
     "length_outliers" -> graft.ops.TextAnalysis.duckLengthOutliersSql(
       s"seqs AS (${Seqs.duckSql})", OutlierMadK),
     "source_overlap" ->

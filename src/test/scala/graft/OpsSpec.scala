@@ -2568,4 +2568,79 @@ class OpsSpec extends AnyFunSuite {
     assert(toks.forall(t => t >= -2048 && t < 2048))
     ll.unpersist()
   }
+
+  // ---- product quantization ----
+
+  /** Two well-separated clusters in R^8 (even ids ~ center A, odd ~ B),
+    * within-cluster offset growing with id so the exact top-k of the two
+    * probe queries is unambiguous. Seed stride (% 13 = 3) picks id 3 (B)
+    * and id 16 (A) — one seed codeword lands in each cluster. */
+  private def pqFixture = {
+    val cA = Array(10.0, 0.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0)
+    val cB = Array(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 10.0)
+    Seq.tabulate(20) { i =>
+      val c = if (i % 2 == 0) cA else cB
+      (i.toLong, c.zipWithIndex.map { case (v, j) =>
+        (v + i * 0.01 * (j % 3 - 1)).toFloat }, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("pq: codes are cluster-consistent, in range, partition-invariant") {
+    val emb = pqFixture
+    val codes = Similarity.pqCodes(emb, m = 2, dsub = 4, ksub = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == 40) // 20 vectors x 2 subspaces
+    assert(codes.values.forall(c => c >= 0 && c < 2))
+    // every even id shares codes with vec 0; every odd with vec 1; the
+    // clusters use different codewords in each subspace
+    for (sub <- 0 to 1) {
+      val a = codes((0L, sub)); val b = codes((1L, sub))
+      assert(a != b)
+      for (i <- 0 until 20)
+        assert(codes((i.toLong, sub)) == (if (i % 2 == 0) a else b))
+    }
+    // partition invariance: quantized-BIGINT means + deterministic ties
+    val re = Similarity.pqCodes(emb.repartition(7), 2, 4, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(re == codes)
+  }
+
+  test("pq: trained codewords sit at the cluster subspace centroids") {
+    val emb = pqFixture
+    val cb = Similarity.pqTrainTable(emb, m = 2, dsub = 4, ksub = 2, iters = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(cb.size == 16) // 2 subs x 2 codes x 4 dims
+    // exact subspace centroids of the two planted clusters
+    val evens = (0 until 20 by 2).map(_.toDouble)
+    val odds = (1 until 20 by 2).map(_.toDouble)
+    def centroid(c: Array[Double], ids: Seq[Double], j: Int) =
+      ids.map(i => c(j) + i * 0.01 * (j % 3 - 1).toDouble)
+        .map(v => v.toFloat.toDouble).sum / ids.size
+    val cA = Array(10.0, 0.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0)
+    val cB = Array(0.0, 0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 10.0)
+    // codeword identity per cluster from the codes table
+    val codes = Similarity.pqCodes(emb, 2, 4, 2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    for (sub <- 0 to 1; pos <- 0 to 3) {
+      val j = sub * 4 + pos
+      val gotA = cb((sub, codes((0L, sub)), pos))
+      val gotB = cb((sub, codes((1L, sub)), pos))
+      assert(math.abs(gotA - centroid(cA, evens, j)) < 2e-5,
+        s"sub=$sub pos=$pos A: $gotA vs ${centroid(cA, evens, j)}")
+      assert(math.abs(gotB - centroid(cB, odds, j)) < 2e-5,
+        s"sub=$sub pos=$pos B: $gotB vs ${centroid(cB, odds, j)}")
+    }
+  }
+
+  test("pq: ADC recall is perfect on the separated fixture") {
+    val emb = pqFixture
+    val rec = Similarity.pqAdcRecall(emb, nQueries = 2, k = 3,
+      m = 2, dsub = 4, ksub = 2, iters = 2).collect()
+    assert(rec.length == 2)
+    for (r <- rec)
+      assert(r.getAs[Double]("recall_at_k") == 1.0,
+        s"query ${r.getLong(0)}: ${r.getAs[Double]("recall_at_k")}")
+  }
 }
