@@ -809,4 +809,100 @@ object Sketches {
        |ORDER BY c DESC, t1, t2, dist
        |LIMIT $topK""".stripMargin
   }
+
+  /** Mergeable equal-width histogram QUANTILE sketch over `n_tok`, per
+    * source plus a merged `__all__` row — the quantile member of the
+    * sketch family (CMS = frequency, KMV/HLL = distinct, Bloom =
+    * membership, SpaceSaving = heavy hitters).
+    *
+    * State = at most `nBins` integer counters per group over the known
+    * token-cap domain `[0, nBins·width)` — bounded, commutative,
+    * trivially mergeable (bin counts add), so the aggregation is one
+    * map-side-combined shuffle of `(source, bin)` partials regardless of
+    * corpus size; at 10^12 rows nothing but ≤ sources × nBins aggregate
+    * rows ever moves. The quantile-q estimate is the upper edge of the
+    * first bin whose cumulative count reaches `ceil(q·n)`, so the
+    * a-priori error bound is one bin width (`err_bound` column). The
+    * EXACT quantile (the same smallest-value-with-rank rule over raw
+    * values — a per-source sort that exists only as the accuracy oracle)
+    * rides the report as `exact_v`; `abs_err` measures the sketch and is
+    * provably < width. All columns are integers or exact integer
+    * arithmetic — bitwise across engines and partitionings. */
+  def quantileHistogram(seqs: DataFrame, nBins: Int, width: Int,
+                        qPcts: Seq[Int]): DataFrame = {
+    val base = seqs.select(col("source"), col("n_tok"))
+      .unionByName(seqs.select(lit("__all__").as("source"), col("n_tok")))
+    val qs = array(qPcts.map(lit): _*)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val hist = base
+      .withColumn("bin", expr(s"least(n_tok div $width, ${nBins - 1})"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val est = hist
+      .withColumn("q_pct", explode(qs))
+      .filter(expr("cum >= (q_pct * n + 99) div 100"))
+      .groupBy(col("source"), col("q_pct"), col("n"))
+      .agg(min(expr(s"(bin + 1) * $width - 1")).as("est"))
+    val wVCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_tok"))
+    val wVAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val exact = base
+      .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wVCum))
+      .withColumn("n", sum(col("cnt")).over(wVAll))
+      .withColumn("q_pct", explode(qs))
+      .filter(expr("cum >= (q_pct * n + 99) div 100"))
+      .groupBy(col("source"), col("q_pct"))
+      .agg(min(expr("CAST(n_tok AS BIGINT)")).as("exact_v"))
+    est.join(exact, Seq("source", "q_pct"))
+      .select(col("source"), col("q_pct"), col("n"), col("est"),
+        col("exact_v"),
+        expr("abs(est - exact_v)").as("abs_err"),
+        lit(width.toLong).as("err_bound"))
+  }
+
+  /** DuckDB mirror of [[quantileHistogram]]. */
+  def duckQuantileHistSql(seqsSql: String, nBins: Int, width: Int,
+                          qPcts: Seq[Int]): String =
+    s"""WITH seqs AS MATERIALIZED ($seqsSql),
+       |base AS (
+       |  SELECT source, n_tok FROM seqs
+       |  UNION ALL SELECT '__all__' AS source, n_tok FROM seqs),
+       |q AS (SELECT unnest([${qPcts.mkString(", ")}]) AS q_pct),
+       |h AS (
+       |  SELECT source,
+       |    least(CAST(n_tok AS BIGINT) // $width, ${nBins - 1}) AS bin,
+       |    count(*) AS cnt
+       |  FROM base GROUP BY 1, 2),
+       |c AS (
+       |  SELECT source, bin,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n
+       |  FROM h),
+       |est AS (
+       |  SELECT source, q_pct, n,
+       |    CAST(min((bin + 1) * $width - 1) AS BIGINT) AS est
+       |  FROM c CROSS JOIN q
+       |  WHERE cum >= (q_pct * n + 99) // 100
+       |  GROUP BY 1, 2, 3),
+       |vc AS (
+       |  SELECT source, n_tok,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n
+       |  FROM (SELECT source, n_tok, count(*) AS cnt
+       |        FROM base GROUP BY 1, 2)),
+       |ex AS (
+       |  SELECT source, q_pct, CAST(min(n_tok) AS BIGINT) AS exact_v
+       |  FROM vc CROSS JOIN q
+       |  WHERE cum >= (q_pct * n + 99) // 100
+       |  GROUP BY 1, 2)
+       |SELECT e.source, e.q_pct, CAST(e.n AS BIGINT) AS n, e.est,
+       |  x.exact_v, abs(e.est - x.exact_v) AS abs_err,
+       |  CAST($width AS BIGINT) AS err_bound
+       |FROM est e JOIN ex x USING (source, q_pct)""".stripMargin
 }

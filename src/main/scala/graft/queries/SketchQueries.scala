@@ -39,12 +39,25 @@ object SketchQueries {
   // vocabulary growth: 5 evenly-spaced doc-id checkpoints
   val VocabCkpts = 5
 
+  // histogram quantile sketch: 256 x 32-token bins cover the full
+  // [0, Seqs.MaxTokens] domain; p50/p90/p99 with err_bound = 32 tokens
+  val QhBins = 256
+  val QhWidth = 32
+  val QhPcts = Seq(50, 90, 99)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // count-min sketch error report (gram, c_exact, c_est, overest)
     "sketch_cms" -> ((s, dir) =>
       Sketches.countMinReport(Seqs.fromDocuments(s, dir),
         CmsDepth, CmsWidth)),
+
+    // mergeable histogram quantile sketch (p50/p90/p99 of n_tok per
+    // source + merged row) with the exact-quantile accuracy oracle and
+    // the a-priori one-bin-width error bound
+    "sketch_quantile" -> ((s, dir) =>
+      Sketches.quantileHistogram(Seqs.fromDocuments(s, dir),
+        QhBins, QhWidth, QhPcts)),
 
     // KMV distinct-count sketch per source + merged global row —
     // production sketch-only path: fused token-array aggregate (integer
@@ -101,6 +114,9 @@ object SketchQueries {
   def oracles: Map[String, String] = Map(
     "sketch_cms" ->
       Sketches.duckCountMinSql(Seqs.duckSql, CmsDepth, CmsWidth),
+
+    "sketch_quantile" ->
+      Sketches.duckQuantileHistSql(Seqs.duckSql, QhBins, QhWidth, QhPcts),
 
     "sketch_kmv" ->
       Sketches.duckKmvTokensSql(Seqs.duckSql, KmvK),

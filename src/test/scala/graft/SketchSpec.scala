@@ -371,4 +371,38 @@ class SketchSpec extends AnyFunSuite {
     assert(keys.toSeq == resorted.toSeq)
     assert(rows.length == 3)
   }
+
+  test("quantile histogram: exact rule on a hand-computed set; error < bin width; partition-invariant") {
+    // n_tok values 10,20,...,100 in one source: p50 target = ceil(0.5*10)=5
+    // -> exact_v = 50; p90 -> rank 9 -> 90; p99 -> rank 10 -> 100
+    val rows = (1 to 10).map(i => (s"d$i", Seq.fill(i * 10)(1), i * 10, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = Sketches.quantileHistogram(rows, nBins = 16, width = 8,
+      qPcts = Seq(50, 90, 99))
+    val bySrc = rep.collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("est"), r.getAs[Long]("exact_v"),
+          r.getAs[Long]("abs_err"))).toMap
+    assert(bySrc.size == 6) // source s + __all__, 3 quantiles each
+    assert(bySrc(("s", 50))._2 == 50L)
+    assert(bySrc(("s", 90))._2 == 90L)
+    assert(bySrc(("s", 99))._2 == 100L)
+    // sketch estimate = upper edge of the hit bin; within one bin width
+    for (((_, _), (est, exact, err)) <- bySrc) {
+      assert(est >= exact)
+      assert(err < 8L, s"err $err >= width")
+      assert(err == est - exact)
+    }
+    // 100 caps into the last bin (nBins*width = 128 > domain): est exact
+    assert(bySrc(("s", 50))._1 == 55L) // bin 6 ([48,56)) upper edge
+    // merged row == single-source row here (one real source)
+    assert(bySrc(("s", 50)) == bySrc(("__all__", 50)))
+    // partition invariance of the full report
+    val re = Sketches.quantileHistogram(rows.repartition(7), 16, 8,
+      Seq(50, 90, 99)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("est"), r.getAs[Long]("exact_v"),
+          r.getAs[Long]("abs_err"))).toMap
+    assert(re == bySrc)
+  }
 }
