@@ -101,6 +101,8 @@ object expressions {
       es => NbScoreKernel(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_remap_tokens",
       es => RemapTokens(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_viterbi_seg",
+      es => ViterbiSeg(es(0), es(1), es(2), es(3), es(4)), "built-in")
     reg.createOrReplaceTempFunction("graft_bpe_apply",
       es => BpeApplyMerges(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_span_hashes",
@@ -768,6 +770,112 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(gcE = c(0), llkE = c(1), priorsE = c(2))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_viterbi_seg(tokens ARRAY<INT>, uniT ARRAY<BIGINT>,
+    * uniS ARRAY<BIGINT>, biP ARRAY<BIGINT>, biS ARRAY<BIGINT>)
+    * → ARRAY<BIGINT> `[n_pieces, n_bi, ll_micro, checksum, code_0, …]`
+    *
+    * Viterbi segmentation of a token sequence under a unigram language
+    * model over pieces of length 1-2 — the E-step of the SentencePiece-
+    * style unigram tokenizer trainer (hard-EM form). `uniT`/`uniS` are
+    * the sorted unigram piece codes (`t+2048`) and their micro-nat log
+    * probabilities; `biP`/`biS` the sorted candidate bigram codes
+    * ([[PackNgrams]] k=2 packing) and scores. All scores are exact
+    * BIGINT micro-nats (the [[graft.ops.LanguageModel]] quantization
+    * convention), so the DP is pure integer arithmetic — bitwise across
+    * engines; ties prefer the bigram (the longer piece, SentencePiece's
+    * bias). The model arrays are per-row column arguments (broadcast
+    * 1-row dimension — the [[BpeApplyMerges]] zero-collect pattern).
+    *
+    * Output: piece count, bigram-piece count, total path score,
+    * position-weighted checksum `Σ (start+1)·code` pinning every piece's
+    * identity and place, then the piece codes in start order. */
+  case class ViterbiSeg(tokens: Expression, uniT: Expression,
+      uniS: Expression, biP: Expression, biS: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens, uniT, uniS, biP, biS)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = children.exists(_.nullable)
+    private def bsearch(arr: Array[Long], key: Long): Int = {
+      var lo = 0; var hi = arr.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < key) lo = mid + 1
+        else if (arr(mid) > key) hi = mid - 1
+        else return mid
+      }
+      -1
+    }
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val ts = tAny.asInstanceOf[ArrayData].toIntArray()
+      val ut = uniT.eval(input).asInstanceOf[ArrayData].toLongArray()
+      val us = uniS.eval(input).asInstanceOf[ArrayData].toLongArray()
+      val bp = biP.eval(input).asInstanceOf[ArrayData].toLongArray()
+      val bs = biS.eval(input).asInstanceOf[ArrayData].toLongArray()
+      val n = ts.length
+      if (n == 0)
+        return UnsafeArrayData.fromPrimitiveArray(Array(0L, 0L, 0L, 0L))
+      // dp over prefix lengths 0..n; su/sb looked up once per position
+      val su = new Array[Long](n + 1) // su(i): unigram score of ts(i-1)
+      val sb = new Array[Long](n + 1) // sb(i): bigram ending at i, or MinValue
+      var i = 1
+      while (i <= n) {
+        val ui = bsearch(ut, ts(i - 1) + 2048L)
+        require(ui >= 0, s"token ${ts(i - 1)} missing from unigram vocab")
+        su(i) = us(ui)
+        sb(i) = Long.MinValue
+        if (i >= 2) {
+          val bi = bsearch(bp, (ts(i - 2) + 2048L) * 4096L + (ts(i - 1) + 2048L))
+          if (bi >= 0) sb(i) = bs(bi)
+        }
+        i += 1
+      }
+      val dp = new Array[Long](n + 1)
+      dp(0) = 0L
+      i = 1
+      while (i <= n) {
+        val uOpt = dp(i - 1) + su(i)
+        dp(i) =
+          if (i >= 2 && sb(i) != Long.MinValue && dp(i - 2) + sb(i) >= uOpt)
+            dp(i - 2) + sb(i)
+          else uOpt
+        i += 1
+      }
+      // backtrace (bigram on equality — matches the forward tie-break)
+      val codesRev = new Array[Long](n)
+      val startsRev = new Array[Int](n)
+      var m = 0; var nBi = 0L
+      i = n
+      while (i > 0) {
+        if (i >= 2 && sb(i) != Long.MinValue && dp(i) == dp(i - 2) + sb(i)) {
+          codesRev(m) = (ts(i - 2) + 2048L) * 4096L + (ts(i - 1) + 2048L)
+          startsRev(m) = i - 2
+          nBi += 1; m += 1; i -= 2
+        } else {
+          codesRev(m) = ts(i - 1) + 2048L
+          startsRev(m) = i - 1
+          m += 1; i -= 1
+        }
+      }
+      var checksum = 0L
+      var j = 0
+      while (j < m) {
+        checksum += (startsRev(j) + 1L) * codesRev(j)
+        j += 1
+      }
+      val out = new Array[Long](4 + m)
+      out(0) = m.toLong; out(1) = nBi; out(2) = dp(n); out(3) = checksum
+      j = 0
+      while (j < m) { out(4 + j) = codesRev(m - 1 - j); j += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0), uniT = c(1), uniS = c(2), biP = c(3), biS = c(4))
   }
 
   // ------------------------------------------------------------------

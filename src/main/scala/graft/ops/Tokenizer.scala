@@ -521,4 +521,203 @@ object Tokenizer {
        |  FROM stepped
        |  GROUP BY 1) g USING (doc_id)""".stripMargin
   }
+
+  // ------------------------------------------------------ unigram LM
+
+  /** Unigram-LM tokenizer trainer (SentencePiece analog, hard-EM form;
+    * Kudo, "Subword Regularization", ACL 2018): candidate pieces =
+    * every window unigram + the top-`b` window bigrams; piece log-probs
+    * initialize from corpus counts (micro-nat quantized, the
+    * [[graft.ops.LanguageModel]] convention); the E-step Viterbi-segments
+    * each document under the model (the native
+    * [[graft.functions.expressions.ViterbiSeg]] integer DP — bitwise
+    * deterministic, ties prefer the longer piece); the M-step re-counts
+    * piece usage from the segmentations and re-estimates the scores.
+    *
+    * == Scale shape ==
+    * The model is bounded by the 12-bit token domain + `b` candidates —
+    * never the corpus — and rides the plan as a broadcast 1-row dimension
+    * (the [[encodeTable]] zero-collect pattern): counting is two
+    * map-side-combined aggregations, segmentation is ONE narrow kernel
+    * projection per doc, and the census shuffles only (piece, count)
+    * partials. Nothing corpus-sized ever moves or lands on the driver.
+    *
+    * `w` caps the per-doc analysis window: the ENGINE DP is O(n) and
+    * needs no cap; the cap exists so the oracle's recursive-CTE mirror
+    * (one recursion round per position) stays tractable, and both
+    * engines apply it identically (the [[CurationQueries.EditPrefixW]]
+    * oracle-dial pattern). */
+  def unigramModel(seqs: DataFrame, w: Int, b: Int): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val tw = seqs.select(expr(s"slice(tokens, 1, $w)").as("wtoks"))
+    val u1 = tw.select(explode(expr("graft_pack_ngrams(wtoks, 1)")).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("c"))
+    val b2 = tw.select(explode(expr("graft_pack_ngrams(wtoks, 2)")).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("code").asc).limit(b)
+    val tot = u1.agg(sum(col("c")).as("cu"))
+      .crossJoin(b2.agg(coalesce(sum(col("c")), lit(0L)).as("cb")))
+      .select((col("cu") + col("cb")).as("total0"))
+    def packed(df: DataFrame, tn: String, sn: String) =
+      df.crossJoin(broadcast(tot))
+        .select(col("code"), expr(
+          """CAST(round(ln(CAST(c AS DOUBLE) / CAST(total0 AS DOUBLE))
+            |  * 1000000) AS BIGINT)""".stripMargin).as("s"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(code, s))), t -> t.code)")
+            .as(tn),
+          expr("transform(array_sort(collect_list(struct(code, s))), t -> t.s)")
+            .as(sn))
+    broadcast(packed(u1, "ut", "us").crossJoin(packed(b2, "bt", "bs2")))
+  }
+
+  /** Per-doc Viterbi segmentation under [[unigramModel]]:
+    * (doc_id, n_win, seg) with `seg` the kernel's
+    * `[n_pieces, n_bi, ll_micro, checksum, code…]` layout. */
+  def unigramSegmented(seqs: DataFrame, w: Int, b: Int): DataFrame =
+    seqs.select(col("doc_id"), expr(s"slice(tokens, 1, $w)").as("wtoks"))
+      .crossJoin(unigramModel(seqs, w, b))
+      .select(col("doc_id"), size(col("wtoks")).as("n_win"),
+        expr("graft_viterbi_seg(wtoks, ut, us, bt, bs2)").as("seg"))
+
+  /** Driver-facing segmentation report: per-doc piece/bigram counts, the
+    * Viterbi path score, and the position-weighted checksum pinning every
+    * piece's identity and place — all exact integers. */
+  def unigramSegment(seqs: DataFrame, w: Int, b: Int): DataFrame =
+    unigramSegmented(seqs, w, b).select(col("doc_id"), col("n_win"),
+      expr("element_at(seg, 1)").as("n_pieces"),
+      expr("element_at(seg, 2)").as("n_bi"),
+      expr("element_at(seg, 3)").as("ll_micro"),
+      expr("element_at(seg, 4)").as("checksum"))
+
+  /** M-step census: top-`topK` pieces by segmentation usage with their
+    * re-estimated micro-nat scores — the round-1 vocabulary of the
+    * hard-EM unigram trainer. `b` = 0 sentinel second token on unigram
+    * rows (`kind` disambiguates). */
+  def unigramTrain(seqs: DataFrame, w: Int, b: Int, topK: Int): DataFrame = {
+    val pieces = unigramSegmented(seqs, w, b)
+      .select(explode(
+        expr("slice(seg, 5, CAST(element_at(seg, 1) AS INT))")).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("used"))
+    val tot1 = pieces.agg(sum(col("used")).as("total1"))
+    pieces.crossJoin(broadcast(tot1))
+      .select(col("code"),
+        expr("IF(code < 4096, 'u', 'b')").as("kind"),
+        expr("CAST(IF(code < 4096, code - 2048, code div 4096 - 2048) AS INT)")
+          .as("a"),
+        expr("CAST(IF(code < 4096, 0, code % 4096 - 2048) AS INT)").as("b"),
+        col("used"),
+        expr("""CAST(round(ln(CAST(used AS DOUBLE) / CAST(total1 AS DOUBLE))
+          |  * 1000000) AS BIGINT)""".stripMargin).as("score_micro"))
+      .orderBy(col("used").desc, col("code").asc).limit(topK)
+  }
+
+  /** Shared DuckDB WITH-clause chain for the unigram family (no leading
+    * WITH; caller must say WITH RECURSIVE): window, model, per-position
+    * scores, the forward DP (`dpr` — one recursion round per position)
+    * and the backtrace (`bt` — emits one piece row per step, bigram
+    * chosen exactly when the forward DP chose it: dp(i) = dp(i-2) + sb
+    * with the bigram-wins tie-break). */
+  private def duckUnigramChain(prelude: String, w: Int, b: Int): String = {
+    val lnq = (num: String, den: String) =>
+      s"CAST(round(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * 1000000) AS BIGINT)"
+    s"""$prelude,
+       |tw AS MATERIALIZED (
+       |  SELECT doc_id, tokens[1:$w] AS wtoks FROM seqs),
+       |tp AS MATERIALIZED (
+       |  SELECT doc_id, CAST(generate_subscripts(wtoks, 1) AS INTEGER) AS i,
+       |         unnest(wtoks) AS t
+       |  FROM tw),
+       |u1 AS (SELECT CAST(t + 2048 AS BIGINT) AS code, count(*) AS c
+       |       FROM tp GROUP BY 1),
+       |pp AS MATERIALIZED (
+       |  SELECT l.doc_id, r.i,
+       |    (CAST(l.t AS BIGINT) + 2048) * 4096 + (r.t + 2048) AS code
+       |  FROM tp l JOIN tp r ON r.doc_id = l.doc_id AND r.i = l.i + 1),
+       |b2 AS (SELECT code, count(*) AS c FROM pp GROUP BY 1
+       |       ORDER BY c DESC, code LIMIT $b),
+       |tot AS (SELECT (SELECT sum(c) FROM u1)
+       |             + coalesce((SELECT sum(c) FROM b2), 0) AS total0),
+       |uscore AS (SELECT code, ${lnq("c", "total0")} AS s
+       |           FROM u1 CROSS JOIN tot),
+       |bscore AS (SELECT code, ${lnq("c", "total0")} AS s
+       |           FROM b2 CROSS JOIN tot),
+       |ps AS MATERIALIZED (
+       |  SELECT tp.doc_id, tp.i, u.s AS su, bs.s AS sb
+       |  FROM tp
+       |  JOIN uscore u ON u.code = tp.t + 2048
+       |  LEFT JOIN pp ON pp.doc_id = tp.doc_id AND pp.i = tp.i
+       |  LEFT JOIN bscore bs ON bs.code = pp.code),
+       |dlen AS (SELECT doc_id, CAST(len(wtoks) AS INTEGER) AS n FROM tw),
+       |dpr(doc_id, i, v, vprev) AS (
+       |  SELECT doc_id, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM dlen
+       |  UNION ALL
+       |  SELECT dpr.doc_id, dpr.i + 1,
+       |    CASE WHEN ps.sb IS NOT NULL AND dpr.vprev IS NOT NULL
+       |           AND dpr.vprev + ps.sb >= dpr.v + ps.su
+       |         THEN dpr.vprev + ps.sb ELSE dpr.v + ps.su END,
+       |    dpr.v
+       |  FROM dpr JOIN ps ON ps.doc_id = dpr.doc_id AND ps.i = dpr.i + 1),
+       |dp AS MATERIALIZED (SELECT doc_id, i, v FROM dpr),
+       |bt(doc_id, i, start, code) AS (
+       |  SELECT doc_id, n, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+       |  FROM dlen
+       |  UNION ALL
+       |  SELECT bt.doc_id,
+       |    CASE WHEN pp.code IS NOT NULL AND bs.s IS NOT NULL
+       |           AND bt.i >= 2 AND d1.v = d2.v + bs.s
+       |         THEN bt.i - 2 ELSE bt.i - 1 END,
+       |    CASE WHEN pp.code IS NOT NULL AND bs.s IS NOT NULL
+       |           AND bt.i >= 2 AND d1.v = d2.v + bs.s
+       |         THEN bt.i - 2 ELSE bt.i - 1 END,
+       |    CASE WHEN pp.code IS NOT NULL AND bs.s IS NOT NULL
+       |           AND bt.i >= 2 AND d1.v = d2.v + bs.s
+       |         THEN pp.code ELSE CAST(tp.t + 2048 AS BIGINT) END
+       |  FROM bt
+       |  JOIN dp d1 ON d1.doc_id = bt.doc_id AND d1.i = bt.i
+       |  JOIN tp ON tp.doc_id = bt.doc_id AND tp.i = bt.i
+       |  LEFT JOIN dp d2 ON d2.doc_id = bt.doc_id AND d2.i = bt.i - 2
+       |  LEFT JOIN pp ON pp.doc_id = bt.doc_id AND pp.i = bt.i
+       |  LEFT JOIN bscore bs ON bs.code = pp.code
+       |  WHERE bt.i > 0),
+       |census AS (
+       |  SELECT code, CAST(count(*) AS BIGINT) AS used
+       |  FROM bt WHERE code IS NOT NULL GROUP BY 1)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[unigramSegment]]. */
+  def duckUnigramSegmentSql(prelude: String, w: Int, b: Int): String =
+    s"""WITH RECURSIVE ${duckUnigramChain(prelude, w, b)}
+       |SELECT d.doc_id, d.n AS n_win,
+       |  coalesce(p.n_pieces, 0) AS n_pieces,
+       |  coalesce(p.n_bi, 0) AS n_bi,
+       |  dn.v AS ll_micro,
+       |  coalesce(p.checksum, 0) AS checksum
+       |FROM dlen d
+       |JOIN dp dn ON dn.doc_id = d.doc_id AND dn.i = d.n
+       |LEFT JOIN (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+       |    CAST(sum(CASE WHEN code >= 4096 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bi,
+       |    CAST(sum((start + 1) * code) AS BIGINT) AS checksum
+       |  FROM bt WHERE code IS NOT NULL GROUP BY 1) p
+       |  ON p.doc_id = d.doc_id""".stripMargin
+
+  /** DuckDB mirror of [[unigramTrain]]. */
+  def duckUnigramTrainSql(prelude: String, w: Int, b: Int,
+                          topK: Int): String =
+    s"""WITH RECURSIVE ${duckUnigramChain(prelude, w, b)},
+       |tot1 AS (SELECT sum(used) AS total1 FROM census)
+       |SELECT code,
+       |  CASE WHEN code < 4096 THEN 'u' ELSE 'b' END AS kind,
+       |  CAST(CASE WHEN code < 4096 THEN code - 2048
+       |       ELSE code // 4096 - 2048 END AS INTEGER) AS a,
+       |  CAST(CASE WHEN code < 4096 THEN 0
+       |       ELSE code % 4096 - 2048 END AS INTEGER) AS b,
+       |  used,
+       |  CAST(round(ln(CAST(used AS DOUBLE) / CAST(total1 AS DOUBLE))
+       |    * 1000000) AS BIGINT) AS score_micro
+       |FROM census CROSS JOIN tot1
+       |ORDER BY used DESC, code LIMIT $topK""".stripMargin
 }

@@ -62,6 +62,18 @@ object TokenizerQueries {
             .as("remap_md5"),
           col("n_tok"))),
 
+    // unigram-LM tokenizer (SentencePiece analog, hard-EM round):
+    // per-doc Viterbi segmentation report under the count-initialized
+    // piece model — integer micro-nat DP, checksum pins every piece
+    "unigram_segment" -> ((s, dir) =>
+      Tokenizer.unigramSegment(Seqs.fromDocuments(s, dir), UniW, UniB)),
+
+    // the M-step census: top pieces by segmentation usage with
+    // re-estimated scores (round-1 vocabulary of the unigram trainer)
+    "unigram_train" -> ((s, dir) =>
+      Tokenizer.unigramTrain(Seqs.fromDocuments(s, dir), UniW, UniB,
+        UniTopK)),
+
     // BERT-style MLM corruption plan (15% masked; 80/10/10
     // sentinel/random/keep), deterministic per (doc, position); the
     // checksum row pins every rewritten token's value and place
@@ -73,6 +85,15 @@ object TokenizerQueries {
     "t5_spans" -> ((s, dir) =>
       Tokenizer.t5Report(Seqs.fromDocuments(s, dir)))
   )
+
+  /** Unigram-LM trainer dials: W = shared per-doc analysis window (the
+    * oracle's DP recursion is one round per position — the EditPrefixW
+    * oracle-tractability pattern; the engine kernel itself is O(n) and
+    * uncapped in production), B = bigram candidate pieces, TopK = census
+    * depth. */
+  val UniW = 64
+  val UniB = 50
+  val UniTopK = 50
 
   /** Vocabulary-pruning threshold and UNK id. 2047 is outside the token
     * model's range (`Seqs` bases lie in [-1024, 1023], bursts double to
@@ -90,6 +111,9 @@ object TokenizerQueries {
     "unk_remap" ->
       s"""SELECT doc_id, md5(array_to_string(tokens_remap, ',')) AS remap_md5, n_tok
          |FROM (${Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId)}) q""".stripMargin,
+    "unigram_segment" -> Tokenizer.duckUnigramSegmentSql(duckSeqs, UniW, UniB),
+    "unigram_train" -> Tokenizer.duckUnigramTrainSql(duckSeqs, UniW, UniB,
+      UniTopK),
     "mlm_mask" -> Tokenizer.duckMlmReportSql(duckSeqs),
     "t5_spans" -> Tokenizer.duckT5ReportSql(duckSeqs)
   )

@@ -148,4 +148,55 @@ class TokenizerSpec extends AnyFunSuite {
     assert(rep.map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toSeq == counts)
     assert(rep.map(_.getInt(3)).toSeq == (1 to counts.length))
   }
+
+  // ---- unigram-LM trainer ----
+
+  test("unigram: Viterbi segmentation matches the hand-computed DP") {
+    // corpus: [5,6,5,6,5,6] and [7,7,7]
+    // unigram counts 5:3 6:3 7:3 (mass 9); bigrams (5,6):3 (6,5):2
+    // (7,7):2 (mass 7) -> total0 = 16
+    // s_u = round(ln(3/16)*1e6) = -1673976 for every unigram
+    // s_b(5,6) = -1673976, s_b(6,5) = round(ln(2/16)*1e6) = -2079442,
+    // s_b(7,7) = -2079442
+    val seqs = Seq(
+      ("a", Seq(5, 6, 5, 6, 5, 6), 6, "s"),
+      ("b", Seq(7, 7, 7), 3, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val rows = Tokenizer.unigramSegment(seqs, w = 64, b = 50).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_pieces"), r.getAs[Long]("n_bi"),
+          r.getAs[Long]("ll_micro"), r.getAs[Long]("checksum"))).toMap
+    // doc a: one bigram piece (5,6) beats two unigrams
+    // (-1673976 > 2 * -1673976) -> 3 bigram pieces
+    val cAB = (5L + 2048L) * 4096L + (6L + 2048L)
+    assert(rows("a") == ((3L, 3L, 3L * -1673976L,
+      (1L + 3L + 5L) * cAB)))
+    // doc b: dp tie at i=3 between u+b and b+u resolves to the bigram
+    // ending the sequence -> pieces: unigram 7 at 0, (7,7) at 1
+    val c77 = (7L + 2048L) * 4096L + (7L + 2048L)
+    assert(rows("b") == ((2L, 1L, -1673976L + -2079442L,
+      1L * (7L + 2048L) + 2L * c77)))
+  }
+
+  test("unigram: M-step census re-estimates from segmentation usage; partition-invariant") {
+    val seqs = Seq(
+      ("a", Seq(5, 6, 5, 6, 5, 6), 6, "s"),
+      ("b", Seq(7, 7, 7), 3, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val rep = Tokenizer.unigramTrain(seqs, w = 64, b = 50, topK = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("code"),
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getAs[Long]("used"),
+          r.getAs[Long]("score_micro"))))
+    // total1 = 5 pieces: (5,6) used 3, unigram 7 used 1, (7,7) used 1
+    val cAB = (5L + 2048L) * 4096L + (6L + 2048L)
+    val c77 = (7L + 2048L) * 4096L + (7L + 2048L)
+    assert(rep.length == 3)
+    assert(rep(0) == ((cAB, ("b", 5, 6, 3L, -510826L)))) // ln(3/5)
+    assert(rep(1) == ((7L + 2048L, ("u", 7, 0, 1L, -1609438L)))) // ln(1/5)
+    assert(rep(2) == ((c77, ("b", 7, 7, 1L, -1609438L))))
+    val re = Tokenizer.unigramTrain(seqs.repartition(5), 64, 50, 50)
+      .collect().map(r => (r.getAs[Long]("code"), r.getAs[Long]("used")))
+    assert(re.toSeq == rep.map(t => (t._1, t._2._4)).toSeq)
+  }
 }
