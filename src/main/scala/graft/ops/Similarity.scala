@@ -1950,6 +1950,151 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** IVF-PQ composed index recall: candidate set from the query's
+    * `nProbe` max-cosine IVF cells (the coarse quantizer —
+    * [[ivfCells]]), ranking by PQ ADC score over the codes table (the
+    * fine quantizer — [[pqAdcRecall]]'s scorer restricted to the
+    * candidates) — the classic two-level compressed ANN layout (FAISS
+    * IVFPQ shape; Jégou et al., TPAMI 2011 §IV).
+    *
+    * == Scale shape ==
+    * Per query the scoring work is (probed cells × cell occupancy) × m
+    * table lookups; the corpus side of every join carries only
+    * (vec_id, cell) and (vec_id, sub, code) — neither raw vectors nor
+    * anything corpus-sized is shuffled or broadcast. `n_cand` rides the
+    * report so recall reads against the probe budget it cost. */
+  def ivfPqRecall(embeddings0: DataFrame, nQueries: Int, k: Int,
+                  nCells: Int, nProbe: Int, m: Int, dsub: Int, ksub: Int,
+                  iters: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val emb = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    val cells = ivfAssign(emb, cents(embeddings0, nCells))
+      .select(col("vec_id"), col("cell"))
+    val cb = pqTrainCodebook(embeddings0, m, dsub, ksub, iters)
+    val codes = pqAssign(pqSubs(emb, m, dsub), cb)
+    val exact = bruteTopK(embeddings0, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = embeddings0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probed = queries.crossJoin(broadcast(cents(embeddings0, nCells)))
+      .withColumn("ccos", expr("graft_cosine(cv, qv)"))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = cells.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val dt = queries.crossJoin(broadcast(cb))
+      .withColumn("qsv", expr(
+        s"transform(slice(qv, sub * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"))
+      .select(col("query_id"), col("sub"), col("code"),
+        expr("CAST(floor(graft_dot(qsv, cv) * 1048576) AS BIGINT)").as("pdot"),
+        expr("CAST(floor(graft_dot(cv, cv) * 1048576) AS BIGINT)").as("cnorm2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val approx = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"), sum(col("cnorm2")).as("anorm2"))
+      .withColumn("score", expr(
+        """CASE WHEN anorm2 <= 0 THEN CAST(-1.0e18 AS DOUBLE)
+          |     ELSE CAST(adot AS DOUBLE) / sqrt(CAST(anorm2 AS DOUBLE))
+          |END""".stripMargin))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left_outer")
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
+  }
+
+  /** DuckDB mirror of [[ivfPqRecall]]. */
+  def duckIvfPqRecallSql(nQueries: Int, k: Int, nCells: Int, nProbe: Int,
+                         m: Int, dsub: Int, ksub: Int, iters: Int): String =
+    s"""WITH ${duckPqChain(m, dsub, ksub, iters)},
+       |cells AS (SELECT vec_id, cell
+       |          FROM (${duckIvfCellsSql(nCells)})),
+       |icents AS (SELECT cell, cv FROM (${centsSql(nCells)})),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv
+       |      FROM embeddings WHERE vec_id < $nQueries),
+       |probed AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ccos DESC, cell ASC) AS crank
+       |    FROM (SELECT q.query_id, c.cell,
+       |            ${duckCosine("c.cv", "q.qv")} AS ccos
+       |          FROM q CROSS JOIN icents c))
+       |  WHERE crank <= $nProbe),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, s.vec_id
+       |  FROM cells s JOIN probed p USING (cell)
+       |  WHERE s.vec_id <> p.query_id),
+       |dd AS (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |    ${duckL2E("s.sv", "c.cv")} AS l2
+       |  FROM subs s JOIN cb$iters c ON c.sub = s.sub),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |                         ORDER BY l2 ASC, code ASC) AS r
+       |    FROM dd) WHERE r = 1),
+       |dt AS MATERIALIZED (
+       |  SELECT q.query_id, c.sub, c.code,
+       |    CAST(floor(${duckDotE(
+             s"list_slice(q.qv, c.sub * $dsub + 1, c.sub * $dsub + $dsub)",
+             "c.cv")} * 1048576) AS BIGINT) AS pdot,
+       |    CAST(floor(${duckDotE("c.cv", "c.cv")} * 1048576) AS BIGINT)
+       |      AS cnorm2
+       |  FROM q CROSS JOIN cb$iters c),
+       |sc AS (
+       |  SELECT n.query_id, n.vec_id,
+       |    CAST(sum(d.pdot) AS BIGINT) AS adot,
+       |    CAST(sum(d.cnorm2) AS BIGINT) AS anorm2
+       |  FROM cand n
+       |  JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN dt d ON d.query_id = n.query_id
+       |    AND d.sub = c.sub AND d.code = c.code
+       |  GROUP BY n.query_id, n.vec_id),
+       |approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY
+       |        CASE WHEN anorm2 <= 0 THEN CAST(-1.0e18 AS DOUBLE)
+       |             ELSE CAST(adot AS DOUBLE) / sqrt(CAST(anorm2 AS DOUBLE))
+       |        END DESC, vec_id ASC) AS rank
+       |    FROM sc) WHERE rank <= $k),
+       |exact AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${duckBruteTopKSql(nQueries, k)})),
+       |nc AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM cand GROUP BY 1),
+       |hits AS (
+       |  SELECT query_id, count(*) AS n_hits
+       |  FROM exact JOIN approx USING (query_id, neighbor_id)
+       |  GROUP BY query_id)
+       |SELECT q.query_id,
+       |  coalesce(nc.n_cand, 0) AS n_cand,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+       |FROM q
+       |LEFT JOIN nc ON nc.query_id = q.query_id
+       |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin
+
   // ---- DuckDB mirrors of the PQ family ----
 
   private def duckDotE(a: String, b: String): String =

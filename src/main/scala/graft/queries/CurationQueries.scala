@@ -410,6 +410,14 @@ object CurationQueries {
       Similarity.pqAdcRecall(s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK, PqM, PqDsub, PqKsub, PqIters)),
 
+    // IVF-PQ composed index: coarse-cell candidates ranked by ADC over
+    // PQ codes — the two-level compressed ANN layout; n_cand reads the
+    // recall number against its probe budget
+    "ivfpq_recall" -> ((s, dir) =>
+      Similarity.ivfPqRecall(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK, IvfCells, IvfProbe, PqM, PqDsub, PqKsub,
+        PqIters)),
+
     // REAL PNG decode (JDK ImageIO) -> gray featurizer; the oracle computes
     // the same features analytically from the synthetic pixel formula, so a
     // green hash proves the encode->decode->featurize path is lossless.
@@ -1063,6 +1071,8 @@ object CurationQueries {
     "pq_codes" -> Similarity.duckPqCodesSql(PqM, PqDsub, PqKsub, PqIters),
     "pq_recall" -> Similarity.duckPqRecallSql(
       TopKQueries, TopK, PqM, PqDsub, PqKsub, PqIters),
+    "ivfpq_recall" -> Similarity.duckIvfPqRecallSql(
+      TopKQueries, TopK, IvfCells, IvfProbe, PqM, PqDsub, PqKsub, PqIters),
     "length_outliers" -> graft.ops.TextAnalysis.duckLengthOutliersSql(
       s"seqs AS (${Seqs.duckSql})", OutlierMadK),
     "source_overlap" ->

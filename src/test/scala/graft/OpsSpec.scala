@@ -2643,4 +2643,18 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("recall_at_k") == 1.0,
         s"query ${r.getLong(0)}: ${r.getAs[Double]("recall_at_k")}")
   }
+
+  test("ivf-pq: composed coarse-cell + ADC recall is perfect on the separated fixture") {
+    val emb = pqFixture
+    // the % 37 = 3 IVF seed stride yields one cell over 20 ids -> every
+    // vector is a candidate; ranking must then reduce to the PQ ADC path
+    val rec = Similarity.ivfPqRecall(emb, nQueries = 2, k = 3, nCells = 4,
+      nProbe = 1, m = 2, dsub = 4, ksub = 2, iters = 2).collect()
+    assert(rec.length == 2)
+    for (r <- rec) {
+      assert(r.getAs[Long]("n_cand") == 19L)
+      assert(r.getAs[Double]("recall_at_k") == 1.0,
+        s"query ${r.getLong(0)}: ${r.getAs[Double]("recall_at_k")}")
+    }
+  }
 }
