@@ -716,4 +716,70 @@ object StreamOps {
           }
         })
   }
+
+  // ------------------------------------------------------------------
+  // Streaming histogram quantile sketch
+  // ------------------------------------------------------------------
+
+  final case class QhIn(source: String, ts: java.sql.Timestamp, n_tok: Int)
+  final case class QhState(bins: Array[Long])
+  final case class QhOut(source: String, as_of: Long, n: Long,
+                         est50: Long, est90: Long, est99: Long)
+
+  /** Streaming form of [[graft.ops.Sketches.quantileHistogram]]: per
+    * source key the `nBins` bin counters live in
+    * `flatMapGroupsWithState` state and add-update from each
+    * micro-batch's rows with the IDENTICAL bin rule
+    * (`least(n_tok div width, nBins-1)`); after each batch the current
+    * p50/p90/p99 snapshot is emitted (Append mode, readers take the
+    * latest `as_of` — the [[hllStream]] convention). Counter addition is
+    * order- and split-insensitive, so any micro-batch partition of the
+    * same rows yields identical final bins — pinned against the batch
+    * sketch in StreamingSpec. State is exactly `nBins` longs per key,
+    * watermark-expired. */
+  def quantileHistStream(rows: Dataset[QhIn], nBins: Int, width: Int,
+                         watermark: String,
+                         stateTtl: String = "1 hour"): Dataset[QhOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark("ts", watermark)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (key: String, it: Iterator[QhIn], state: GroupState[QhState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val bins = state.getOption.map(_.bins.clone())
+              .getOrElse(new Array[Long](nBins))
+            var maxTs = Long.MinValue
+            var any = false
+            for (r <- it) {
+              any = true
+              maxTs = math.max(maxTs, r.ts.getTime)
+              val b = math.min(r.n_tok / width, nBins - 1)
+              bins(b) += 1L
+            }
+            state.update(QhState(bins))
+            if (maxTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(maxTs, stateTtl)
+            if (!any) Iterator.empty
+            else {
+              val n = bins.sum
+              def est(qPct: Int): Long = {
+                val target = (qPct * n + 99L) / 100L
+                var cum = 0L; var b = 0
+                while (b < nBins) {
+                  cum += bins(b)
+                  if (cum >= target) return (b + 1L) * width - 1L
+                  b += 1
+                }
+                (nBins.toLong) * width - 1L
+              }
+              Iterator.single(QhOut(key, maxTs, n, est(50), est(90), est(99)))
+            }
+          }
+        })
+  }
 }

@@ -539,4 +539,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(a(src) == batch(src),
         s"stream snapshot must equal the batch fused sketch at $src")
   }
+
+  test("streaming quantile histogram == batch sketch across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 12).map(d => (s"s${d % 2}", d, 10 + d * 37 % 120))
+    // batch reference: est columns of the mergeable histogram sketch
+    val batch = graft.ops.Sketches.quantileHistogram(
+        docs.map { case (src, d, n) => (s"d$d", Seq.fill(3)(1), n, src) }
+          .toDF("doc_id", "tokens", "n_tok", "source"),
+        nBins = 16, width = 8, qPcts = Seq(50, 90, 99))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r => r.getInt(1) -> r.getAs[Long]("est")).toMap }
+    def run(splits: Seq[Seq[Int]], name: String): Map[String, (Long, Long, Long, Long)] = {
+      val mem = MemoryStream[StreamOps.QhIn]
+      def f(d: Int) = StreamOps.QhIn(docs(d)._1,
+        new Timestamp(1700000000000L + d * 1000L), docs(d)._3)
+      val q = StreamOps.quantileHistStream(mem.toDS(), nBins = 16, width = 8,
+          "10 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        for (b <- splits) { mem.addData(b.map(f): _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .groupBy(_.getAs[String]("source"))
+          .map { case (k, rs) =>
+            val last = rs.maxBy(_.getAs[Long]("as_of"))
+            k -> (last.getAs[Long]("n"), last.getAs[Long]("est50"),
+              last.getAs[Long]("est90"), last.getAs[Long]("est99"))
+          }.toMap
+      } finally q.stop()
+    }
+    val a = run(Seq(0 until 12), "qh_one")
+    val b = run(Seq(Seq(0, 1, 2), Seq(3), 4 until 9, 9 until 12), "qh_four")
+    assert(a == b, "micro-batch split must not change the bins")
+    for (src <- Seq("s0", "s1")) {
+      val (n, e50, e90, e99) = a(src)
+      assert(n == 6L)
+      assert(e50 == batch(src)(50))
+      assert(e90 == batch(src)(90))
+      assert(e99 == batch(src)(99))
+    }
+  }
 }
