@@ -60,7 +60,11 @@ object Bench {
     "pca_top",            // one-pass sufficient stats + integer iteration
     "q3_join",            // relational join/agg
     "hard_negatives_lsh", // full-corpus batch-hard mining (banded sign-LSH)
-    "coreset_cells")      // per-cell greedy coreset (round-4 scale fix)
+    "coreset_cells",      // per-cell greedy coreset (round-4 scale fix)
+    "pq_codes",           // PQ encode (train + broadcast-codebook pass)
+    "ivfpq_recall",       // two-level compressed ANN (cells + ADC)
+    "sketch_quantile",    // mergeable histogram quantile sketch
+    "unigram_train")      // unigram-LM tokenizer round (Viterbi + census)
   // gbdt_train/gbdt_bagged are multi-job TRAINING loops, not queries —
   // their cost is reported in BENCH.md prose (13.2 s cold at sf0.1 incl.
   // session setup for the 4-round fit over 5 000 docs × 8 k tokens),
