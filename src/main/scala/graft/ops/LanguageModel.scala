@@ -686,6 +686,121 @@ object LanguageModel {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack/Clarke/
+    * Buettcher, SIGIR 2009) of the BM25 lexical ranking and the dense
+    * cosine ranking over the SAME query slice: the standard first-stage
+    * retriever of RAG / hard-negative-mining pipelines, where neither
+    * arm dominates and `rrf(d) = Σ_arms 1/(C + rank_arm(d))` is the
+    * robust rank-level combiner (no score normalization across
+    * incomparable scales).
+    *
+    * The query slice is [[bm25Retrieve]]'s deterministic md5-slot rule;
+    * embeddings join the document table on the shared zero-padded id
+    * (`d%06d` — vec_id and doc_id are the same entity). RRF terms are
+    * exact integers (`10⁶ div (C + rank)` — floor division in both
+    * engines), so the fused ranking and its tiebreak (rrf desc, doc
+    * asc) are bitwise. Missing-from-arm docs carry rank 0 sentinels at
+    * the boundary.
+    *
+    * == Scale shape ==
+    * Each arm keeps its own audited shape (broadcast inverted-index
+    * probe; broadcast query set vs corpus scan); fusion adds one
+    * (q_id, doc_id)-keyed outer join of two k-row-per-query tables —
+    * query-set-sized, never corpus-sized. */
+  def hybridRrf(seqs: DataFrame, embeddings: DataFrame, queryMod: Int,
+                k: Int, c: Int = 60): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val lex = bm25Retrieve(seqs, queryMod, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val emb = graft.core.Partitioning.balance(embeddings, "vec_id")
+      .select(expr("concat('d', lpad(CAST(vec_id AS STRING), 6, '0'))")
+        .as("doc_id"), col("embedding"))
+    val queries = emb
+      .filter(graft.ops.Sampling.md5Slot(col("doc_id"), queryMod) === 0)
+      .select(col("doc_id").as("q_id"), col("embedding").as("qv"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = emb.join(broadcast(queries), expr("doc_id != q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, embedding)"))
+      .withColumn("rank_dense", row_number().over(wd))
+      .filter(col("rank_dense") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank_dense"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", expr(
+        s"""CAST(coalesce(1000000 div ($c + rank_lex), 0)
+           |   + coalesce(1000000 div ($c + rank_dense), 0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0)).as("rank_dense"))
+  }
+
+  /** DuckDB mirror of [[hybridRrf]]. `embWhere` restricts the embedding
+    * table to the same document universe the `seqsSql` slice covers
+    * (raw-id predicate over `vec_id`). */
+  def duckHybridRrfSql(seqsSql: String, queryMod: Int, k: Int,
+                       embWhere: String = "TRUE", c: Int = 60): String =
+    s"""WITH lex AS (
+       |  SELECT q_id, doc_id, rank AS rank_lex
+       |  FROM (${duckBm25Sql(seqsSql, queryMod, k)})),
+       |e AS (
+       |  SELECT 'd' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS doc_id,
+       |         embedding
+       |  FROM embeddings WHERE $embWhere),
+       |q AS (
+       |  SELECT doc_id AS q_id, embedding AS qv FROM e
+       |  WHERE ${graft.ops.Sampling.duckMd5Slot("doc_id", queryMod)} = 0),
+       |dsc AS (
+       |  SELECT q.q_id, e.doc_id,
+       |    (SELECT CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+       |            ELSE dot / sqrt(na * nb) END
+       |     FROM (SELECT
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.qv, (x, i) ->
+       |           CAST(x AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+       |         (a, b) -> a + b) AS dot,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(q.qv, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS na,
+       |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |         list_transform(e.embedding, x ->
+       |           CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       |         (a, b) -> a + b) AS nb)) AS cos
+       |  FROM q JOIN e ON e.doc_id <> q.q_id),
+       |dense AS (
+       |  SELECT q_id, doc_id, rank_dense FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rank_dense
+       |    FROM dsc) WHERE rank_dense <= $k),
+       |fused AS (
+       |  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+       |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    l.rank_lex, d.rank_dense
+       |  FROM lex l FULL OUTER JOIN dense d
+       |    ON d.q_id = l.q_id AND d.doc_id = l.doc_id),
+       |rr AS (
+       |  SELECT q_id, doc_id, rank_lex, rank_dense,
+       |    CAST(coalesce(1000000 // ($c + rank_lex), 0)
+       |       + coalesce(1000000 // ($c + rank_dense), 0) AS BIGINT)
+       |      AS rrf_micro
+       |  FROM fused)
+       |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf_micro,
+       |  CAST(coalesce(rank_lex, 0) AS INTEGER) AS rank_lex,
+       |  CAST(coalesce(rank_dense, 0) AS INTEGER) AS rank_dense
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+       |  FROM rr)
+       |WHERE rank <= $k""".stripMargin
+
   /** Negative-sampling distribution table (the word2vec unigram^{3/4}
     * smoothing — flattens the Zipf head so frequent tokens don't dominate
     * the negatives drawn for contrastive/NCE training): per token,

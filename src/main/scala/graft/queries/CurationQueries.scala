@@ -676,6 +676,16 @@ object CurationQueries {
       graft.ops.LanguageModel.bm25Retrieve(Seqs.fromDocumentsSub(s, dir),
         Bm25QueryMod, Bm25K)),
 
+    // hybrid retrieval fusion: BM25 + dense cosine rankings of the same
+    // query slice combined by reciprocal-rank fusion (exact-integer RRF
+    // terms); both arms restricted to the shared dedup subsample so the
+    // document universes coincide
+    "hybrid_rrf" -> ((s, dir) =>
+      graft.ops.LanguageModel.hybridRrf(Seqs.fromDocumentsSub(s, dir),
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(expr(Seqs.DedupSubPred.replace("doc_id", "vec_id"))),
+        Bm25QueryMod, Bm25K)),
+
     // word2vec negative-sampling table: unigram^(3/4) weights via exact
     // wide-integer fourth root, cumulative buckets + micro probabilities
     "negsample_table" -> ((s, dir) =>
@@ -1042,6 +1052,10 @@ object CurationQueries {
     "bm25_top" ->
       graft.ops.LanguageModel.duckBm25Sql(Seqs.duckSqlSub, Bm25QueryMod,
         Bm25K),
+    "hybrid_rrf" ->
+      graft.ops.LanguageModel.duckHybridRrfSql(Seqs.duckSqlSub,
+        Bm25QueryMod, Bm25K,
+        Seqs.DedupSubPred.replace("doc_id", "vec_id")),
     "pca_top" -> graft.ops.Pca.duckSql("embeddings", PcaIters),
     "negsample_table" ->
       graft.ops.LanguageModel.duckNegSampleSql(Seqs.duckSql),

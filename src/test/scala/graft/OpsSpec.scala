@@ -2657,4 +2657,30 @@ class OpsSpec extends AnyFunSuite {
         s"query ${r.getLong(0)}: ${r.getAs[Double]("recall_at_k")}")
     }
   }
+
+  test("hybrid rrf: doc top-ranked in both arms fuses above single-arm docs") {
+    // d0/d1 identical in both token and embedding space; d2/d3 disjoint.
+    // queryMod = 1 -> every doc is a query. For query d000000: lex ties
+    // (d0, d1) -> ranks 1,2; dense excludes self -> d1 rank 1, zero-cos
+    // ties d2, d3 -> ranks 2, 3. RRF (C = 60): d1 = 10^6 div 62 + 10^6
+    // div 61 = 32522 beats d0 = 16393 and d2 = 16129.
+    val seqs = Seq(
+      ("d000000", Seq(1, 1, 2, 3), 4, "s"), ("d000001", Seq(1, 1, 2, 3), 4, "s"),
+      ("d000002", Seq(50, 60), 2, "s"), ("d000003", Seq(70, 80, 90), 3, "s"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ops.LanguageModel.hybridRrf(seqs, emb, queryMod = 1, k = 3)
+      .filter(col("q_id") === "d000000").orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getAs[Long]("rrf_micro"),
+        r.getInt(4), r.getInt(5)))
+    assert(out.toSeq == Seq(
+      (1, "d000001", 32522L, 2, 1),
+      (2, "d000000", 16393L, 1, 0),
+      (3, "d000002", 16129L, 0, 2)))
+  }
 }
