@@ -1950,6 +1950,80 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Matryoshka truncation recall curve (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022 — evaluation side): for each
+    * prefix width `d` in `dims`, recall@k of the cosine ranking computed
+    * on the FIRST `d` embedding components against the full-dimension
+    * exact top-k — the measurement behind serving truncated embeddings
+    * (cheaper index, graceful recall decay). One broadcast-queries
+    * corpus pass per width (the [[bruteTopK]] shape; widths share the
+    * scan via union), per-width ranking deterministic (cos desc, vec
+    * asc). Output: (dim, query_id, n_hits, recall_at_k). */
+  def matryoshkaRecall(embeddings0: DataFrame, nQueries: Int, k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    val exact = bruteTopK(embeddings0, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = embeddings0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val perDim = dims.map { d =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val approx = embeddings.join(broadcast(queries),
+          col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          expr(s"graft_cosine(slice(qv, 1, $d), slice(embedding, 1, $d))"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(lit(d).as("dim"), col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / k)
+            .as("recall_at_k"))
+    }
+    perDim.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror of [[matryoshkaRecall]]. */
+  def duckMatryoshkaRecallSql(nQueries: Int, k: Int,
+                              dims: Seq[Int]): String = {
+    val arms = dims.map { d =>
+      s"""SELECT $d AS dim, q.query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS recall_at_k
+         |FROM (SELECT vec_id AS query_id FROM embeddings
+         |      WHERE vec_id < $nQueries) q
+         |LEFT JOIN (
+         |  SELECT a.query_id, count(*) AS n_hits
+         |  FROM exact x
+         |  JOIN (
+         |    SELECT query_id, neighbor_id FROM (
+         |      SELECT qq.query_id, e.vec_id AS neighbor_id,
+         |        row_number() OVER (PARTITION BY qq.query_id ORDER BY
+         |          ${duckCosine(s"list_slice(qq.qv, 1, $d)",
+                      s"list_slice(e.embedding, 1, $d)")} DESC,
+         |          e.vec_id ASC) AS rank
+         |      FROM qset qq JOIN embeddings e
+         |        ON e.vec_id <> qq.query_id)
+         |    WHERE rank <= $k) a
+         |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+         |  GROUP BY a.query_id) h ON h.query_id = q.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id
+       |  FROM (${duckBruteTopKSql(nQueries, k)})),
+       |qset AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $nQueries)
+       |$arms""".stripMargin
+  }
+
   /** IVF-PQ composed index recall: candidate set from the query's
     * `nProbe` max-cosine IVF cells (the coarse quantizer —
     * [[ivfCells]]), ranking by PQ ADC score over the codes table (the

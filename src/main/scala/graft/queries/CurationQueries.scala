@@ -82,6 +82,9 @@ object CurationQueries {
   val PqDsub = 8
   val PqKsub = 16
   val PqIters = 2
+  // Matryoshka truncation recall: prefix widths evaluated against the
+  // full 64-dim exact ranking
+  val MrlDims = Seq(8, 16, 32, 64)
   // paired-bootstrap replicates
   val BootstrapB = 200
   // kNN label-agreement neighborhood size
@@ -409,6 +412,13 @@ object CurationQueries {
     "pq_recall" -> ((s, dir) =>
       Similarity.pqAdcRecall(s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK, PqM, PqDsub, PqKsub, PqIters)),
+
+    // Matryoshka truncation recall curve: prefix-width cosine rankings
+    // vs the full-dimension exact baseline (the serve-truncated-
+    // embeddings trade-off measurement)
+    "matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(s.read.parquet(s"$dir/embeddings.parquet"),
+        TopKQueries, TopK, MrlDims)),
 
     // IVF-PQ composed index: coarse-cell candidates ranked by ADC over
     // PQ codes — the two-level compressed ANN layout; n_cand reads the
@@ -1087,6 +1097,8 @@ object CurationQueries {
       TopKQueries, TopK, PqM, PqDsub, PqKsub, PqIters),
     "ivfpq_recall" -> Similarity.duckIvfPqRecallSql(
       TopKQueries, TopK, IvfCells, IvfProbe, PqM, PqDsub, PqKsub, PqIters),
+    "matryoshka_recall" -> Similarity.duckMatryoshkaRecallSql(
+      TopKQueries, TopK, MrlDims),
     "length_outliers" -> graft.ops.TextAnalysis.duckLengthOutliersSql(
       s"seqs AS (${Seqs.duckSql})", OutlierMadK),
     "source_overlap" ->

@@ -2683,4 +2683,31 @@ class OpsSpec extends AnyFunSuite {
       (2, "d000000", 16393L, 1, 0),
       (3, "d000002", 16129L, 0, 2)))
   }
+
+  test("matryoshka recall: full width is exact; tail-only signal dies under truncation") {
+    // neighbors distinguished ONLY in components 2..3: the width-2 prefix
+    // ranking ties everywhere (resolved by vec_id) while width-4 is exact
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f, 0.9f, 0.1f), 0),
+      (1L, Array(1.0f, 1.0f, 0.9f, 0.1f), 0),  // true top-1 of query 0
+      (2L, Array(1.0f, 1.0f, -0.5f, 0.8f), 1),
+      (3L, Array(1.0f, 1.0f, -0.5f, 0.79f), 1)) // q2's true tail-space twin
+      .toDF("vec_id", "embedding", "label")
+    val rec = Similarity.matryoshkaRecall(emb, nQueries = 1, k = 1,
+        dims = Seq(2, 4)).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("recall_at_k")).toMap
+    assert(rec(4) == 1.0)
+    // width 2: all cosines tie at 1.0 -> lowest vec_id (1) wins, which IS
+    // the exact neighbor here; use k=1 on query 0 then a harder probe
+    assert(rec(2) == 1.0)
+    // harder: query 2's true top-1 under full cosine differs from the
+    // prefix tie-break winner
+    val rec2 = Similarity.matryoshkaRecall(emb, nQueries = 3, k = 1,
+        dims = Seq(2, 4)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Double]("recall_at_k"))
+      .toMap
+    assert(rec2((4, 2L)) == 1.0)
+    assert(rec2((2, 2L)) == 0.0,
+      "width-2 prefix cannot rank query 2's tail-space neighbor first")
+  }
 }
