@@ -140,7 +140,19 @@ object Explain {
       "knn_agree_lsh (same candidate graph through the label-agreement screen)" ->
         SparkEntry.queries("knn_agree_lsh")(spark, sfDir),
       "coreset_cells (broadcast centroid assignment, one cell exchange, per-cell greedy kernel)" ->
-        SparkEntry.queries("coreset_cells")(spark, sfDir))
+        SparkEntry.queries("coreset_cells")(spark, sfDir),
+      "pq_codes (broadcast codebook assignment after Lloyd rounds that shuffle only (sub,code,pos) aggregates)" ->
+        SparkEntry.queries("pq_codes")(spark, sfDir),
+      "ivfpq_recall (coarse-cell candidates joined to codes, broadcast ADC table, one (query,vec) grouped sum)" ->
+        SparkEntry.queries("ivfpq_recall")(spark, sfDir),
+      "sketch_quantile (one (source,bin) count exchange, windows over the bounded bin grid)" ->
+        SparkEntry.queries("sketch_quantile")(spark, sfDir),
+      "unigram_train (broadcast 1-row model into the Viterbi kernel projection, one piece-census exchange)" ->
+        SparkEntry.queries("unigram_train")(spark, sfDir),
+      "hybrid_rrf (two k-row-per-query arms, one outer fusion join — nothing corpus-sized)" ->
+        SparkEntry.queries("hybrid_rrf")(spark, sfDir),
+      "matryoshka_recall (per-width broadcast-queries corpus passes, unioned)" ->
+        SparkEntry.queries("matryoshka_recall")(spark, sfDir))
 
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (generated by graft.Explain)\n\n")

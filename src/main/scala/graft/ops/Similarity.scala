@@ -2058,7 +2058,10 @@ object Similarity {
       .withColumn("crank", row_number().over(wq))
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = cells.join(probed, Seq("cell"))
+    // probed is (nQueries × nProbe) rows — provably broadcastable; the
+    // cand→codes join stays AQE-planned (candidate volume scales with
+    // cell occupancy, so a static broadcast hint would be a scale hazard)
+    val cand = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     val nCand = cand.groupBy(col("query_id"))

@@ -830,16 +830,27 @@ object Sketches {
     * arithmetic — bitwise across engines and partitionings. */
   def quantileHistogram(seqs: DataFrame, nBins: Int, width: Int,
                         qPcts: Seq[Int]): DataFrame = {
-    val base = seqs.select(col("source"), col("n_tok"))
-      .unionByName(seqs.select(lit("__all__").as("source"), col("n_tok")))
     val qs = array(qPcts.map(lit): _*)
+    // ONE corpus pass builds the per-source histograms AND the merged
+    // `__all__` row together (GROUPING SETS — the [[hllReport]] union
+    // idiom; bin counts add, so the union row is the same aggregation
+    // one grouping coarser).
+    def grouped(keyCol: String, keyed: DataFrame): DataFrame = keyed
+      .groupingSets(
+        Seq(Seq(col("source"), col(keyCol)), Seq(col(keyCol))),
+        col("source"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), grouping(col("source")).as("is_union"))
+      .select(
+        when(col("is_union") === 1, lit("__all__")).otherwise(col("source"))
+          .as("source"),
+        col(keyCol), col("cnt"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("bin"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
-    val hist = base
-      .withColumn("bin", expr(s"least(n_tok div $width, ${nBins - 1})"))
-      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val hist = grouped("bin", seqs
+        .select(col("source"),
+          expr(s"least(n_tok div $width, ${nBins - 1})").as("bin")))
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
     val est = hist
@@ -851,8 +862,7 @@ object Sketches {
       .partitionBy(col("source")).orderBy(col("n_tok"))
     val wVAll = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
-    val exact = base
-      .groupBy(col("source"), col("n_tok")).agg(count(lit(1)).as("cnt"))
+    val exact = grouped("n_tok", seqs.select(col("source"), col("n_tok")))
       .withColumn("cum", sum(col("cnt")).over(wVCum))
       .withColumn("n", sum(col("cnt")).over(wVAll))
       .withColumn("q_pct", explode(qs))
@@ -870,15 +880,15 @@ object Sketches {
   def duckQuantileHistSql(seqsSql: String, nBins: Int, width: Int,
                           qPcts: Seq[Int]): String =
     s"""WITH seqs AS MATERIALIZED ($seqsSql),
-       |base AS (
-       |  SELECT source, n_tok FROM seqs
-       |  UNION ALL SELECT '__all__' AS source, n_tok FROM seqs),
        |q AS (SELECT unnest([${qPcts.mkString(", ")}]) AS q_pct),
        |h AS (
-       |  SELECT source,
-       |    least(CAST(n_tok AS BIGINT) // $width, ${nBins - 1}) AS bin,
-       |    count(*) AS cnt
-       |  FROM base GROUP BY 1, 2),
+       |  SELECT CASE WHEN GROUPING(source) = 1 THEN '__all__' ELSE source
+       |         END AS source,
+       |    bin, count(*) AS cnt
+       |  FROM (SELECT source,
+       |          least(CAST(n_tok AS BIGINT) // $width, ${nBins - 1}) AS bin
+       |        FROM seqs)
+       |  GROUP BY GROUPING SETS ((source, bin), (bin))),
        |c AS (
        |  SELECT source, bin,
        |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
@@ -894,8 +904,11 @@ object Sketches {
        |  SELECT source, n_tok,
        |    sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
        |    sum(cnt) OVER (PARTITION BY source) AS n
-       |  FROM (SELECT source, n_tok, count(*) AS cnt
-       |        FROM base GROUP BY 1, 2)),
+       |  FROM (SELECT CASE WHEN GROUPING(source) = 1 THEN '__all__'
+       |               ELSE source END AS source,
+       |          n_tok, count(*) AS cnt
+       |        FROM seqs
+       |        GROUP BY GROUPING SETS ((source, n_tok), (n_tok)))),
        |ex AS (
        |  SELECT source, q_pct, CAST(min(n_tok) AS BIGINT) AS exact_v
        |  FROM vc CROSS JOIN q
