@@ -1950,6 +1950,110 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall_at_k"))
   }
 
+  /** Parallel-corpus (bitext) mining — the margin criterion of Artetxe &
+    * Schwenk, "Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings" (ACL 2019): a candidate translation pair (x, y)
+    * is scored not by raw cosine but by its RATIO to the average
+    * similarity of each side's k-nearest neighborhood —
+    * `margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)` — which
+    * suppresses hubs (vectors close to everything) and rescues sparse
+    * regions. The two "languages" here are the corpus and its
+    * [[plantNearDups]] augmentation (planted twins = ground-truth
+    * translations), so mined precision is measurable (`is_planted`).
+    *
+    * == Integer-exact form ==
+    * Shifted cosine `sq = floor((cos+1)·10^6)` ∈ [0, 2·10^6] (the shift
+    * keeps every quantity non-negative, so floor-division agrees across
+    * engines); `denom_v` = integer mean of v's top-k candidate `sq`
+    * (ties → partner id asc); `margin_milli = 2000·sq div
+    * (denom_x + denom_y)` — ≈ 1000 at neighborhood-average similarity,
+    * higher for true pairs. Ranking (margin desc, pair asc) and the
+    * global top-M (TakeOrdered) are bitwise.
+    *
+    * == Scale shape ==
+    * Candidates come from the banded sign-LSH join ([[embedCandidates]]
+    * — ids only, cross-side filtered), and the kNN denominators are
+    * estimated over each vector's CANDIDATE neighborhood — the standard
+    * at-scale approximation (exact kNN would be all-pairs). Vectors are
+    * re-fetched by id only for the candidate scoring pass. */
+  def bitextMine(embeddings0: DataFrame, plantMod: Int, nBands: Int,
+                 bitsPerBand: Int, k: Int, topM: Int): DataFrame = {
+    expressions.register(embeddings0.sparkSession)
+    val planted = plantNearDups(embeddings0, plantMod)
+    val cand = embedCandidates(planted, nBands, bitsPerBand)
+      .filter(col("vec_a") < PlantIdOffset && col("vec_b") >= PlantIdOffset)
+    val e = planted.select(col("vec_id"), col("embedding"))
+    val sc = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), expr(
+        "CAST(floor((graft_cosine(ea, eb) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)")
+        .as("sq"))
+    def denomOver(side: String, other: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(side))
+        .orderBy(col("sq").desc, col(other).asc)
+      sc.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .groupBy(col(side))
+        .agg(expr("CAST(sum(sq) div count(1) AS BIGINT)").as(s"denom_$side"))
+    }
+    sc.join(denomOver("vec_a", "vec_b"), Seq("vec_a"))
+      .join(denomOver("vec_b", "vec_a"), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("sq"),
+        expr("""CASE WHEN denom_vec_a + denom_vec_b <= 0 THEN CAST(0 AS BIGINT)
+               |     ELSE (2000 * sq) div (denom_vec_a + denom_vec_b)
+               |END""".stripMargin).as("margin_milli"),
+        (col("vec_b") === col("vec_a") + PlantIdOffset).as("is_planted"))
+      .orderBy(col("margin_milli").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(topM)
+  }
+
+  /** DuckDB mirror of [[bitextMine]]; `srcSql` = the same pre-filtered
+    * (vec_id, embedding) SELECT the Spark side was given. */
+  def duckBitextMineSql(srcSql: String, plantMod: Int, nBands: Int,
+                        bitsPerBand: Int, k: Int, topM: Int): String =
+    s"""WITH src AS MATERIALIZED ($srcSql),
+       |aug AS MATERIALIZED (${duckPlantSql(plantMod, "src")}),
+       |bh AS MATERIALIZED (
+       |${duckEmbedBandHashesSql(nBands, bitsPerBand, "aug")}),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bh a JOIN bh b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |    AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id < $PlantIdOffset AND b.vec_id >= $PlantIdOffset),
+       |sc AS MATERIALIZED (
+       |  SELECT c.vec_a, c.vec_b,
+       |    CAST(floor((${duckCosine("ea.embedding", "eb.embedding")}
+       |      + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT) AS sq
+       |  FROM cand c
+       |  JOIN aug ea ON ea.vec_id = c.vec_a
+       |  JOIN aug eb ON eb.vec_id = c.vec_b),
+       |da AS (
+       |  SELECT vec_a, CAST(sum(sq) // count(*) AS BIGINT) AS denom_a
+       |  FROM (SELECT vec_a, vec_b, sq,
+       |          row_number() OVER (PARTITION BY vec_a
+       |            ORDER BY sq DESC, vec_b ASC) AS r FROM sc)
+       |  WHERE r <= $k GROUP BY 1),
+       |db AS (
+       |  SELECT vec_b, CAST(sum(sq) // count(*) AS BIGINT) AS denom_b
+       |  FROM (SELECT vec_a, vec_b, sq,
+       |          row_number() OVER (PARTITION BY vec_b
+       |            ORDER BY sq DESC, vec_a ASC) AS r FROM sc)
+       |  WHERE r <= $k GROUP BY 1)
+       |SELECT sc.vec_a, sc.vec_b, sc.sq,
+       |  CASE WHEN da.denom_a + db.denom_b <= 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST((2000 * sc.sq) // (da.denom_a + db.denom_b)
+       |            AS BIGINT) END AS margin_milli,
+       |  sc.vec_b = sc.vec_a + $PlantIdOffset AS is_planted
+       |FROM sc
+       |JOIN da ON da.vec_a = sc.vec_a
+       |JOIN db ON db.vec_b = sc.vec_b
+       |ORDER BY margin_milli DESC, sc.vec_a ASC, sc.vec_b ASC
+       |LIMIT $topM""".stripMargin
+
   /** Matryoshka truncation recall curve (Kusupati et al., "Matryoshka
     * Representation Learning", NeurIPS 2022 — evaluation side): for each
     * prefix width `d` in `dims`, recall@k of the cosine ranking computed

@@ -85,6 +85,10 @@ object CurationQueries {
   // Matryoshka truncation recall: prefix widths evaluated against the
   // full 64-dim exact ranking
   val MrlDims = Seq(8, 16, 32, 64)
+  // bitext margin mining over the planted-twin "translation" ground
+  // truth: candidate-neighborhood kNN size and mined-pair depth
+  val BitextK = 4
+  val BitextTopM = 60
   // paired-bootstrap replicates
   val BootstrapB = 200
   // kNN label-agreement neighborhood size
@@ -412,6 +416,15 @@ object CurationQueries {
     "pq_recall" -> ((s, dir) =>
       Similarity.pqAdcRecall(s.read.parquet(s"$dir/embeddings.parquet"),
         TopKQueries, TopK, PqM, PqDsub, PqKsub, PqIters)),
+
+    // parallel-corpus mining: margin-criterion scoring of LSH candidate
+    // pairs between the corpus and its planted-twin augmentation — mined
+    // precision measurable against the planted ground truth
+    "bitext_mine" -> ((s, dir) =>
+      Similarity.bitextMine(
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < EmbedRecallMaxId),
+        EmbedPlantMod, EmbedBands, EmbedBits, BitextK, BitextTopM)),
 
     // Matryoshka truncation recall curve: prefix-width cosine rankings
     // vs the full-dimension exact baseline (the serve-truncated-
@@ -1099,6 +1112,10 @@ object CurationQueries {
       TopKQueries, TopK, IvfCells, IvfProbe, PqM, PqDsub, PqKsub, PqIters),
     "matryoshka_recall" -> Similarity.duckMatryoshkaRecallSql(
       TopKQueries, TopK, MrlDims),
+    "bitext_mine" -> Similarity.duckBitextMineSql(
+      s"""SELECT vec_id, embedding FROM embeddings
+         |WHERE vec_id < $EmbedRecallMaxId""".stripMargin,
+      EmbedPlantMod, EmbedBands, EmbedBits, BitextK, BitextTopM),
     "length_outliers" -> graft.ops.TextAnalysis.duckLengthOutliersSql(
       s"seqs AS (${Seqs.duckSql})", OutlierMadK),
     "source_overlap" ->

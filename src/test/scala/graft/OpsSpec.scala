@@ -2710,4 +2710,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rec2((2, 2L)) == 0.0,
       "width-2 prefix cannot rank query 2's tail-space neighbor first")
   }
+
+  test("bitext mining: planted twins dominate the margin ranking") {
+    // 12 base vectors, twins planted for ids 0,3,6,9 -> 4 ground-truth
+    // "translations"; candidates from the 3x8 sign-LSH bands
+    // one moderately-spread cluster: every cross pair is an LSH
+    // candidate, so the kNN denominators see real neighborhoods and the
+    // ratio margin separates twins (cos ~0.97) from neighbors (~0.9)
+    val emb = Seq.tabulate(12) { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (0.5 + 1.5 * math.sin(i * 1.3 + j * 0.7)).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val mined = Similarity.bitextMine(emb, plantMod = 3, nBands = 8,
+      bitsPerBand = 4, k = 4, topM = 30).collect()
+    assert(mined.nonEmpty)
+    val planted = mined.filter(_.getAs[Boolean]("is_planted"))
+    assert(planted.length == 4, s"all 4 planted twins mined: ${mined.length}")
+    // margin is a RATIO score: every planted pair sits above the ~1000
+    // neighborhood-average line
+    val minPlanted = planted.map(_.getAs[Long]("margin_milli")).min
+    assert(minPlanted > 1000L, s"planted margin $minPlanted")
+    // aggregate dominance: the planted pairs average a higher margin than
+    // the non-planted candidates (strict per-pair dominance is not a
+    // property of the criterion — a near-parallel non-twin neighbor with
+    // a sparse candidate neighborhood can legitimately outrank one twin)
+    val others = mined.filterNot(_.getAs[Boolean]("is_planted"))
+      .map(_.getAs[Long]("margin_milli"))
+    if (others.nonEmpty) {
+      val mp = planted.map(_.getAs[Long]("margin_milli")).sum.toDouble / 4
+      val mo = others.sum.toDouble / others.length
+      assert(mp > mo, s"planted mean $mp vs non-planted mean $mo")
+    }
+  }
 }
