@@ -107,4 +107,86 @@ class PropertySpec extends AnyFunSuite {
       if (sorted.nonEmpty) assert(kept.head == sorted.head)
     }
   }
+
+  test("viterbi segmentation kernel == scalar DP reference (random models)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+    val rnd = new Random(1234)
+    for (trial <- 1 to 60) {
+      val alpha = 2 + rnd.nextInt(5) // small alphabet forces bigram reuse
+      val ts = Array.fill(rnd.nextInt(60))(rnd.nextInt(alpha))
+      val uni = (0 until alpha)
+        .map(t => t -> (-(1L + rnd.nextInt(3000000)))).toMap
+      val biPairs = (for (a <- 0 until alpha; b <- 0 until alpha
+                          if rnd.nextBoolean()) yield (a, b)).toSeq
+      val bi = biPairs.map(p => p -> (-(1L + rnd.nextInt(3000000)))).toMap
+      // scalar reference (bigram wins ties, forward and backward)
+      val n = ts.length
+      val dp = new Array[Long](n + 1)
+      for (i <- 1 to n) {
+        val u = dp(i - 1) + uni(ts(i - 1))
+        val b = if (i >= 2) bi.get((ts(i - 2), ts(i - 1))).map(dp(i - 2) + _)
+                else None
+        dp(i) = b match { case Some(bv) if bv >= u => bv; case _ => u }
+      }
+      var i = n
+      val pieces = scala.collection.mutable.ListBuffer[(Int, Long)]()
+      while (i > 0) {
+        val b = if (i >= 2) bi.get((ts(i - 2), ts(i - 1))) else None
+        b match {
+          case Some(sv) if dp(i) == dp(i - 2) + sv =>
+            pieces.prepend((i - 2,
+              (ts(i - 2) + 2048L) * 4096L + (ts(i - 1) + 2048L)))
+            i -= 2
+          case _ =>
+            pieces.prepend((i - 1, ts(i - 1) + 2048L)); i -= 1
+        }
+      }
+      val refCodes = pieces.map(_._2).toList
+      val refChecksum = pieces.map { case (st, c) => (st + 1L) * c }.sum
+      val refNBi = pieces.count(_._2 >= 4096).toLong
+      // kernel
+      val ut = uni.keys.toArray.sorted
+      val bp = bi.keys.toArray.map { case (a, b) =>
+        (a + 2048L) * 4096L + (b + 2048L) }.sorted
+      val biByCode = bi.map { case ((a, b), v) =>
+        ((a + 2048L) * 4096L + (b + 2048L)) -> v }
+      val out = graft.functions.expressions.ViterbiSeg(
+        Literal.create(ts.toSeq, ArrayType(IntegerType)),
+        Literal.create(ut.map(_ + 2048L).toSeq, ArrayType(LongType)),
+        Literal.create(ut.map(t => uni(t)).toSeq, ArrayType(LongType)),
+        Literal.create(bp.toSeq, ArrayType(LongType)),
+        Literal.create(bp.map(biByCode).toSeq, ArrayType(LongType)))
+        .eval(null).asInstanceOf[ArrayData].toLongArray()
+      assert(out(0) == pieces.length.toLong, s"trial $trial n_pieces")
+      assert(out(1) == refNBi, s"trial $trial n_bi")
+      assert(out(2) == dp(n), s"trial $trial ll")
+      assert(out(3) == refChecksum, s"trial $trial checksum")
+      assert(out.drop(4).toList == refCodes, s"trial $trial codes")
+    }
+  }
+
+  test("dot / l2 kernels == scalar folds (random arrays)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val rnd = new Random(777)
+    for (_ <- 1 to 100) {
+      val n = 1 + rnd.nextInt(80)
+      val a = Array.fill(n)(rnd.nextDouble() * 4 - 2)
+      val b = Array.fill(n)(rnd.nextDouble() * 4 - 2)
+      def lit(x: Array[Double]) =
+        Literal.create(x.toSeq, ArrayType(DoubleType))
+      val dot = graft.functions.expressions.DotProd(lit(a), lit(b))
+        .eval(null).asInstanceOf[Double]
+      val l2 = graft.functions.expressions.L2Sq(lit(a), lit(b))
+        .eval(null).asInstanceOf[Double]
+      var sd = 0.0; var sl = 0.0; var i = 0
+      while (i < n) {
+        sd += a(i) * b(i); val d = a(i) - b(i); sl += d * d; i += 1
+      }
+      assert(dot == sd) // identical fold order -> bitwise
+      assert(l2 == sl)
+    }
+  }
 }
