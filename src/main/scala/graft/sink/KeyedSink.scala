@@ -134,14 +134,28 @@ object KeyedSink extends SnapshotStore {
       }
   }
 
+  /** Throughput fragment for the snapshot summary: the write job's wall
+    * clock and its rows/sec — the "row-count/throughput metrics into
+    * snapshot metadata" half of the resume contract (an Iceberg deploy
+    * carries these as snapshot-summary properties). -1 wall = untimed
+    * caller. */
+  private def throughputJson(wallMs: Long, rows: Long): String =
+    if (wallMs < 0) ""
+    else s""", "wall_ms": $wallMs, "rows_per_sec": ${
+      if (wallMs == 0) rows * 1000L else rows * 1000L / wallMs}"""
+
   private def commit(path: String, next: Int, kind: String, total: Long,
                      nUp: Long, nDel: Long, nPart: Int, key: String,
-                     streamBatch: Option[Long] = None): CommitStats = {
+                     streamBatch: Option[Long] = None,
+                     wallMs: Long = -1L): CommitStats = {
     val parent = latestSnapshot(path).getOrElse(0)
     val fileRows = fileRowCounts(s"$path/snap-$next")
       .map { case (n, r) => s"""{"file": "$n", "rows": $r}""" }
       .mkString("[", ", ", "]")
-    val sb = streamBatch.map(b => s""", "stream_batch": $b""").getOrElse("")
+    // rows WRITTEN to this snapshot: a full snapshot rewrites `total`
+    // rows, a delta only its upserts (total = -1 at this stage)
+    val sb = streamBatch.map(b => s""", "stream_batch": $b""").getOrElse("") +
+      throughputJson(wallMs, if (total >= 0) total else nUp)
     val meta =
       s"""{"snapshot": $next, "kind": "$kind", "total_rows": $total,
          | "upserted_rows": $nUp, "deleted_rows": $nDel,
@@ -184,17 +198,19 @@ object KeyedSink extends SnapshotStore {
     }
     val obs = Observation(s"keyed-sink-$next")
     val snapDir = s"$path/snap-$next"
+    val t0 = System.nanoTime()
     merged.observe(obs,
         count(lit(1)).as("total"),
         sum(when(col("__upd"), 1L).otherwise(0L)).as("upserted"))
       .drop("__upd")
       .write.mode("overwrite").parquet(snapDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
     val row = obs.get
     val total = row("total").asInstanceOf[Long]
     val nUp = Option(row("upserted")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val nDel = delKeys.map(_.count()).getOrElse(0L) // count on the checkpoint
     commit(path, next, "full", total, nUp, nDel, countFiles(snapDir), key,
-      streamBatch)
+      streamBatch, wallMs)
   }
 
   /** Merge-on-read upsert: writes ONLY `updates` as a delta snapshot.
@@ -211,11 +227,13 @@ object KeyedSink extends SnapshotStore {
     val next = parent.get + 1
     val obs = Observation(s"keyed-sink-delta-$next")
     val snapDir = s"$path/snap-$next"
+    val t0 = System.nanoTime()
     updates.observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(snapDir)
+    val deltaWallMs = (System.nanoTime() - t0) / 1000000L
     val nUp = obs.get("n").asInstanceOf[Long]
     val stats = commit(path, next, "delta", -1L, nUp, 0L,
-      countFiles(snapDir), key, streamBatch)
+      countFiles(snapDir), key, streamBatch, deltaWallMs)
     val total = readSnap(spark, path, next, key).select(col(key)).count()
     // refresh metadata with the resolved total — via temp file + ATOMIC_MOVE
     // (same protocol as the _latest pointer): the pointer already flipped,
@@ -226,7 +244,8 @@ object KeyedSink extends SnapshotStore {
       .map { case (n, r) => s"""{"file": "$n", "rows": $r}""" }
       .mkString("[", ", ", "]")
     val metaTmp = Paths.get(path, s"snap-$next.json.tmp")
-    val sb = streamBatch.map(b => s""", "stream_batch": $b""").getOrElse("")
+    val sb = streamBatch.map(b => s""", "stream_batch": $b""").getOrElse("") +
+      throughputJson(deltaWallMs, nUp)
     Files.writeString(metaTmp,
       s"""{"snapshot": $next, "kind": "delta", "total_rows": $total, "upserted_rows": $nUp, "deleted_rows": 0, "partitions": ${stats.partitions}, "parent": ${parent.get}, "key": "$key"$sb, "file_rows": $fileRows}""")
     Files.move(metaTmp, Paths.get(path, s"snap-$next.json"),
@@ -243,10 +262,13 @@ object KeyedSink extends SnapshotStore {
     val next = cur.get + 1
     val obs = Observation(s"keyed-sink-compact-$next")
     val snapDir = s"$path/snap-$next"
+    val t0 = System.nanoTime()
     folded.observe(obs, count(lit(1)).as("total"))
       .write.mode("overwrite").parquet(snapDir)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
     val total = obs.get("total").asInstanceOf[Long]
-    Some(commit(path, next, "full", total, 0L, 0L, countFiles(snapDir), key))
+    Some(commit(path, next, "full", total, 0L, 0L, countFiles(snapDir), key,
+      wallMs = wallMs))
   }
 
   /** Typed classifier-metadata side table — the `INSERT OR REPLACE INTO

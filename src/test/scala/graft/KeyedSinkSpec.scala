@@ -266,6 +266,15 @@ class KeyedSinkSpec extends AnyFunSuite {
     val rows = "\"rows\": (\\d+)".r.findAllMatchIn(meta)
       .map(_.group(1).toLong).toSeq
     assert(rows.nonEmpty && rows.sum == 2)
+    // throughput metrics ride the same summary (the Iceberg
+    // snapshot-summary analog of the resume contract)
+    assert(meta.contains("\"wall_ms\": "))
+    val wall = "\"wall_ms\": (\\d+)".r.findFirstMatchIn(meta)
+      .map(_.group(1).toLong)
+    assert(wall.exists(_ >= 0L))
+    val rps = "\"rows_per_sec\": (\\d+)".r.findFirstMatchIn(meta)
+      .map(_.group(1).toLong)
+    assert(rps.exists(_ >= 0L))
   }
 
   test("time travel: readAt returns each committed snapshot's state") {
