@@ -1991,6 +1991,11 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), expr(
         "CAST(floor((graft_cosine(ea, eb) + CAST(1.0 AS DOUBLE)) * 1000000) AS BIGINT)")
         .as("sq"))
+      // candidate-sized (ids + one BIGINT): materialized once — the two
+      // denominator windows and the final projection would otherwise each
+      // re-execute the whole plant->band->verify chain (PlanAudit: 64
+      // corpus scans -> ~20)
+      .localCheckpoint(true)
     def denomOver(side: String, other: String) = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(side))
@@ -2069,6 +2074,9 @@ object Similarity {
     val embeddings = graft.core.Partitioning.balance(embeddings0, "vec_id")
     val exact = bruteTopK(embeddings0, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      // (nQueries x k) ids: materialized once instead of re-running the
+      // brute baseline in every width arm
+      .localCheckpoint(true)
     val queries = embeddings0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val perDim = dims.map { d =>
@@ -2168,6 +2176,10 @@ object Similarity {
     val cand = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
+      // ids-only, probe-budget-sized: materialized once — n_cand and the
+      // ADC ranking both consume it, and each would otherwise re-run the
+      // assignment chain
+      .localCheckpoint(true)
     val nCand = cand.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_cand"))
     val dt = queries.crossJoin(broadcast(cb))

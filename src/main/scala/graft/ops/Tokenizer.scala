@@ -568,7 +568,11 @@ object Tokenizer {
             .as(tn),
           expr("transform(array_sort(collect_list(struct(code, s))), t -> t.s)")
             .as(sn))
-    broadcast(packed(u1, "ut", "us").crossJoin(packed(b2, "bt", "bs2")))
+    // ONE row of model arrays: materialized eagerly so every downstream
+    // reference (segmentation + census) reuses it instead of re-running
+    // the two counting aggregations
+    broadcast(packed(u1, "ut", "us").crossJoin(packed(b2, "bt", "bs2"))
+      .localCheckpoint(true))
   }
 
   /** Per-doc Viterbi segmentation under [[unigramModel]]:
