@@ -99,11 +99,15 @@ object KeyedSink extends SnapshotStore {
     else None
 
   /** Logical MERGE: rows from `updates` win by `key`; `existing` rows with
-    * no update pass through; keys in `deletes` are dropped. */
+    * no update pass through; keys in `deletes` are dropped. Schema
+    * EVOLUTION (Iceberg add-column analog): columns present on only one
+    * side union through with nulls on the other — an upsert batch may add
+    * columns (old rows read null) or omit columns the table already has
+    * (new rows carry null, the column is never dropped). */
   def merge(existing: DataFrame, updates: DataFrame, key: String,
             deletes: Option[DataFrame] = None): DataFrame = {
     val kept = existing.join(updates.select(col(key)), Seq(key), "left_anti")
-    val merged = updates.unionByName(kept)
+    val merged = updates.unionByName(kept, allowMissingColumns = true)
     deletes match {
       case Some(d) => merged.join(d.select(col(key)), Seq(key), "left_anti")
       case None => merged
@@ -186,7 +190,8 @@ object KeyedSink extends SnapshotStore {
       case Some(existing) =>
         val kept = existing.join(updates.select(col(key)), Seq(key), "left_anti")
           .withColumn("__upd", lit(false))
-        val m = updTagged.unionByName(kept)
+        // allowMissingColumns = schema evolution (see [[merge]])
+        val m = updTagged.unionByName(kept, allowMissingColumns = true)
         delKeys match {
           case Some(d) => m.join(d, Seq(key), "left_anti")
           case None => m

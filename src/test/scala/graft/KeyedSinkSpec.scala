@@ -277,6 +277,27 @@ class KeyedSinkSpec extends AnyFunSuite {
     assert(rps.exists(_ >= 0L))
   }
 
+  test("schema evolution: added columns read null for old rows; omitted columns survive") {
+    val path = freshPath()
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 1), ("b", 2)).toDF("doc_id", "v"), "doc_id")
+    // second batch ADDS a column `w` and updates only `a`
+    KeyedSink.upsert(spark, path,
+      Seq(("a", 10, "x")).toDF("doc_id", "v", "w"), "doc_id")
+    val st2 = KeyedSink.read(spark, path, "doc_id").get
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getAs[String]("w"))))
+    assert(st2.toSeq == Seq(("a", 10, Some("x")), ("b", 2, None)))
+    // third batch OMITS `w`: the column survives, the new row reads null
+    KeyedSink.upsert(spark, path,
+      Seq(("c", 3)).toDF("doc_id", "v"), "doc_id")
+    val st3 = KeyedSink.read(spark, path, "doc_id").get
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getAs[String]("w"))))
+    assert(st3.toSeq == Seq(
+      ("a", 10, Some("x")), ("b", 2, None), ("c", 3, None)))
+  }
+
   test("time travel: readAt returns each committed snapshot's state") {
     val path = freshPath()
     KeyedSink.upsert(spark, path,
