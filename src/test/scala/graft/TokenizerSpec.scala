@@ -199,4 +199,42 @@ class TokenizerSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("code"), r.getAs[Long]("used")))
     assert(re.toSeq == rep.map(t => (t._1, t._2._4)).toSeq)
   }
+
+  test("unigram: M-step re-estimation maximizes segmentation likelihood (Gibbs)") {
+    // fixture with real structure: repeated pairs + singleton noise
+    val rnd = new scala.util.Random(42)
+    val seqs = (0 until 10).map { d =>
+      val toks = Seq.fill(40)(rnd.nextInt(6)).flatMap(t =>
+        if (t < 3) Seq(t, t + 10) else Seq(t)) // planted (t, t+10) pairs
+      (s"d$d", toks, toks.length, "s")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val w = 64; val b = 50
+    val census = Tokenizer.unigramTrain(seqs, w, b, topK = 10000).collect()
+      .map(r => (r.getAs[Long]("code"),
+        (r.getAs[Long]("used"), r.getAs[Long]("score_micro"))))
+    // model0 scores recomputed scalar-side (same counting rules:
+    // window-w unigrams + top-b bigrams by (cnt desc, code asc), scores
+    // = round(ln(cnt/total0) * 1e6))
+    val wins = seqs.collect().map(_.getSeq[Int](1).take(w))
+    val u0 = wins.flatten.groupBy(t => t + 2048L).view.mapValues(_.size.toLong).toMap
+    val b0all = wins.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy { case (a, bb) => (a + 2048L) * 4096L + (bb + 2048L) }
+      .view.mapValues(_.size.toLong).toMap
+    val b0 = b0all.toSeq.sortBy { case (c, n) => (-n, c) }.take(b).toMap
+    val total0 = u0.values.sum + b0.values.sum
+    def score0(code: Long): Long = {
+      val c = if (code < 4096) u0(code) else b0(code)
+      math.round(math.log(c.toDouble / total0) * 1e6)
+    }
+    // Gibbs: sum(used * score1) >= sum(used * score0) over the
+    // segmentation census (score1 is the exact MLE of that multinomial;
+    // slack covers the per-term micro-nat rounding)
+    val lhs = census.map { case (_, (used, s1)) => used * s1 }.sum
+    val rhs = census.map { case (code, (used, _)) => used * score0(code) }.sum
+    val slack = census.map(_._2._1).sum // one micro-nat per piece instance
+    assert(lhs >= rhs - slack,
+      s"M-step must not lower segmentation likelihood: $lhs vs $rhs")
+    // and strictly improves here (model0 wastes mass on unused candidates)
+    assert(lhs > rhs, s"expected strict improvement: $lhs vs $rhs")
+  }
 }
