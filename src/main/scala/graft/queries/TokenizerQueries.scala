@@ -21,6 +21,20 @@ object TokenizerQueries {
   private val duckSeqs = s"seqs AS (${Seqs.duckSql})"
   private val duckSeqsSub = s"seqs AS (${Seqs.duckSqlSub})"
 
+  /** The shared tokenizer-comparison corpus: dedup subsample, UniW-token
+    * window (both arms see identical inputs). */
+  private def winSub(s: SparkSession, dir: String): DataFrame =
+    Seqs.fromDocumentsSub(s, dir).select(col("doc_id"),
+      expr(s"slice(tokens, 1, $UniW)").as("tokens"),
+      expr(s"CAST(least(n_tok, $UniW) AS INT)").as("n_tok"),
+      col("source"))
+
+  /** DuckDB twin of [[winSub]] (a full SELECT). */
+  private lazy val duckWinSubSql =
+    s"""SELECT doc_id, tokens[1:$UniW] AS tokens,
+       |  CAST(least(n_tok, $UniW) AS INTEGER) AS n_tok, source
+       |FROM (${Seqs.duckSqlSub}) q""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // adjacent-pair frequency report over the full corpus — round 0 of
@@ -74,6 +88,27 @@ object TokenizerQueries {
       Tokenizer.unigramTrain(Seqs.fromDocuments(s, dir), UniW, UniB,
         UniTopK)),
 
+    // the classic tokenizer bake-off: BPE merges vs unigram-LM Viterbi
+    // pieces on the SAME windowed corpus — per arm, docs / input tokens /
+    // output pieces / compression (pieces per 1000 input tokens). Dials
+    // are each family's own (TrainRounds merges vs UniB bigram pieces);
+    // the report is the comparison harness, not an equal-budget claim.
+    "tokenizer_compare" -> ((s, dir) => {
+      val sw = winSub(s, dir)
+      def arm(name: String, out: DataFrame, outCol: String) =
+        sw.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("tok_in"))
+          .crossJoin(out.agg(sum(col(outCol)).cast("long").as("pieces_out")))
+          .select(lit(name).as("arm"), col("n_docs"), col("tok_in"),
+            col("pieces_out"),
+            expr("CAST((1000 * pieces_out) div tok_in AS BIGINT)")
+              .as("compression_milli"))
+      arm("bpe", Tokenizer.encodeTable(sw, TrainRounds), "n_enc")
+        .unionByName(
+          arm("unigram", Tokenizer.unigramSegment(sw, UniW, UniB),
+            "n_pieces"))
+    }),
+
     // BERT-style MLM corruption plan (15% masked; 80/10/10
     // sentinel/random/keep), deterministic per (doc, position); the
     // checksum row pins every rewritten token's value and place
@@ -111,6 +146,29 @@ object TokenizerQueries {
     "unk_remap" ->
       s"""SELECT doc_id, md5(array_to_string(tokens_remap, ',')) AS remap_md5, n_tok
          |FROM (${Tokenizer.duckUnkRemapSql(duckSeqs, MinTokenCount, UnkId)}) q""".stripMargin,
+    "tokenizer_compare" ->
+      s"""SELECT arm, n_docs, tok_in, pieces_out,
+         |  CAST((1000 * pieces_out) // tok_in AS BIGINT)
+         |    AS compression_milli
+         |FROM (
+         |  SELECT 'bpe' AS arm,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM ($duckWinSubSql) s) AS n_docs,
+         |    (SELECT CAST(sum(n_tok) AS BIGINT)
+         |     FROM ($duckWinSubSql) s) AS tok_in,
+         |    (SELECT CAST(sum(n_enc) AS BIGINT)
+         |     FROM (${Tokenizer.duckEncodeSql(
+               s"seqs AS ($duckWinSubSql)", TrainRounds)}) e) AS pieces_out
+         |  UNION ALL
+         |  SELECT 'unigram' AS arm,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM ($duckWinSubSql) s) AS n_docs,
+         |    (SELECT CAST(sum(n_tok) AS BIGINT)
+         |     FROM ($duckWinSubSql) s) AS tok_in,
+         |    (SELECT CAST(sum(n_pieces) AS BIGINT)
+         |     FROM (${Tokenizer.duckUnigramSegmentSql(
+               s"seqs AS ($duckWinSubSql)", UniW, UniB)}) u) AS pieces_out
+         |) t""".stripMargin,
     "unigram_segment" -> Tokenizer.duckUnigramSegmentSql(duckSeqs, UniW, UniB),
     "unigram_train" -> Tokenizer.duckUnigramTrainSql(duckSeqs, UniW, UniB,
       UniTopK),
