@@ -97,6 +97,8 @@ object expressions {
       es => HllTokensAgg(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_unigram_counts",
       es => UnigramCounts(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bigram_counts",
+      es => BigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
       es => NbScoreKernel(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_remap_tokens",
@@ -140,8 +142,11 @@ object expressions {
     * `(gram << 40) | count`. Query-side decoders — use these instead of
     * re-inlining the shift/mask at call sites. */
   val GramCountMask: Long = (1L << 40) - 1
+  // unsigned shift: a 24-bit BIGRAM gram ([[BigramCounts]]) occupies bits
+  // 40..63, so an arithmetic shift would sign-extend grams ≥ 2^23;
+  // identical to the arithmetic shift on the 12-bit unigram domain
   def gramOf(gc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.shiftright(gc, 40)
+    org.apache.spark.sql.functions.shiftrightunsigned(gc, 40)
   def cntOf(gc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     gc.bitwiseAND(org.apache.spark.sql.functions.lit(GramCountMask))
 
@@ -654,6 +659,68 @@ object expressions {
       while (g < 4096) {
         if (hist(g) > 0L) { out(j) = (g.toLong << 40) | hist(g); j += 1 }
         g += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_bigram_counts(tokens ARRAY<INT>) → ARRAY<BIGINT>
+    *
+    * Per-row BIGRAM histogram, emitted as packed `(gram << 40) | count`
+    * longs in ASCENDING gram order — `gram` the exact 24-bit
+    * [[PackNgrams]] k=2 identity `(t1+2048)·4096 + (t2+2048)`. The bigram
+    * sibling of [[UnigramCounts]]: one sort + run-length pass over the
+    * row's packed bigrams (the 16.7M-slot dense histogram of the unigram
+    * kernel does not fit per row) replaces the corpus-wide explode +
+    * `(doc, gram)` hash-aggregate the n-gram LM scorers
+    * ([[graft.ops.LanguageModel.scoreBigramNll]] / `scoreBigramKn`) paid
+    * before — downstream explodes see only the DISTINCT bigrams of each
+    * doc (~2.4× fewer rows on the synthetic corpus) and no corpus-sized
+    * aggregation exchange runs at all. Unpack with [[gramOf]] /
+    * [[cntOf]]; counts are bounded by the analysis cap (8192 ≪ 2^40) so
+    * the packing is lossless, and gram < 2^24 keeps `gram << 40`
+    * overflow-free. */
+  case class BigramCounts(tokens: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = tokens.nullable
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val n = arr.length - 1
+      if (n <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+      val grams = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val g1 = arr(i) + 2048
+        val g2 = arr(i + 1) + 2048
+        require(g1 >= 0 && g1 < 4096 && g2 >= 0 && g2 < 4096,
+          s"token out of 12-bit domain [-2048, 2047] at $i")
+        grams(i) = g1 * 4096L + g2
+        i += 1
+      }
+      java.util.Arrays.sort(grams)
+      // run-length encode the sorted grams: first count distinct runs
+      var distinct = 1
+      i = 1
+      while (i < n) { if (grams(i) != grams(i - 1)) distinct += 1; i += 1 }
+      val out = new Array[Long](distinct)
+      var j = 0
+      var runStart = 0
+      i = 1
+      while (i <= n) {
+        if (i == n || grams(i) != grams(runStart)) {
+          out(j) = (grams(runStart) << 40) | (i - runStart).toLong
+          j += 1
+          runStart = i
+        }
+        i += 1
       }
       UnsafeArrayData.fromPrimitiveArray(out)
     }

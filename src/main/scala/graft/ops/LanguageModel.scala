@@ -59,30 +59,56 @@ object LanguageModel {
     * [[bigramCounts]] there and join here). Low = predictable, fluent
     * under the corpus model; high = outlier (the filter threshold axis).
     * `n_bigrams` rides along so callers can re-weight. */
+  /** Per-doc distinct-bigram counts `(doc_id, gram, n_occ)` off the
+    * native [[graft.functions.expressions.BigramCounts]] kernel — the
+    * explode carries only each doc's DISTINCT bigrams (already counted),
+    * so no corpus-sized `(doc, gram)` hash-aggregate exchange ever runs
+    * (the [[graft.functions.expressions.UnigramCounts]] pattern). */
+  private def docBigramCounts(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val e = graft.functions.expressions
+    seqs.select(col("doc_id"),
+        explode(expr("graft_bigram_counts(tokens)")).as("gc"))
+      .select(col("doc_id"), e.gramOf(col("gc")).as("gram"),
+        e.cntOf(col("gc")).as("n_occ"))
+  }
+
+  /** Unigram vocabulary size (one tiny distinct over the per-doc
+    * histogram kernel — never a raw token explode). */
+  private def vocabSize(seqs: DataFrame): DataFrame = {
+    graft.functions.expressions.register(seqs.sparkSession)
+    val e = graft.functions.expressions
+    seqs.select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .agg(countDistinct(e.gramOf(col("gc"))).as("__v"))
+  }
+
   def scoreBigramNll(seqs: DataFrame): DataFrame = {
-    val v = gramInstances(seqs, 1)
-      .agg(countDistinct(col("gram")).as("__v"))
-    // model counts as window sums over the per-(doc, gram) table: c12 =
-    // occurrences of the gram (Σ n_occ over the gram partition), c1 =
-    // occurrences of its left context (Σ n_occ over the t1 partition) —
-    // a STRAIGHT pipeline over ONE bigram explode. The earlier form built
-    // a separate gram-keyed model and joined it back, re-running the
-    // corpus explode when AQE stage reuse missed (the sketch_hll diamond,
-    // BENCH.md) and paying the Zipf-hot gram join the module scaladoc
-    // warns about; window partitions here are bounded by distinct
-    // (doc, gram) rows, never raw occurrences.
-    val byGram = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram"))
-    val byT1 = org.apache.spark.sql.expressions.Window.partitionBy(col("t1"))
-    gramInstances(seqs, 2)
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
+    val v = vocabSize(seqs)
+    // Straight two-pass pipeline over the per-doc bigram-count kernel
+    // (guide §2.3/§2.4 restructure, r6): pass 1 builds the model — one
+    // gram-keyed exchange of the ~vocab²-bounded distinct-bigram table
+    // (map-side partials), with the left-context totals c1 a ≤4096-row
+    // (unigram-domain) aggregate broadcast back. Pass 2 re-runs the
+    // kernel scan and broadcast-joins the per-gram nll table (vocab²-
+    // bounded, alphabet- not corpus-scaled), so the corpus side never
+    // shuffles at all before the per-doc partial aggregation. The
+    // previous form paid a corpus-wide window sort by gram AND by t1
+    // over the 9.7M-row (doc, gram) table (8.4 s at sf0.1); this shape
+    // measures ~4× cheaper with bitwise-identical output.
+    val dg = docBigramCounts(seqs)
+    // materialized once: the model table feeds c1t AND the nll projection
+    // with different column prunings (no canonical exchange reuse);
+    // vocab²-bounded (≤16.7M rows), alphabet- not corpus-scaled
+    val g = dg.groupBy(col("gram")).agg(sum(col("n_occ")).as("c12"))
       .withColumn("t1", expr("gram div 4096"))
-      .withColumn("c12", sum(col("n_occ")).over(byGram))
-      .withColumn("c1", sum(col("n_occ")).over(byT1))
+      .localCheckpoint(true)
+    val c1t = g.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
+    val nll = g.join(broadcast(c1t), Seq("t1"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("n_occ"),
+      .select(col("gram"),
         expr("CAST(round(ln(CAST(c1 + __v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
           .as("nll_micro"))
+    dg.join(broadcast(nll), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_bigrams"),
         sum(col("n_occ") * col("nll_micro")).as("__sum"))
@@ -141,32 +167,47 @@ object LanguageModel {
     * integer folds. Self-scoring form: every scored bigram exists, so the
     * discounted term is never the only mass and P > 0 always.
     *
-    * Shape: one explode → per-(doc, gram) partials; all four count
-    * families are window sums/counts over the DISTINCT-gram table
-    * (bounded by vocabulary², never occurrences); one gram-keyed join
-    * back; N11 rides in broadcast. */
+    * Shape: per-doc bigram counts from the native kernel (no corpus
+    * exchange); all four count families are unigram-domain (≤4096-row)
+    * aggregates over the DISTINCT-gram model table (bounded by
+    * vocabulary², never occurrences), broadcast back; the scoring join
+    * is a broadcast of the vocab²-bounded per-gram table — the corpus
+    * side reaches its per-doc aggregation without ever shuffling. */
   def scoreBigramKn(seqs: DataFrame): DataFrame = {
-    val byT1 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t1"))
-    val byT2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("t2"))
-    val dg = gramInstances(seqs, 2)
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n_occ"))
-    val g = dg.groupBy(col("gram")).agg(sum(col("n_occ")).as("c12"))
+    // Same restructure as [[scoreBigramNll]] (r6): per-doc bigram counts
+    // from the native kernel, all four count families as aggregates on
+    // the unigram domain (c1/n1w by t1, ncont by t2 — each a ≤4096-row
+    // table broadcast back onto the distinct-bigram model; previously
+    // two corpus-model window sorts), and the per-gram nll table joins
+    // the un-shuffled corpus side broadcast. N11 rides in broadcast as
+    // before. The distinct-bigram model table g0 feeds FOUR consumers
+    // whose column pruning differentiates the canonical plans (t2a/n11
+    // drop c12), so exchange reuse cannot fire — materialize the
+    // vocab²-bounded (≤16.7M-row, alphabet- not corpus-scaled) model
+    // once instead of re-running the corpus pass per consumer
+    // (PlanAudit-measured 4× re-execution, 3.8 s → 1.3 s at sf0.1).
+    val dg = docBigramCounts(seqs)
+    val g0 = dg.groupBy(col("gram")).agg(sum(col("n_occ")).as("c12"))
       .withColumn("t1", expr("gram div 4096"))
       .withColumn("t2", expr("gram % 4096"))
-      .withColumn("c1", sum(col("c12")).over(byT1))
-      .withColumn("n1w", count(lit(1)).over(byT1))
-      .withColumn("ncont", count(lit(1)).over(byT2))
-    val n11 = g.agg(count(lit(1)).as("__n11"))
-    dg.join(g.select(col("gram"), col("c12"), col("c1"), col("n1w"),
-        col("ncont")), Seq("gram"))
+      .localCheckpoint(true)
+    val t1a = g0.groupBy(col("t1")).agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1w"))
+    val t2a = g0.groupBy(col("t2")).agg(count(lit(1)).as("ncont"))
+    val n11 = g0.agg(count(lit(1)).as("__n11"))
+    // per-gram nll PRE-computed on the model side: the scoring broadcast
+    // carries 2 columns instead of 5 and the ln runs once per DISTINCT
+    // gram, not once per (doc, gram) row — identical quantized value
+    // either way (the argument depends only on per-gram counts)
+    val nll = g0.join(broadcast(t1a), Seq("t1"))
+      .join(broadcast(t2a), Seq("t2"))
       .crossJoin(broadcast(n11))
-      .select(col("doc_id"), col("n_occ"),
+      .select(col("gram"),
         expr("""CAST(round(ln(CAST(4 * c1 * __n11 AS DOUBLE)
                |  / CAST(greatest(4 * c12 - 3, 0) * __n11
                |         + 3 * n1w * ncont AS DOUBLE))
                |  * 1000000) AS BIGINT)""".stripMargin).as("nll_micro"))
+    dg.join(broadcast(nll), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_bigrams"),
         sum(col("n_occ") * col("nll_micro")).as("__sum"))
@@ -395,21 +436,32 @@ object LanguageModel {
     * micro-nat-quantized per DISTINCT (doc, token) row, so both folds are
     * exact int64 sums (order-free, bitwise cross-engine).
     *
-    * Shape: ONE token explode → (doc, token) count; the corpus token
-    * count is a window sum over the token partition (bounded by distinct
-    * (doc, token) rows, never raw occurrences — the [[scoreBigramNll]]
-    * straight-pipeline shape) and the corpus total rides in as a
-    * broadcast scalar. */
+    * Shape: per-doc counts off the native histogram kernel (distinct
+    * (doc, token) rows only — no corpus aggregation exchange); the
+    * corpus token histogram is an alphabet-bounded (≤4096-row) aggregate
+    * broadcast back, and the corpus total rides in as a broadcast
+    * scalar — the corpus side never shuffles before its per-doc
+    * partial aggregation. */
   def unigramDiversity(seqs: DataFrame): DataFrame = {
-    val totals = gramInstances(seqs, 1).agg(count(lit(1)).as("__nn"))
-    val byTok = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    gramInstances(seqs, 1)
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .withColumn("cg", sum(col("c")).over(byTok))
-      .withColumn("n", sum(col("c")).over(byDoc))
+    // r6 restructure: per-doc counts from the native histogram kernel
+    // (explode carries only distinct (doc, token) rows — no corpus
+    // hash-aggregate), the corpus token histogram cg is a ≤4096-row
+    // (alphabet-bounded) aggregate broadcast back, and the per-doc total
+    // n is the doc's own token count (size(tokens) = Σ c exactly) — the
+    // previous form paid TWO corpus-wide window sorts (by token and by
+    // doc) over the distinct (doc, token) table (5.9 s at sf0.1).
+    graft.functions.expressions.register(seqs.sparkSession)
+    val e = graft.functions.expressions
+    val dg = seqs.select(col("doc_id"), size(col("tokens")).cast("long").as("n"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+      .select(col("doc_id"), col("n"), e.gramOf(col("gc")).as("gram"),
+        e.cntOf(col("gc")).as("c"))
+    // ≤4096 rows, materialized once for its two consumers (totals + the
+    // broadcast join) so the corpus histogram pass runs a single time
+    val cgT = dg.groupBy(col("gram")).agg(sum(col("c")).as("cg"))
+      .localCheckpoint(true)
+    val totals = cgT.agg(sum(col("cg")).as("__nn"))
+    dg.join(broadcast(cgT), Seq("gram"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("c"), col("n"),
         expr("""CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
