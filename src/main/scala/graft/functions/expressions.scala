@@ -99,6 +99,10 @@ object expressions {
       es => UnigramCounts(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_counts",
       es => BigramCounts(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_assign",
+      es => PqAssignKernel(es(0), es(1), es(2), es(3), es(4)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ivf_assign",
+      es => IvfAssignKernel(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
       es => NbScoreKernel(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_remap_tokens",
@@ -726,6 +730,156 @@ object expressions {
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
       copy(tokens = c(0))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_pq_assign(embedding ARRAY<FLOAT|DOUBLE>, cb ARRAY<DOUBLE>,
+    * m INT, dsub INT, ksub INT) → ARRAY<INT>
+    *
+    * Fused PQ nearest-codeword assignment: for every subspace
+    * `s ∈ [0, m)` return the code of the min-L2 codeword (ties → lowest
+    * code — codes are scanned ascending with a strict `<`). `cb` is the
+    * LITERAL flattened codebook `cb[(s·ksub + c)·dsub + p]` (m·ksub·dsub
+    * doubles — model-sized, decoded once per expression instance, the
+    * [[TreeWalk]] pattern). The L2 fold replicates [[L2Sq]] exactly
+    * (per-element float→double cast, sequential `s += d·d` over
+    * `min(dsub, len − s·dsub)` positions), so the codes are bitwise
+    * identical to the relational explode → broadcast-join → window-argmin
+    * form this kernel replaces ([[graft.ops.Similarity]] PQ family) —
+    * while running as ONE narrow projection of the corpus scan: no
+    * subvector explode, no join, no per-(vec, sub) window sort. */
+  case class PqAssignKernel(emb: Expression, cbE: Expression,
+      mE: Expression, dsubE: Expression, ksubE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(emb, cbE, mE, dsubE, ksubE)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = emb.nullable
+    private lazy val m = litInt(mE)
+    private lazy val dsub = litInt(dsubE)
+    private lazy val ksub = litInt(ksubE)
+    private lazy val cb: Array[Double] = {
+      if (!cbE.foldable)
+        throw new IllegalArgumentException(s"expected literal codebook, got $cbE")
+      val arr = cbE.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+      require(arr.length == m * ksub * dsub,
+        s"codebook length ${arr.length} != m*ksub*dsub = ${m * ksub * dsub}")
+      arr
+    }
+    private def toDoubles(any: Any, dt: DataType): Array[Double] = {
+      val ad = any.asInstanceOf[ArrayData]
+      dt.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => ad.toFloatArray().map(_.toDouble)
+        case DoubleType => ad.toDoubleArray()
+        case other => throw new IllegalArgumentException(s"pq_assign over $other")
+      }
+    }
+    override def eval(input: InternalRow): Any = {
+      val eAny = emb.eval(input)
+      if (eAny == null) return null
+      val xs = toDoubles(eAny, emb.dataType)
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val base = s * dsub
+        val n = math.min(dsub, math.max(0, xs.length - base))
+        var best = 0
+        var bestL2 = Double.MaxValue
+        var c = 0
+        while (c < ksub) {
+          val cbase = (s * ksub + c) * dsub
+          var l2 = 0.0
+          var p = 0
+          while (p < n) {
+            val d = xs(base + p) - cb(cbase + p)
+            l2 += d * d
+            p += 1
+          }
+          if (l2 < bestL2) { bestL2 = l2; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(emb = c(0), cbE = c(1), mE = c(2), dsubE = c(3), ksubE = c(4))
+  }
+
+  // ------------------------------------------------------------------
+
+  /** graft_ivf_assign(embedding ARRAY<FLOAT|DOUBLE>, cells ARRAY<BIGINT>,
+    * cv ARRAY<DOUBLE>, dim INT) → BIGINT
+    *
+    * Fused IVF coarse-quantizer assignment: return the cell id of the
+    * max-cosine centroid (ties → lowest cell id — `cells` MUST be sorted
+    * ascending and is scanned with a strict `>`). `cells`/`cv` are
+    * LITERAL model arrays (nCells ids + nCells·dim flattened centroid
+    * components, decoded once per instance — the [[TreeWalk]] pattern).
+    * The cosine fold replicates [[CosineSim]] exactly (per-element
+    * float→double cast, sequential dot/na/nb accumulation over
+    * `min(len, dim)`, zero-norm → 0.0), so assignments are bitwise
+    * identical to the relational crossJoin → window-argmax form this
+    * replaces ([[graft.ops.Similarity.ivfAssign]]) — while running as
+    * ONE narrow projection: no centroid join, no per-vec window sort. */
+  case class IvfAssignKernel(emb: Expression, cellsE: Expression,
+      cvE: Expression, dimE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(emb, cellsE, cvE, dimE)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = emb.nullable
+    private lazy val dim = litInt(dimE)
+    private def litArr(e: Expression): ArrayData =
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"expected literal model array, got $e")
+      else e.eval(null).asInstanceOf[ArrayData]
+    private lazy val cells: Array[Long] = {
+      val arr = litArr(cellsE).toLongArray()
+      require((1 until arr.length).forall(i => arr(i - 1) < arr(i)),
+        "cell ids must be ascending (the tie → lowest-cell contract)")
+      arr
+    }
+    private lazy val cv: Array[Double] = {
+      val arr = litArr(cvE).toDoubleArray()
+      require(arr.length == cells.length * dim,
+        s"centroid array length ${arr.length} != nCells*dim = ${cells.length * dim}")
+      arr
+    }
+    private def toDoubles(any: Any, dt: DataType): Array[Double] = {
+      val ad = any.asInstanceOf[ArrayData]
+      dt.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => ad.toFloatArray().map(_.toDouble)
+        case DoubleType => ad.toDoubleArray()
+        case other => throw new IllegalArgumentException(s"ivf_assign over $other")
+      }
+    }
+    override def eval(input: InternalRow): Any = {
+      val eAny = emb.eval(input)
+      if (eAny == null) return null
+      val ys = toDoubles(eAny, emb.dataType)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < cells.length) {
+        val base = c * dim
+        val n = math.min(dim, ys.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          dot += cv(base + i) * ys(i)
+          na += cv(base + i) * cv(base + i)
+          nb += ys(i) * ys(i)
+          i += 1
+        }
+        val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      cells(best)
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(emb = c(0), cellsE = c(1), cvE = c(2), dimE = c(3))
   }
 
   // ------------------------------------------------------------------

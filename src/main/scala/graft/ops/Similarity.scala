@@ -333,18 +333,31 @@ object Similarity {
     ivfAssign(embeddings, cents(embeddings0, nCells))
   }
 
-  /** Assignment pass shared by the bootstrap and trained IVF paths:
-    * broadcast the (tiny) centroid table against the corpus, keep each
-    * vector's max-cosine cell (ties → lowest cell id). */
+  /** Assignment pass shared by the bootstrap and trained IVF paths —
+    * r6 rewrite: the centroid table is model-sized (nCells rows), so it
+    * collects to the driver and rides the plan as literal arrays into the
+    * fused [[expressions.IvfAssignKernel]] projection (exact
+    * [[expressions.CosineSim]] fold, ties → lowest cell id) — ONE narrow
+    * pass over the corpus instead of crossJoin → window-argmax (which
+    * paid a corpus×nCells exchange + sort per call). */
   private def ivfAssign(embeddings: DataFrame, centsDf: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell").asc)
-    embeddings.crossJoin(broadcast(centsDf))
-      .withColumn("ccos", expr("graft_cosine(cv, embedding)"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("label"), col("cell"))
+    expressions.register(embeddings.sparkSession)
+    val rows = centsDf.select(col("cell"), col("cv"))
+      .orderBy(col("cell")).collect()
+    require(rows.nonEmpty, "ivf assignment needs at least one centroid")
+    val cellIds = rows.map(_.getLong(0))
+    val cvs: Array[Array[Double]] = rows.map(_.get(1) match {
+      case s: scala.collection.Seq[_] => s.map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }.toArray
+    })
+    val dim = cvs.head.length
+    require(cvs.forall(_.length == dim), "centroid dims must agree")
+    embeddings.select(col("vec_id"), col("label"),
+      call_function("graft_ivf_assign", col("embedding"),
+        typedlit(cellIds.toSeq), typedlit(cvs.flatten.toSeq), lit(dim))
+        .as("cell"))
   }
 
   /** Lloyd-trained IVF centroids (replacing the stride-sample bootstrap):
@@ -1820,67 +1833,94 @@ object Similarity {
     * picks `ksub` seed vectors; code = the seed's rank by vec_id (0-based,
     * so codes are the dense 0..ksub-1 byte range PQ storage wants), cv =
     * the seed's subvector. */
-  private def pqSeed(embeddings0: DataFrame, m: Int, dsub: Int,
-                     ksub: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    // ksub rows — the global window is a single tiny partition by design
-    embeddings0.filter(expr("vec_id % 13 = 3"))
+  /** Driver-side PQ model train (r6 rewrite): seed = the deterministic
+    * `vec_id % 13 = 3` stride sample (collected — ksub rows, model-sized),
+    * then `iters` Lloyd rounds, each ONE corpus pass: the fused
+    * [[expressions.PqAssignKernel]] projection assigns all m codes per
+    * vector (no subvector explode, no broadcast join, no per-(vec, sub)
+    * window sort), and the quantized-BIGINT component sums reduce through
+    * one map-side-combined `(sub, code, pos)` exchange of ≤ m·ksub·dsub
+    * aggregate rows, collected to the driver (the [[graft.ops.GbdtTrain]]
+    * per-round model-sized-collect precedent). Codes that lose all
+    * members keep their previous codeword. Bitwise identical to the
+    * replaced relational Lloyd (OpsSpec pins codes/codewords): the kernel
+    * replicates the [[expressions.L2Sq]] fold and ties → lowest code, and
+    * the component mean is the same single IEEE division of exact int64s.
+    *
+    * Returns (flattened codebook `cb[(s·ksubEff + c)·dsub + p]`, ksubEff)
+    * where ksubEff ≤ ksub is the seed-sample size (corpora smaller than
+    * ~13·ksub yield fewer seeds — the documented pqSeed stride gate). */
+  private def pqTrainModel(embeddings0: DataFrame, m: Int, dsub: Int,
+                           ksub: Int, iters: Int): (Array[Double], Int) = {
+    expressions.register(embeddings0.sparkSession)
+    val seedRows = embeddings0.filter(expr("vec_id % 13 = 3"))
       .orderBy(col("vec_id")).limit(ksub)
-      .select(col("vec_id"), col("embedding"))
-      .withColumn("code", (row_number().over(w) - 1).cast("int"))
-      .select(explode(expr(s"sequence(0, ${m - 1})")).as("sub"),
-        col("code"),
-        col("embedding"))
-      .withColumn("cv", expr(
-        s"transform(slice(embedding, sub * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"))
-      .select(col("sub"), col("code"), col("cv"))
+      .select(col("embedding")).collect()
+    val kEff = seedRows.length
+    require(kEff > 0, "pq seed stride produced no codewords")
+    val cb = new Array[Double](m * kEff * dsub)
+    for (c <- 0 until kEff) {
+      val e = seedRows(c).getSeq[Float](0)
+      for (s <- 0 until m; p <- 0 until dsub) {
+        val idx = s * dsub + p
+        if (idx < e.length) cb((s * kEff + c) * dsub + p) = e(idx).toDouble
+      }
+    }
+    val emb = graft.core.Partitioning.balance(embeddings0, "vec_id")
+    for (_ <- 1 to iters) {
+      val sums = emb.select(col("embedding"),
+          posexplode(call_function("graft_pq_assign", col("embedding"),
+            typedlit(cb.toSeq), lit(m), lit(dsub), lit(kEff)))
+            .as(Seq("sub", "code")))
+        .select(col("sub"), col("code"), posexplode(expr(
+          s"transform(slice(embedding, sub * $dsub + 1, $dsub), x -> CAST(x AS DOUBLE))"))
+          .as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(expr("CAST(floor(x * 1048576) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      for (r <- sums) {
+        val s = r.getInt(0); val c = r.getInt(1); val p = r.getInt(2)
+        cb((s * kEff + c) * dsub + p) =
+          r.getLong(3).toDouble / (r.getLong(4) * 1048576L).toDouble
+      }
+    }
+    (cb, kEff)
   }
 
-  /** Nearest-codeword assignment: broadcast the (m·ksub)-row codebook,
-    * keep each subvector's min-L2 code (ties → lowest code). */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("l2").asc, col("code").asc)
-    subs.join(broadcast(cb), Seq("sub"))
-      .withColumn("l2", expr("graft_l2(sv, cv)"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
+  /** The fused-kernel code assignment column for a trained model. */
+  private def pqAssignCol(model: Array[Double], m: Int, dsub: Int,
+                          kEff: Int): org.apache.spark.sql.Column =
+    call_function("graft_pq_assign", col("embedding"),
+      typedlit(model.toSeq), lit(m), lit(dsub), lit(kEff))
+
+  /** (sub, code, cv DOUBLE[dsub]) frame of a driver-side model — the
+    * broadcastable codebook shape the ADC tables consume. */
+  private def cbFrame(spark: org.apache.spark.sql.SparkSession,
+                      model: Array[Double], m: Int, dsub: Int,
+                      kEff: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (for (s <- 0 until m; c <- 0 until kEff) yield
+      org.apache.spark.sql.Row(s, c,
+        (0 until dsub).map(p => model((s * kEff + c) * dsub + p)))).asJava
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false))))
   }
 
-  /** Lloyd-trained PQ codebook: seed = [[pqSeed]], then `iters` k-means
-    * rounds per subspace (assign = broadcast min-L2 pass; update =
-    * quantized-BIGINT component means, one (sub, code, pos) shuffle of
-    * aggregates). Codes that lose all members keep their previous
-    * codeword. Returns (sub, code, cv DOUBLE[dsub]). */
+  /** Lloyd-trained PQ codebook as a DataFrame (sub, code, cv DOUBLE[dsub])
+    * — [[pqTrainModel]] materialized for the oracle/ADC consumers. */
   def pqTrainCodebook(embeddings0: DataFrame, m: Int, dsub: Int, ksub: Int,
                       iters: Int): DataFrame = {
-    expressions.register(embeddings0.sparkSession)
-    val subs = pqSubs(
-      graft.core.Partitioning.balance(embeddings0, "vec_id"), m, dsub)
-    var cb = pqSeed(embeddings0, m, dsub, ksub)
-    for (_ <- 1 to iters) {
-      val assigned = pqAssign(subs, cb)
-      val sums = subs.join(assigned, Seq("vec_id", "sub"))
-        .select(col("sub"), col("code"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(
-          sum(expr("CAST(floor(x * 1048576) AS BIGINT)")).as("s"),
-          count(lit(1)).as("n"))
-      val means = sums.groupBy(col("sub"), col("code"))
-        .agg(expr(
-          """transform(array_sort(collect_list(struct(pos, s, n))),
-            |  t -> CAST(t.s AS DOUBLE) / CAST(t.n * 1048576 AS DOUBLE))"""
-            .stripMargin).as("cv"))
-      cb = cb.select(col("sub"), col("code"), col("cv").as("__cv_prev"))
-        .join(means, Seq("sub", "code"), "left_outer")
-        .select(col("sub"), col("code"),
-          coalesce(col("cv"), col("__cv_prev")).as("cv"))
-        .localCheckpoint(true) // m·ksub rows; truncates per-round lineage
-    }
-    cb
+    val (model, kEff) = pqTrainModel(embeddings0, m, dsub, ksub, iters)
+    cbFrame(embeddings0.sparkSession, model, m, dsub, kEff)
   }
 
   /** Driver-facing trained-codebook report: one scalar row per codeword
@@ -1894,13 +1934,14 @@ object Similarity {
 
   /** PQ encoding of the corpus against the trained codebook:
     * (vec_id, sub, code) — the m-byte compressed representation, one
-    * broadcast-join narrow pass. */
+    * fused-kernel narrow pass (no explode/join/window). */
   def pqCodes(embeddings0: DataFrame, m: Int, dsub: Int, ksub: Int,
               iters: Int): DataFrame = {
-    expressions.register(embeddings0.sparkSession)
-    pqAssign(
-      pqSubs(graft.core.Partitioning.balance(embeddings0, "vec_id"), m, dsub),
-      pqTrainCodebook(embeddings0, m, dsub, ksub, iters))
+    val (model, kEff) = pqTrainModel(embeddings0, m, dsub, ksub, iters)
+    graft.core.Partitioning.balance(embeddings0, "vec_id")
+      .select(col("vec_id"),
+        posexplode(pqAssignCol(model, m, dsub, kEff)).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub"), col("code"))
   }
 
   /** Recall@k of ADC-over-PQ-codes ranking vs the exact brute-force
@@ -1913,10 +1954,12 @@ object Similarity {
   def pqAdcRecall(embeddings0: DataFrame, nQueries: Int, k: Int, m: Int,
                   dsub: Int, ksub: Int, iters: Int): DataFrame = {
     expressions.register(embeddings0.sparkSession)
-    val cb = pqTrainCodebook(embeddings0, m, dsub, ksub, iters)
-    val codes = pqAssign(
-      pqSubs(graft.core.Partitioning.balance(embeddings0, "vec_id"), m, dsub),
-      cb)
+    val (model, kEff) = pqTrainModel(embeddings0, m, dsub, ksub, iters)
+    val cb = cbFrame(embeddings0.sparkSession, model, m, dsub, kEff)
+    val codes = graft.core.Partitioning.balance(embeddings0, "vec_id")
+      .select(col("vec_id"),
+        posexplode(pqAssignCol(model, m, dsub, kEff)).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub"), col("code"))
     val exact = bruteTopK(embeddings0, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val queries = embeddings0.filter(col("vec_id") < nQueries)
@@ -2156,8 +2199,11 @@ object Similarity {
     val emb = graft.core.Partitioning.balance(embeddings0, "vec_id")
     val cells = ivfAssign(emb, cents(embeddings0, nCells))
       .select(col("vec_id"), col("cell"))
-    val cb = pqTrainCodebook(embeddings0, m, dsub, ksub, iters)
-    val codes = pqAssign(pqSubs(emb, m, dsub), cb)
+    val (model, kEff) = pqTrainModel(embeddings0, m, dsub, ksub, iters)
+    val cb = cbFrame(embeddings0.sparkSession, model, m, dsub, kEff)
+    val codes = emb.select(col("vec_id"),
+        posexplode(pqAssignCol(model, m, dsub, kEff)).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub"), col("code"))
     val exact = bruteTopK(embeddings0, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val queries = embeddings0.filter(col("vec_id") < nQueries)
