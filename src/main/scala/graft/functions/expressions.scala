@@ -52,7 +52,8 @@ object expressions {
         (cur.toSeq :+ rule).mkString(","))
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_gen_tokens",
-      es => TokenGen(es(0), es(1)), "built-in")
+      es => if (es.length > 2) TokenGen(es(0), es(1), es(2))
+            else TokenGen(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_frame_features",
       es => FrameFeatures(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_stats_block",
@@ -103,6 +104,8 @@ object expressions {
       es => PqAssignKernel(es(0), es(1), es(2), es(3), es(4)), "built-in")
     reg.createOrReplaceTempFunction("graft_ivf_assign",
       es => IvfAssignKernel(es(0), es(1), es(2), es(3)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ngram_hashes",
+      es => NgramHashes(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
       es => NbScoreKernel(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_remap_tokens",
@@ -175,14 +178,20 @@ object expressions {
 
   // ------------------------------------------------------------------
 
-  /** graft_gen_tokens(doc_id BIGINT, n_tok INT) → ARRAY<INT>
+  /** graft_gen_tokens(doc_id BIGINT, n_tok INT[, cap INT]) → ARRAY<INT>
     * Sandbox-only deterministic token synthesis (formula documented in
-    * [[graft.sources.Seqs]]; mirrored in `Seqs.duckSql`). */
-  case class TokenGen(docId: Expression, nTok: Expression)
+    * [[graft.sources.Seqs]]; mirrored in `Seqs.duckSql`). The optional
+    * `cap` emits only the first `min(n_tok, cap)` positions — VALUES
+    * IDENTICAL to the uncapped array's prefix (the trail-silence
+    * condition still reads the full `n_tok`), so window-capped consumers
+    * (`slice(tokens, 1, w)`) skip generating the analysis-cap tail. */
+  case class TokenGen(docId: Expression, nTok: Expression,
+      capE: Expression = Literal(Int.MaxValue))
       extends Expression with CodegenFallback {
-    override def children: Seq[Expression] = Seq(docId, nTok)
+    override def children: Seq[Expression] = Seq(docId, nTok, capE)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = docId.nullable || nTok.nullable
+    private lazy val cap = litInt(capE)
     override def eval(input: InternalRow): Any = {
       val dAny = docId.eval(input); val nAny = nTok.eval(input)
       if (dAny == null || nAny == null) return null
@@ -191,9 +200,9 @@ object expressions {
       val lead = (d % 97).toInt
       val trail = ((d * 7) % 61).toInt
       val seed = if (d % 50 == 49) d - 1 else d // planted near-dup pairs
-      val out = new Array[Int](n)
+      val out = new Array[Int](math.min(n, cap))
       var i = 0
-      while (i < n) {
+      while (i < out.length) {
         out(i) =
           if (i < lead || i >= n - trail) 0
           else {
@@ -209,7 +218,7 @@ object expressions {
       UnsafeArrayData.fromPrimitiveArray(out)
     }
     override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
-      copy(docId = c(0), nTok = c(1))
+      copy(docId = c(0), nTok = c(1), capE = c(2))
   }
 
   // ------------------------------------------------------------------
@@ -884,6 +893,82 @@ object expressions {
 
   // ------------------------------------------------------------------
 
+  /** graft_ngram_hashes(text STRING, n INT) → ARRAY<BIGINT>
+    *
+    * Per-document DISTINCT word n-gram hashes — the fused form of the
+    * decontamination/source-overlap gram pass
+    * ([[graft.ops.Contamination]]): split `text` on single spaces
+    * (empty words dropped — `filter(split(text, ' '), w -> w <> '')`
+    * semantics), then for every n-gram window hash the space-joined gram
+    * to the SAME 60-bit identity as the relational form —
+    * `conv(substring(md5(gram), 1, 15), 16, 10)`, i.e. the first 15 hex
+    * chars of the md5 as an unsigned integer = (big-endian first 8
+    * digest bytes) >>> 4 — and emit each distinct hash once (first-
+    * occurrence order, the `array_distinct` contract). One tight pass
+    * per row over the raw UTF-8 bytes; replaces an interpreted
+    * `transform(sequence(...))` HOF whose per-gram lambda built slice +
+    * array_join + hex-string + conv expression trees per element. */
+  case class NgramHashes(textE: Expression, nE: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(textE, nE)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = textE.nullable
+    private lazy val n = {
+      val v = litInt(nE)
+      require(v >= 1, s"n-gram width must be >= 1, got $v")
+      v
+    }
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    @transient private lazy val digBuf = new Array[Byte](16)
+    private val SpaceByte = ' '.toByte
+    override def eval(input: InternalRow): Any = {
+      val tAny = textE.eval(input)
+      if (tAny == null) return null
+      val bytes = tAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .getBytes // UTF-8; multi-byte sequences never contain 0x20
+      // word boundaries: (start, end) of maximal non-space runs
+      val starts = new java.util.ArrayList[Int]()
+      val ends = new java.util.ArrayList[Int]()
+      var i = 0
+      while (i < bytes.length) {
+        if (bytes(i) != SpaceByte) {
+          val s = i
+          while (i < bytes.length && bytes(i) != SpaceByte) i += 1
+          starts.add(s); ends.add(i)
+        } else i += 1
+      }
+      val nw = starts.size()
+      if (nw < n) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+      val nGrams = nw - n + 1
+      val out = new Array[Long](nGrams)
+      val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
+      var k = 0
+      var g = 0
+      while (g < nGrams) {
+        md.reset()
+        var w = g
+        while (w < g + n) {
+          if (w > g) md.update(SpaceByte)
+          md.update(bytes, starts.get(w), ends.get(w) - starts.get(w))
+          w += 1
+        }
+        md.digest(digBuf, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (digBuf(b) & 0xffL); b += 1 }
+        h = h >>> 4 // first 15 hex chars = top 60 bits of the first 8 bytes
+        if (seen.add(h)) { out(k) = h; k += 1 }
+        g += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(textE = c(0), nE = c(1))
+  }
+
+  // ------------------------------------------------------------------
+
   /** graft_remap_tokens(tokens ARRAY<INT>, rare ARRAY<INT>, unk INT) →
     * ARRAY<INT>
     *
@@ -1020,6 +1105,24 @@ object expressions {
     override def children: Seq[Expression] = Seq(tokens, uniT, uniS, biP, biS)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = children.exists(_.nullable)
+    // LITERAL model arrays decode once per expression instance (the
+    // [[TreeWalk]] pattern) — a per-row toLongArray() would copy the
+    // whole model for every document; non-literal (broadcast-column)
+    // wirings still decode per row
+    @transient private lazy val litModel
+        : Option[(Array[Long], Array[Long], Array[Long], Array[Long])] =
+      if (Seq(uniT, uniS, biP, biS).forall(_.foldable)) {
+        def arr(e: Expression) =
+          e.eval(null).asInstanceOf[ArrayData].toLongArray()
+        Some((arr(uniT), arr(uniS), arr(biP), arr(biS)))
+      } else None
+    private def litModelOrRow(input: InternalRow)
+        : (Array[Long], Array[Long], Array[Long], Array[Long]) =
+      litModel.getOrElse((
+        uniT.eval(input).asInstanceOf[ArrayData].toLongArray(),
+        uniS.eval(input).asInstanceOf[ArrayData].toLongArray(),
+        biP.eval(input).asInstanceOf[ArrayData].toLongArray(),
+        biS.eval(input).asInstanceOf[ArrayData].toLongArray()))
     private def bsearch(arr: Array[Long], key: Long): Int = {
       var lo = 0; var hi = arr.length - 1
       while (lo <= hi) {
@@ -1034,10 +1137,7 @@ object expressions {
       val tAny = tokens.eval(input)
       if (tAny == null) return null
       val ts = tAny.asInstanceOf[ArrayData].toIntArray()
-      val ut = uniT.eval(input).asInstanceOf[ArrayData].toLongArray()
-      val us = uniS.eval(input).asInstanceOf[ArrayData].toLongArray()
-      val bp = biP.eval(input).asInstanceOf[ArrayData].toLongArray()
-      val bs = biS.eval(input).asInstanceOf[ArrayData].toLongArray()
+      val (ut, us, bp, bs) = litModelOrRow(input)
       val n = ts.length
       if (n == 0)
         return UnsafeArrayData.fromPrimitiveArray(Array(0L, 0L, 0L, 0L))

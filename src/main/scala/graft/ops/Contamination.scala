@@ -32,16 +32,17 @@ object Contamination {
     * 60-bit hash = first 15 hex chars of md5 over the space-joined gram
     * (bit-identical in DuckDB: `CAST(concat('0x', substr(md5(g),1,15)) AS
     * BIGINT)`). */
-  def ngramHashes(docs: DataFrame, n: Int): DataFrame =
-    docs
-      .withColumn("words", expr(TextAnalysis.wordsExpr))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(words) >= $n THEN
-           |  array_distinct(transform(sequence(0, size(words) - $n),
-           |    i -> CAST(conv(substring(md5(
-           |           array_join(slice(words, i + 1, $n), ' ')
-           |         ), 1, 15), 16, 10) AS BIGINT)))
-           |ELSE array() END""".stripMargin)).as("gram_h"))
+  def ngramHashes(docs: DataFrame, n: Int): DataFrame = {
+    // r6: fused native kernel — one pass over the raw text bytes per doc
+    // (split + per-gram md5 + distinct), replacing an interpreted
+    // transform(sequence(...)) HOF that built slice/array_join/conv
+    // expression trees per gram (the per-token-path HOF anti-pattern);
+    // identical 60-bit hash values, so both sides of every gram join and
+    // the DuckDB mirrors are unchanged
+    graft.functions.expressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(expr(s"graft_ngram_hashes(text, $n)")).as("gram_h"))
+  }
 
   /** Contaminated training docs: `(doc_id, n_hits)` where `n_hits` is the
     * number of DISTINCT n-grams the doc shares with the eval corpus, kept
@@ -99,6 +100,10 @@ object Contamination {
         docs.select(col("source").as("doc_id"), col("text")), n)
       .select(col("doc_id").as("source"), col("gram_h"))
       .distinct()
+      // vocabulary-bounded (Σ per-source distinct grams, not corpus rows);
+      // materialized once for its three consumers (sizes + both self-join
+      // sides) instead of re-running the corpus gram pass per consumer
+      .localCheckpoint(true)
     val sizes = gs.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val common = gs.as("a")
       .join(gs.as("b"), col("a.gram_h") === col("b.gram_h") &&

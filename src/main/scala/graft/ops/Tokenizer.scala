@@ -547,42 +547,76 @@ object Tokenizer {
     * (one recursion round per position) stays tractable, and both
     * engines apply it identically (the [[CurationQueries.EditPrefixW]]
     * oracle-dial pattern). */
-  def unigramModel(seqs: DataFrame, w: Int, b: Int): DataFrame = {
+  /** Driver-side model arrays `(ut, us, bt, bs2)` — sorted piece codes +
+    * micro-nat scores. r6: the model is (window-vocab + b)-bounded, so
+    * the two count tables collect directly (u1 ≤ 4096 rows; b2 = the
+    * top-`b` TakeOrdered rows — never the full bigram census) and the
+    * totals/scores/sort happen on the driver: two small jobs instead of
+    * the former ~10-stage packed-aggregate chain (tot crossJoins +
+    * per-side collect_list single-reducer aggregations + an eager
+    * checkpoint). Score quantization replicates the SQL
+    * `CAST(round(ln(c/total0)·10^6) AS BIGINT)` exactly (BigDecimal
+    * HALF_UP — Spark's round semantics on doubles). */
+  private def unigramModelArrays(seqs: DataFrame, w: Int, b: Int)
+      : (Array[Long], Array[Long], Array[Long], Array[Long]) = {
     graft.functions.expressions.register(seqs.sparkSession)
     val tw = seqs.select(expr(s"slice(tokens, 1, $w)").as("wtoks"))
-    val u1 = tw.select(explode(expr("graft_pack_ngrams(wtoks, 1)")).as("code"))
+    // BOTH count families in ONE job: bigram codes ride the same explode
+    // tagged by +2^25 (above the 24-bit bigram identity range, so no
+    // collision with unigram codes), the per-family top-b cut is a rank
+    // window over the two tag partitions, and the single collect returns
+    // every unigram code plus the top-b bigrams — the same rows the two
+    // separate aggregation jobs produced
+    val tag = 1L << 25
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("code") >= tag)
+      .orderBy(col("c").desc, col("code").asc)
+    val rows = tw.select(explode(concat(
+        expr("graft_pack_ngrams(wtoks, 1)"),
+        expr(s"transform(graft_pack_ngrams(wtoks, 2), c -> c + $tag)")))
+        .as("code"))
       .groupBy(col("code")).agg(count(lit(1)).as("c"))
-    val b2 = tw.select(explode(expr("graft_pack_ngrams(wtoks, 2)")).as("code"))
-      .groupBy(col("code")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("code").asc).limit(b)
-    val tot = u1.agg(sum(col("c")).as("cu"))
-      .crossJoin(b2.agg(coalesce(sum(col("c")), lit(0L)).as("cb")))
-      .select((col("cu") + col("cb")).as("total0"))
-    def packed(df: DataFrame, tn: String, sn: String) =
-      df.crossJoin(broadcast(tot))
-        .select(col("code"), expr(
-          """CAST(round(ln(CAST(c AS DOUBLE) / CAST(total0 AS DOUBLE))
-            |  * 1000000) AS BIGINT)""".stripMargin).as("s"))
-        .agg(
-          expr("transform(array_sort(collect_list(struct(code, s))), t -> t.code)")
-            .as(tn),
-          expr("transform(array_sort(collect_list(struct(code, s))), t -> t.s)")
-            .as(sn))
-    // ONE row of model arrays: materialized eagerly so every downstream
-    // reference (segmentation + census) reuses it instead of re-running
-    // the two counting aggregations
-    broadcast(packed(u1, "ut", "us").crossJoin(packed(b2, "bt", "bs2"))
-      .localCheckpoint(true))
+      .withColumn("r", row_number().over(wk))
+      .filter(col("code") < tag || col("r") <= b)
+      .select(col("code"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val u1 = rows.filter(_._1 < tag)
+    val b2 = rows.filter(_._1 >= tag).map(p => (p._1 - tag, p._2))
+    val total0 = u1.map(_._2).sum + b2.map(_._2).sum
+    def score(c: Long): Long =
+      java.math.BigDecimal.valueOf(
+          math.log(c.toDouble / total0.toDouble) * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val us = u1.sortBy(_._1)
+    val bs = b2.sortBy(_._1)
+    (us.map(_._1), us.map(p => score(p._2)),
+      bs.map(_._1), bs.map(p => score(p._2)))
+  }
+
+  def unigramModel(seqs: DataFrame, w: Int, b: Int): DataFrame = {
+    val (ut, us, bt, bs2) = unigramModelArrays(seqs, w, b)
+    seqs.sparkSession.range(1).select(
+      typedlit(ut).as("ut"), typedlit(us).as("us"),
+      typedlit(bt).as("bt"), typedlit(bs2).as("bs2"))
   }
 
   /** Per-doc Viterbi segmentation under [[unigramModel]]:
     * (doc_id, n_win, seg) with `seg` the kernel's
     * `[n_pieces, n_bi, ll_micro, checksum, code…]` layout. */
-  def unigramSegmented(seqs: DataFrame, w: Int, b: Int): DataFrame =
+  def unigramSegmented(seqs: DataFrame, w: Int, b: Int): DataFrame = {
+    // r6: the model is (window vocab + b)-bounded — built driver-side
+    // ([[unigramModelArrays]], the NB literal-model precedent) and ridden
+    // into the Viterbi kernel as foldable literals, which the kernel
+    // decodes once per instance instead of copying the arrays per
+    // document; drops the crossJoin and the model checkpoint barrier
+    // from the plan. Scores are the identical micro-nat integers.
+    val (ut, us, bt, bs2) = unigramModelArrays(seqs, w, b)
     seqs.select(col("doc_id"), expr(s"slice(tokens, 1, $w)").as("wtoks"))
-      .crossJoin(unigramModel(seqs, w, b))
       .select(col("doc_id"), size(col("wtoks")).as("n_win"),
-        expr("graft_viterbi_seg(wtoks, ut, us, bt, bs2)").as("seg"))
+        call_function("graft_viterbi_seg", col("wtoks"),
+          typedlit(ut), typedlit(us), typedlit(bt),
+          typedlit(bs2)).as("seg"))
+  }
 
   /** Driver-facing segmentation report: per-doc piece/bigram counts, the
     * Viterbi path score, and the position-weighted checksum pinning every

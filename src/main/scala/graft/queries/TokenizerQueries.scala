@@ -79,14 +79,17 @@ object TokenizerQueries {
     // unigram-LM tokenizer (SentencePiece analog, hard-EM round):
     // per-doc Viterbi segmentation report under the count-initialized
     // piece model — integer micro-nat DP, checksum pins every piece
+    // prefix source: the family only analyzes slice(tokens, 1, UniW), so
+    // token synthesis stops at the window (identical prefix values)
     "unigram_segment" -> ((s, dir) =>
-      Tokenizer.unigramSegment(Seqs.fromDocuments(s, dir), UniW, UniB)),
+      Tokenizer.unigramSegment(Seqs.fromDocumentsPrefix(s, dir, UniW),
+        UniW, UniB)),
 
     // the M-step census: top pieces by segmentation usage with
     // re-estimated scores (round-1 vocabulary of the unigram trainer)
     "unigram_train" -> ((s, dir) =>
-      Tokenizer.unigramTrain(Seqs.fromDocuments(s, dir), UniW, UniB,
-        UniTopK)),
+      Tokenizer.unigramTrain(Seqs.fromDocumentsPrefix(s, dir, UniW),
+        UniW, UniB, UniTopK)),
 
     // the classic tokenizer bake-off: BPE merges vs unigram-LM Viterbi
     // pieces on the SAME windowed corpus — per arm, docs / input tokens /

@@ -80,6 +80,26 @@ object Seqs {
         col("source"))
   }
 
+  /** [[fromDocuments]] with the token arrays truncated to their first
+    * `cap` positions — VALUES IDENTICAL to the full arrays' prefix (the
+    * [[graft.functions.expressions.TokenGen]] cap argument still reads
+    * the full `n_tok` for the trail-silence boundary). For consumers
+    * that only analyze a fixed window (`slice(tokens, 1, w)` — the
+    * unigram-LM tokenizer family), this skips generating the analysis-cap
+    * tail: ~128× less token synthesis at w = 64. `n_tok` stays the FULL
+    * count. */
+  def fromDocumentsPrefix(spark: SparkSession, dir: String,
+                          cap: Int): DataFrame = {
+    graft.functions.expressions.register(spark)
+    graft.core.Partitioning.readBalanced(spark, dir, "documents", "doc_id")
+      .select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 6, "0")).as("doc_id"),
+        expr(s"graft_gen_tokens(doc_id, CAST(least(n_chars * 16, $MaxTokens) AS INT), $cap)")
+          .as("tokens"),
+        least(col("n_chars") * 16, lit(MaxTokens)).cast("int").as("n_tok"),
+        col("source"))
+  }
+
   /** Verification-boundary subsample predicate (over the RAW numeric
     * `doc_id` of `documents`): keeps every planted near-dup pair
     * (`doc_id % 50 ∈ {48, 49}` — see the token model above) plus a 1-in-7
