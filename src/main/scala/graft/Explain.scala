@@ -49,7 +49,7 @@ object Explain {
         SparkEntry.queries("video_frames")(spark, sfDir),
       "hash_split (deterministic train/val/test)" ->
         SparkEntry.queries("hash_split")(spark, sfDir),
-      "decontaminate (broadcast eval-gram set, no train-side pre-agg shuffle)" ->
+      "decontaminate (native gram-hash kernel, broadcast eval-gram set, no train-side pre-agg shuffle)" ->
         SparkEntry.queries("decontaminate")(spark, sfDir),
       "repetition_stats (zero-shuffle quality projection)" ->
         SparkEntry.queries("repetition_stats")(spark, sfDir),
@@ -77,7 +77,7 @@ object Explain {
         SparkEntry.queries("skipgram_top")(spark, sfDir),
       "bloom_prune (broadcast set-bit table, narrow probe — big side never shuffles)" ->
         SparkEntry.queries("bloom_prune")(spark, sfDir),
-      "source_overlap (gram-keyed self-join, bucket <= |sources| rows, broadcast sizes)" ->
+      "source_overlap (native gram-hash kernel, vocabulary-bounded distinct table materialized once, gram-keyed self-join, broadcast sizes)" ->
         SparkEntry.queries("source_overlap")(spark, sfDir),
       "length_outliers (per-source rank windows, medians broadcast back)" ->
         SparkEntry.queries("length_outliers")(spark, sfDir),
@@ -115,9 +115,9 @@ object Explain {
         SparkEntry.queries("hard_negatives")(spark, sfDir),
       "semdedup (broadcast centroids, ids-only in-cell pair join, vector re-fetch verify)" ->
         SparkEntry.queries("semdedup")(spark, sfDir),
-      "kn_bigram_nll (one explode, window count families over the distinct-gram table)" ->
+      "kn_bigram_nll (per-doc bigram-count kernel, alphabet-bounded count aggregates, broadcast nll model — zero corpus shuffle on the scoring side)" ->
         SparkEntry.queries("kn_bigram_nll")(spark, sfDir),
-      "unigram_diversity (one explode, token-partition window, broadcast total)" ->
+      "unigram_diversity (per-doc histogram kernel, ≤4096-row corpus histogram broadcast back — no corpus windows)" ->
         SparkEntry.queries("unigram_diversity")(spark, sfDir),
       "zipf_fit (per-source rank window, grouped integer moments, closed-form solve)" ->
         SparkEntry.queries("zipf_fit")(spark, sfDir),
@@ -141,13 +141,13 @@ object Explain {
         SparkEntry.queries("knn_agree_lsh")(spark, sfDir),
       "coreset_cells (broadcast centroid assignment, one cell exchange, per-cell greedy kernel)" ->
         SparkEntry.queries("coreset_cells")(spark, sfDir),
-      "pq_codes (broadcast codebook assignment after Lloyd rounds that shuffle only (sub,code,pos) aggregates)" ->
+      "pq_codes (fused literal-codebook assignment kernel — one narrow projection; Lloyd rounds collect only (sub,code,pos) aggregates)" ->
         SparkEntry.queries("pq_codes")(spark, sfDir),
-      "ivfpq_recall (coarse-cell candidates joined to codes, broadcast ADC table, one (query,vec) grouped sum)" ->
+      "ivfpq_recall (fused cell+code assignment kernels, coarse-cell candidates joined to codes, broadcast ADC table, one (query,vec) grouped sum)" ->
         SparkEntry.queries("ivfpq_recall")(spark, sfDir),
       "sketch_quantile (one (source,bin) count exchange, windows over the bounded bin grid)" ->
         SparkEntry.queries("sketch_quantile")(spark, sfDir),
-      "unigram_train (broadcast 1-row model into the Viterbi kernel projection, one piece-census exchange)" ->
+      "unigram_train (driver-literal piece model into the Viterbi kernel projection, one piece-census exchange)" ->
         SparkEntry.queries("unigram_train")(spark, sfDir),
       "hybrid_rrf (two k-row-per-query arms, one outer fusion join — nothing corpus-sized)" ->
         SparkEntry.queries("hybrid_rrf")(spark, sfDir),

@@ -78,15 +78,21 @@ object NaiveBayes {
     * `(gram, source, llk_micro)` model rows and `(source, prior_micro)`. */
   private def fit(seqs: DataFrame): (Seq[Row], Seq[Row]) = {
     graft.functions.expressions.register(seqs.sparkSession)
-    val cts = seqs.select(col("source"),
-        explode(expr("graft_unigram_counts(tokens)")).as("gc"))
+    // ONE counting job for BOTH model tables (r6): each doc appends a
+    // marker entry at gram 4096 (just above the 12-bit token domain, so
+    // it can never collide with a real gram) with count 1 — the marker's
+    // per-source sum IS the doc count the priors need, and the former
+    // second counting job disappears
+    val DocMarker = 4096L
+    val rows = seqs.select(col("source"),
+        explode(expr(
+          s"concat(graft_unigram_counts(tokens), array(CAST(${(DocMarker << 40) | 1L} AS BIGINT)))")).as("gc"))
       .groupBy(col("source"),
         graft.functions.expressions.gramOf(col("gc")).as("gram"))
       .agg(sum(graft.functions.expressions.cntOf(col("gc"))).as("c_ts"))
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
-    val ds = seqs.groupBy(col("source")).agg(count(lit(1)).as("d_s"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cts = rows.filter(_._1._2 != DocMarker).toMap
+    val ds = rows.collect { case ((s, DocMarker), c) => s -> c }.toMap
     val sources = ds.keySet.toSeq.sorted
     val vocab = cts.keySet.map(_._2).toSeq.sorted
     val v = vocab.size.toLong

@@ -26,9 +26,13 @@ object SkipProbe {
     }
     def inst = seqs.select(
       explode(expr("graft_skipgrams(tokens, 3)")).as("code"))
-    t("explode only")(inst)
-    t("explode+partialagg (local)")(inst.groupBy(col("code"))
+    t("long-key agg")(inst.groupBy(col("code"))
       .agg(count(lit(1)).as("c")))
+    t("int-key agg")(seqs.select(
+        explode(expr("transform(graft_skipgrams(tokens, 3), c -> CAST(c AS INT))")).as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("c")))
+    t("int-key proj agg")(inst.select(col("code").cast("int").as("code"))
+      .groupBy(col("code")).agg(count(lit(1)).as("c")))
     t("full skipgram_top")(graft.ops.Sketches.skipgramTop(seqs, 3, 100))
     spark.stop()
   }
