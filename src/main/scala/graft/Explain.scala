@@ -115,7 +115,7 @@ object Explain {
         SparkEntry.queries("hard_negatives")(spark, sfDir),
       "semdedup (broadcast centroids, ids-only in-cell pair join, vector re-fetch verify)" ->
         SparkEntry.queries("semdedup")(spark, sfDir),
-      "kn_bigram_nll (per-doc bigram-count kernel, alphabet-bounded count aggregates, broadcast nll model — zero corpus shuffle on the scoring side)" ->
+      "kn_bigram_nll (one model-collect job, driver-side count families, fused dense-table scoring kernel — zero corpus shuffle, zero scoring join)" ->
         SparkEntry.queries("kn_bigram_nll")(spark, sfDir),
       "unigram_diversity (per-doc histogram kernel, ≤4096-row corpus histogram broadcast back — no corpus windows)" ->
         SparkEntry.queries("unigram_diversity")(spark, sfDir),

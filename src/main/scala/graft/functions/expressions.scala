@@ -106,6 +106,9 @@ object expressions {
       es => IvfAssignKernel(es(0), es(1), es(2), es(3)), "built-in")
     reg.createOrReplaceTempFunction("graft_ngram_hashes",
       es => NgramHashes(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_bigram_nll",
+      es => BigramNllScore(es(0), BigramNllSlots.get(litInt(es(1)))),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_nb_score",
       es => NbScoreKernel(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_remap_tokens",
@@ -743,6 +746,88 @@ object expressions {
 
   // ------------------------------------------------------------------
 
+  /** Driver-side registry handing per-query bigram-NLL model broadcasts
+    * to [[BigramNllScore]] (the registered-function builder can only
+    * receive child EXPRESSIONS, so the broadcast travels by slot id: the
+    * caller registers the broadcast, passes the id as a literal, and the
+    * builder — which runs at analysis time ON THE DRIVER — captures the
+    * broadcast into the expression instance, whence it serializes to
+    * executors as a normal torrent-broadcast handle). The registry keeps
+    * only the last few entries; evicted broadcasts become unreachable
+    * once their query plans are GC'd and Spark's ContextCleaner reclaims
+    * them. */
+  object BigramNllSlots {
+    private val slots =
+      new java.util.concurrent.ConcurrentHashMap[Int,
+        org.apache.spark.broadcast.Broadcast[Array[Int]]]()
+    private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val Keep = 8
+    def put(bc: org.apache.spark.broadcast.Broadcast[Array[Int]]): Int = {
+      val id = nextId.incrementAndGet()
+      slots.put(id, bc)
+      slots.keySet.removeIf(k => k <= id - Keep)
+      id
+    }
+    def get(id: Int): org.apache.spark.broadcast.Broadcast[Array[Int]] = {
+      val bc = slots.get(id)
+      require(bc != null, s"bigram-nll model slot $id expired")
+      bc
+    }
+  }
+
+  /** graft_bigram_nll(tokens ARRAY<INT>, slot INT) → ARRAY<BIGINT>
+    * `[n_bigrams, sum_micro]`
+    *
+    * Fused self-scored bigram-LM document scoring: one pass over the
+    * token array accumulating `Σ nll_micro[gram]` over every bigram
+    * occurrence — exactly the Σ n_occ·nll_micro integer fold of the
+    * relational per-doc-counts ⋈ broadcast-model form it replaces
+    * ([[graft.ops.LanguageModel.scoreBigramKn]] / `scoreBigramNll`),
+    * with zero explode, zero join and zero aggregation exchange. The
+    * model is the DENSE alphabet-bounded table `nll[gram]` over the
+    * 16.7M-slot 24-bit gram domain (67 MB of ints — bounded by the token
+    * alphabet at ANY corpus size), distributed as a real Spark broadcast
+    * via [[BigramNllSlots]]. PRECONDITION (self-scoring contract): every
+    * scored bigram must exist in the model — absent slots hold
+    * Int.MinValue and trip the require below. Returns null for rows with
+    * fewer than 2 tokens (no bigrams — such docs are absent from the
+    * relational form's output too). */
+  case class BigramNllScore(tokens: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Int]])
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(tokens)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    @transient private lazy val nll: Array[Int] = bc.value
+    override def eval(input: InternalRow): Any = {
+      val tAny = tokens.eval(input)
+      if (tAny == null) return null
+      val arr = tAny.asInstanceOf[ArrayData].toIntArray()
+      val n = arr.length - 1
+      if (n <= 0) return null
+      val tbl = nll
+      var sum = 0L
+      var prev = arr(0) + 2048
+      var i = 1
+      while (i <= n) {
+        val cur = arr(i) + 2048
+        require(prev >= 0 && prev < 4096 && cur >= 0 && cur < 4096,
+          s"token out of 12-bit domain [-2048, 2047] at ${i - 1}")
+        val v = tbl(prev * 4096 + cur)
+        require(v != Int.MinValue,
+          s"bigram (${arr(i - 1)}, ${arr(i)}) absent from the self-scored model")
+        sum += v
+        prev = cur
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(Array(n.toLong, sum))
+    }
+    override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+      copy(tokens = c(0))
+  }
+
+  // ------------------------------------------------------------------
+
   /** graft_pq_assign(embedding ARRAY<FLOAT|DOUBLE>, cb ARRAY<DOUBLE>,
     * m INT, dsub INT, ksub INT) → ARRAY<INT>
     *
@@ -1093,7 +1178,17 @@ object expressions {
     * BIGINT micro-nats (the [[graft.ops.LanguageModel]] quantization
     * convention), so the DP is pure integer arithmetic — bitwise across
     * engines; ties prefer the bigram (the longer piece, SentencePiece's
-    * bias). The model arrays are per-row column arguments (broadcast
+    * bias).
+    *
+    * PRECONDITION (closed vocabulary): every token of the segmented
+    * sequence MUST appear in `uniT` — the kernel throws otherwise. This
+    * holds by construction for the self-trained wirings (model and
+    * corpus share the window); applying a persisted model to FRESH
+    * documents requires remapping unseen tokens to a vocab id first
+    * (graft_remap_tokens) or extending the model with a floor score
+    * (r5 ADVICE note).
+    *
+    * The model arrays are per-row column arguments (broadcast
     * 1-row dimension — the [[BpeApplyMerges]] zero-collect pattern).
     *
     * Output: piece count, bigram-piece count, total path score,

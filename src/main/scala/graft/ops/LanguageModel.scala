@@ -73,48 +73,69 @@ object LanguageModel {
         e.cntOf(col("gc")).as("n_occ"))
   }
 
-  /** Unigram vocabulary size (one tiny distinct over the per-doc
-    * histogram kernel — never a raw token explode). */
-  private def vocabSize(seqs: DataFrame): DataFrame = {
-    graft.functions.expressions.register(seqs.sparkSession)
+  /** Spark-`round(x)`-exact micro-nat quantizer (BigDecimal HALF_UP —
+    * the [[graft.ops.NaiveBayes]] driver-math convention, oracle-pinned). */
+  private def microNat(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** The dense alphabet-bounded nll table + fused scoring pass shared by
+    * [[scoreBigramNll]] and [[scoreBigramKn]] (r6): `nllOf` maps each
+    * model row (gram, c12) to its micro-nat value; the 16.7M-slot int
+    * table broadcasts once and each document scores in ONE narrow kernel
+    * projection ([[graft.functions.expressions.BigramNllScore]]) — zero
+    * explode, zero join, zero aggregation exchange on the scoring side. */
+  private def scoreWithDense(seqs: DataFrame, model: Array[(Long, Long)],
+                             nllOf: (Long, Long) => Long,
+                             outCol: String): DataFrame = {
     val e = graft.functions.expressions
-    seqs.select(explode(expr("graft_unigram_counts(tokens)")).as("gc"))
-      .agg(countDistinct(e.gramOf(col("gc"))).as("__v"))
+    val dense = Array.fill(4096 * 4096)(Int.MinValue)
+    for ((gram, c12) <- model) {
+      val v = nllOf(gram, c12)
+      require(v > Int.MinValue && v <= Int.MaxValue,
+        s"nll_micro $v out of the dense-table int range")
+      dense(gram.toInt) = v.toInt
+    }
+    val bc = seqs.sparkSession.sparkContext.broadcast(dense)
+    val slot = e.BigramNllSlots.put(bc)
+    seqs.filter(size(col("tokens")) >= 2)
+      .select(col("doc_id"),
+        call_function("graft_bigram_nll", col("tokens"), lit(slot)).as("__r"))
+      .select(col("doc_id"),
+        col("__r")(0).as("n_bigrams"),
+        (col("__r")(1).cast("double") /
+          (col("__r")(0) * lit(1000000L)).cast("double")).as(outCol))
   }
 
   def scoreBigramNll(seqs: DataFrame): DataFrame = {
-    val v = vocabSize(seqs)
-    // Straight two-pass pipeline over the per-doc bigram-count kernel
-    // (guide §2.3/§2.4 restructure, r6): pass 1 builds the model — one
-    // gram-keyed exchange of the ~vocab²-bounded distinct-bigram table
-    // (map-side partials), with the left-context totals c1 a ≤4096-row
-    // (unigram-domain) aggregate broadcast back. Pass 2 re-runs the
-    // kernel scan and broadcast-joins the per-gram nll table (vocab²-
-    // bounded, alphabet- not corpus-scaled), so the corpus side never
-    // shuffles at all before the per-doc partial aggregation. The
-    // previous form paid a corpus-wide window sort by gram AND by t1
-    // over the 9.7M-row (doc, gram) table (8.4 s at sf0.1); this shape
-    // measures ~4× cheaper with bitwise-identical output.
-    val dg = docBigramCounts(seqs)
-    // materialized once: the model table feeds c1t AND the nll projection
-    // with different column prunings (no canonical exchange reuse);
-    // vocab²-bounded (≤16.7M rows), alphabet- not corpus-scaled
-    val g = dg.groupBy(col("gram")).agg(sum(col("n_occ")).as("c12"))
-      .withColumn("t1", expr("gram div 4096"))
-      .localCheckpoint(true)
-    val c1t = g.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
-    val nll = g.join(broadcast(c1t), Seq("t1"))
-      .crossJoin(broadcast(v))
-      .select(col("gram"),
-        expr("CAST(round(ln(CAST(c1 + __v AS DOUBLE) / CAST(c12 + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
-          .as("nll_micro"))
-    dg.join(broadcast(nll), Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n_occ")).as("n_bigrams"),
-        sum(col("n_occ") * col("nll_micro")).as("__sum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("__sum").cast("double") /
-          (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_nll"))
+    // r6 final shape (guide §1.2/§2.4): the model is vocab²-bounded
+    // (≤16.7M distinct bigrams at ANY corpus size — the 12-bit token
+    // alphabet caps it), so ONE counting job collects it (bigram counts
+    // + tagged unigram rows for the vocabulary size V in the same union
+    // pass), the per-gram add-one nll is computed driver-side
+    // (micro-nat HALF_UP — the oracle-pinned quantization), and scoring
+    // is the fused dense-table kernel pass: the corpus side runs zero
+    // shuffles and zero joins. Replaces the r6-intermediate
+    // checkpoint + broadcast-join form (2.4 s) and the r5 corpus-window
+    // form (3.4 s) — measured ~1.5 s at sf0.1, bitwise identical.
+    graft.functions.expressions.register(seqs.sparkSession)
+    val e = graft.functions.expressions
+    val rows = seqs.select(lit(0).as("k"),
+        explode(expr("graft_bigram_counts(tokens)")).as("gc"))
+      .unionByName(seqs.select(lit(1).as("k"),
+        explode(expr("graft_unigram_counts(tokens)")).as("gc")))
+      .select(col("k"), e.gramOf(col("gc")).as("gram"),
+        e.cntOf(col("gc")).as("c"))
+      .groupBy(col("k"), col("gram")).agg(sum(col("c")).as("c12"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val v = rows.count(_._1 == 1).toLong
+    val model = rows.collect { case (0, g, c) => (g, c) }
+    val c1 = new Array[Long](4096)
+    for ((g, c) <- model) c1((g / 4096).toInt) += c
+    scoreWithDense(seqs, model,
+      (g, c12) => microNat(math.log(
+        (c1((g / 4096).toInt) + v).toDouble / (c12 + 1).toDouble) * 1000000),
+      "avg_nll")
   }
 
   /** DuckDB mirror of [[scoreBigramNll]] (seqsSql = a CTE body yielding
@@ -167,53 +188,41 @@ object LanguageModel {
     * integer folds. Self-scoring form: every scored bigram exists, so the
     * discounted term is never the only mass and P > 0 always.
     *
-    * Shape: per-doc bigram counts from the native kernel (no corpus
-    * exchange); all four count families are unigram-domain (≤4096-row)
-    * aggregates over the DISTINCT-gram model table (bounded by
-    * vocabulary², never occurrences), broadcast back; the scoring join
-    * is a broadcast of the vocab²-bounded per-gram table — the corpus
-    * side reaches its per-doc aggregation without ever shuffling. */
+    * Shape: ONE counting job collects the vocab²-bounded distinct-bigram
+    * model (alphabet-, not corpus-scaled); all four count families are
+    * ≤4096-slot driver arrays; scoring is one fused dense-table kernel
+    * projection of the corpus scan — zero corpus shuffles, zero joins. */
   def scoreBigramKn(seqs: DataFrame): DataFrame = {
-    // Same restructure as [[scoreBigramNll]] (r6): per-doc bigram counts
-    // from the native kernel, all four count families as aggregates on
-    // the unigram domain (c1/n1w by t1, ncont by t2 — each a ≤4096-row
-    // table broadcast back onto the distinct-bigram model; previously
-    // two corpus-model window sorts), and the per-gram nll table joins
-    // the un-shuffled corpus side broadcast. N11 rides in broadcast as
-    // before. The distinct-bigram model table g0 feeds FOUR consumers
-    // whose column pruning differentiates the canonical plans (t2a/n11
-    // drop c12), so exchange reuse cannot fire — materialize the
-    // vocab²-bounded (≤16.7M-row, alphabet- not corpus-scaled) model
-    // once instead of re-running the corpus pass per consumer
-    // (PlanAudit-measured 4× re-execution, 3.8 s → 1.3 s at sf0.1).
-    val dg = docBigramCounts(seqs)
-    val g0 = dg.groupBy(col("gram")).agg(sum(col("n_occ")).as("c12"))
-      .withColumn("t1", expr("gram div 4096"))
-      .withColumn("t2", expr("gram % 4096"))
-      .localCheckpoint(true)
-    val t1a = g0.groupBy(col("t1")).agg(sum(col("c12")).as("c1"),
-      count(lit(1)).as("n1w"))
-    val t2a = g0.groupBy(col("t2")).agg(count(lit(1)).as("ncont"))
-    val n11 = g0.agg(count(lit(1)).as("__n11"))
-    // per-gram nll PRE-computed on the model side: the scoring broadcast
-    // carries 2 columns instead of 5 and the ln runs once per DISTINCT
-    // gram, not once per (doc, gram) row — identical quantized value
-    // either way (the argument depends only on per-gram counts)
-    val nll = g0.join(broadcast(t1a), Seq("t1"))
-      .join(broadcast(t2a), Seq("t2"))
-      .crossJoin(broadcast(n11))
-      .select(col("gram"),
-        expr("""CAST(round(ln(CAST(4 * c1 * __n11 AS DOUBLE)
-               |  / CAST(greatest(4 * c12 - 3, 0) * __n11
-               |         + 3 * n1w * ncont AS DOUBLE))
-               |  * 1000000) AS BIGINT)""".stripMargin).as("nll_micro"))
-    dg.join(broadcast(nll), Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n_occ")).as("n_bigrams"),
-        sum(col("n_occ") * col("nll_micro")).as("__sum"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("__sum").cast("double") /
-          (col("n_bigrams") * lit(1000000L)).cast("double")).as("avg_nll_kn"))
+    // r6 final shape, mirroring [[scoreBigramNll]]: ONE counting job
+    // collects the vocab²-bounded distinct-bigram model; all four KN
+    // count families (c1/n1w by t1, ncont by t2, N11) are ≤4096-slot
+    // driver arrays; the per-gram nll quantizes driver-side with the
+    // SAME Long-wrap multiply order and HALF_UP rounding as the former
+    // SQL expression; scoring is the fused dense-table kernel pass —
+    // zero corpus shuffles. (The r5 corpus-window form read 8.4 s at
+    // sf0.1, the r6-intermediate checkpoint + broadcast-join form
+    // 2.8 s; this measures ~1.7 s, bitwise identical.)
+    graft.functions.expressions.register(seqs.sparkSession)
+    val model = docBigramCounts(seqs)
+      .groupBy(col("gram")).agg(sum(col("n_occ")).as("c12"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val c1 = new Array[Long](4096)
+    val n1w = new Array[Long](4096)
+    val ncont = new Array[Long](4096)
+    var n11 = 0L
+    for ((g, c) <- model) {
+      val t1 = (g / 4096).toInt; val t2 = (g % 4096).toInt
+      c1(t1) += c; n1w(t1) += 1; ncont(t2) += 1; n11 += 1
+    }
+    scoreWithDense(seqs, model,
+      (g, c12) => {
+        val t1 = (g / 4096).toInt; val t2 = (g % 4096).toInt
+        microNat(math.log(
+          (4 * c1(t1) * n11).toDouble /
+            (math.max(4 * c12 - 3, 0L) * n11 + 3 * n1w(t1) * ncont(t2)).toDouble)
+          * 1000000)
+      },
+      "avg_nll_kn")
   }
 
   /** DuckDB mirror of [[scoreBigramKn]]. */

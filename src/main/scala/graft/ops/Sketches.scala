@@ -827,7 +827,15 @@ object Sketches {
     * values — a per-source sort that exists only as the accuracy oracle)
     * rides the report as `exact_v`; `abs_err` measures the sketch and is
     * provably < width. All columns are integers or exact integer
-    * arithmetic — bitwise across engines and partitionings. */
+    * arithmetic — bitwise across engines and partitionings.
+    *
+    * PRECONDITION (the err < width bound): the value domain must fit the
+    * grid — `nBins · width > max(value)` — else values past the grid
+    * clamp into the top bin, where the estimate can fall BELOW `exact_v`
+    * by more than one width. The registered dials (256 × 32 vs the 8192
+    * token cap) satisfy this with 8192 = nBins·width reaching the cap
+    * exactly (worst-case err 1); a future dial change must re-check it
+    * (r5 ADVICE note). */
   def quantileHistogram(seqs: DataFrame, nBins: Int, width: Int,
                         qPcts: Seq[Int]): DataFrame = {
     val qs = array(qPcts.map(lit): _*)
