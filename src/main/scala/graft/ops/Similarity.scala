@@ -2222,10 +2222,12 @@ object Similarity {
     val cand = cells.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-      // ids-only, probe-budget-sized: materialized once — n_cand and the
-      // ADC ranking both consume it, and each would otherwise re-run the
-      // assignment chain
-      .localCheckpoint(true)
+    // r6: the former eager localCheckpoint here is gone — its two
+    // consumers (n_cand + the ADC ranking) re-run only a narrow fused
+    // cell-assignment projection + broadcast join since the
+    // IvfAssignKernel rewrite, which is cheaper than the materialization
+    // barrier the checkpoint paid (PlanAudit r5 added it when the chain
+    // was a crossJoin + window per reference)
     val nCand = cand.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_cand"))
     val dt = queries.crossJoin(broadcast(cb))
