@@ -776,9 +776,14 @@ object Sketches {
     * take-ordered, never a global sort. */
   def skipgramTop(seqs: DataFrame, window: Int, topK: Int): DataFrame = {
     graft.functions.expressions.register(seqs.sparkSession)
+    // r6: per-doc COUNTED codes off the native sort+RLE kernel — the
+    // global count aggregation and its exchange see each doc's distinct
+    // codes once (~2.4× fewer rows) instead of every instance
     val inst = seqs.select(
-      explode(expr(s"graft_skipgrams(tokens, $window)")).as("code"))
-    inst.groupBy(col("code")).agg(count(lit(1)).as("c"))
+        explode(expr(s"graft_skipgram_counts(tokens, $window)")).as("gc"))
+      .select(shiftrightunsigned(col("gc"), 32).as("code"),
+        col("gc").bitwiseAND(lit(0xFFFFFFFFL)).as("n"))
+    inst.groupBy(col("code")).agg(sum(col("n")).as("c"))
       .select(
         expr("CAST(code div 4 div 4096 - 2048 AS INT)").as("t1"),
         expr("CAST(code div 4 % 4096 - 2048 AS INT)").as("t2"),
